@@ -1,13 +1,379 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.catalog.Catalogs
+import graft.graph.GraphBuilder
+import graft.learn.DetRandom
+import graft.serve.Recommend
+import graft.topology.{EdgeKey, EdgeSpec, Topology}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Float-parity policy (SURVEY.md §7.4 hard part 2): every aggregated
+  * money/measure column is cast to DECIMAL before summing (exact,
+  * order-independent — the fixture's numerics are exact 2-decimals) and the
+  * final value cast to DOUBLE on both sides, so Spark and DuckDB produce
+  * bit-identical results regardless of partitioning.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact order-independent sum of a 2-dp double column, as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** The extra edge type the std topology can't derive (lineitem's 2nd PK
+    * col is no FK — FIXTURES.md §A): orders—hasPart—part via lineitem. */
+  val ordersPartEdge: EdgeSpec =
+    EdgeSpec("orders", "hasPart", "part", "lineitem", "l_orderkey", "l_partkey")
+
+  /** Flagship (§7.2): top-10 part recommendations for a fresh basket seeded
+    * with parts {1,2,3} — the reference's playlist→track flow
+    * (`inference.py:44-76`) on the fixture schema: graph build → degree →
+    * reverse → self-loops → seed-node mutation → 2-round frozen propagation
+    * → dot-score → top-k. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dir = "/root/testdata/sf0.001"
+    val g = GraphBuilder
+      .build(Catalogs.tpch, n => t(spark, dir, n), extraEdges = Seq(ordersPartEdge))
+      .addDegree.withReverseEdges.withSelfLoops
+    Recommend.recommend(g, EdgeKey("orders", "hasPart", "part"),
+      seedDst = Seq(1L, 2L, 3L), k = 10)
+  }
+
+  // ---- shared SQL fragments (dense-id mappings, W2 semantics) ----
+  private val cmSql =
+    "SELECT c_custkey AS pk, row_number() OVER (ORDER BY c_custkey) - 1 AS id FROM customer"
+  private val omSql =
+    "SELECT o_orderkey AS pk, row_number() OVER (ORDER BY o_orderkey) - 1 AS id FROM orders"
+  private val edgeOcSql = // dense-id edge list orders→customer
+    s"WITH cm AS ($cmSql), om AS ($omSql) " +
+    "SELECT om.id AS src, cm.id AS dst FROM orders o " +
+    "JOIN om ON o.o_orderkey = om.pk JOIN cm ON o.o_custkey = cm.pk"
+
+  /** Spark-side dense-id edge list for orders→customer (G2/G5/J5). */
+  private def edgesOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    val spec = Topology.classify(Catalogs.tpch).edges
+      .find(e => e.srcTable == "orders" && e.dstTable == "customer").get
+    GraphBuilder.edgeFrame(t(s, dir, "orders"), spec,
+      GraphBuilder.denseIds(t(s, dir, "orders"), "o_orderkey"),
+      GraphBuilder.denseIds(t(s, dir, "customer"), "c_custkey"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational substrate -------------------------------------
+    // A1/P1: TPC-H Q1-style pricing summary
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+               col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("revenue"))
+    }),
+    // W4: top-k with total deterministic order
+    "q02_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+    // J1/A1: 3-way join + aggregation
+    "q03_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+    // J4: left outer join + null-tolerant grouping
+    "q04_left_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+    // P3: left-semi membership
+    "q05_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+        .select("c_custkey")
+    }),
+    // J6/U5: anti-join
+    "q06_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+    // U1/U2: diagonal union (schema union, null fill)
+    "q07_union" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(
+        lit("supplier").as("kind"), col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"))
+      val cust = t(s, dir, "customer").select(
+        lit("customer").as("kind"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      sup.unionByName(cust, allowMissingColumns = true)
+    }),
+    // W1-W3: window row_number with explicit deterministic ordering
+    "q08_first_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+    }),
+    // F6: one-hot / pivot with deterministic column set
+    "q09_pivot_segments" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .count().na.fill(0)),
+    // F2/F4/P2: string functions + LIKE
+    "q10_strings" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          concat_ws(" - ", col("c_mktsegment"), upper(col("c_name"))).as("label"))),
+    // A5-style conditional aggregation
+    "q11_cond_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_big"),
+        dsum(when(col("o_totalprice") > 100000, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("big_total"))),
+    // distinct (`df.index.unique()`, convert_to_graph.py:27)
+    "q12_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    // §2.10 extension: tumbling-window event aggregation (batch form).
+    // ts arrives as raw nanos (see Tables.load); the hour bucket is
+    // emitted as a string so Spark's TIMESTAMP_LTZ vs DuckDB's naive
+    // timestamp can't diverge in the compare.
+    "q13_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts_utc", timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts_utc")), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))),
+
+    // ---- graph construction (G1-G8) -------------------------------
+    // G1/G4: node-type inventory with counts
+    "q20_node_counts" -> ((s, dir) => {
+      val nodes = Topology.classify(Catalogs.tpch).nodes
+      nodes.map(n => t(s, dir, n.table)
+        .agg(count(lit(1)).as("n")).select(lit(n.table).as("node_type"), col("n")))
+        .reduce(_ unionByName _)
+    }),
+    // G2/G5/J5/W2: FK edge list remapped to dense ids
+    "q21_edge_list" -> ((s, dir) => edgesOrdersCustomer(s, dir)),
+    // G6: degree feature (customer): incident endpoints over all edge types + 1
+    "q22_degree_customer" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n)).addDegree
+      g.nodes("customer").select(col("id"),
+        element_at(col("features"), -1).cast("long").as("degree"))
+    }),
+    // G7/G8: reverse + self-loop invariants as a per-edge-type summary
+    "q23_graph_summary" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+        .withReverseEdges.withSelfLoops
+      g.edges.toSeq.map { case (k, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(k.name).as("edge_type"), $"n")
+      }.reduce(_ unionByName _)
+    }),
+    // G9: deterministic link split (full assignment, partition-independent)
+    "q24_link_split" -> ((s, dir) =>
+      edgesOrdersCustomer(s, dir)
+        .withColumn("split",
+          when(DetRandom.uniform(col("src"), col("dst"), 42L) < 0.15, "val")
+            .otherwise("train"))),
+    // G11: deterministic binary negative sampling
+    "q25_neg_sample" -> ((s, dir) => {
+      val edges = edgesOrdersCustomer(s, dir)
+      val nDst = t(s, dir, "customer").count()
+      graft.learn.NegativeSampling.sample(edges, edges, nDst, seed = 7L)
+    }),
+
+    // ---- LLM-pipeline extension operators -------------------------
+    // exact dedup: canonical doc per distinct text (hash-groupBy)
+    "q30_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))),
+    // text quality stats: token count, alpha ratio
+    "q31_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len"),
+        round(length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text")), 6).as("alpha_ratio"))),
+    // heuristic language id: stopword-token ratio
+    "q32_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+        .select(col("doc_id"),
+          when(size(filter(col("toks"), x => x === "the" || x === "a"))
+            .cast("double") / size(col("toks")) > 0.05, "en")
+            .otherwise("unk").as("lang_pred"))),
+    // document fingerprint: md5 over whitespace-normalized text
+    "q33_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(regexp_replace(col("text"), "\\s+", " ")).as("fp"))),
+    // brute-force cosine top-k similarity search (ids only: rank-stable)
+    "q35_sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.ArrayOps.cosine(col("embedding"), col("qe")))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q03_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+    "q04_left_join" ->
+      """SELECT COALESCE(c_mktsegment, 'NONE') AS segment, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY COALESCE(c_mktsegment, 'NONE')""".stripMargin,
+    "q05_semi_join" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')",
+    "q06_anti_join" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q07_union" ->
+      """SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS segment FROM supplier
+        |UNION ALL
+        |SELECT 'customer', c_name, c_acctbal, c_mktsegment FROM customer""".stripMargin,
+    "q08_first_order" ->
+      """SELECT o_custkey, first_orderkey FROM (
+        |SELECT o_custkey, o_orderkey AS first_orderkey,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders) WHERE rn = 1""".stripMargin,
+    "q09_pivot_segments" ->
+      """SELECT c_nationkey,
+        |CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS "AUTOMOBILE",
+        |CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS "BUILDING",
+        |CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS BIGINT) AS "FURNITURE",
+        |CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
+        |CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q10_strings" ->
+      """SELECT c_custkey, concat_ws(' - ', c_mktsegment, upper(c_name)) AS label
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+    "q11_cond_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |CAST(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q13_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q20_node_counts" ->
+      """SELECT 'region' AS node_type, COUNT(*) AS n FROM region
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings""".stripMargin,
+    "q21_edge_list" -> edgeOcSql,
+    "q22_degree_customer" ->
+      s"""WITH cm AS ($cmSql),
+        |od AS (SELECT o_custkey AS pk, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |ed AS (SELECT user_id AS pk, COUNT(*) AS c FROM events GROUP BY user_id)
+        |SELECT cm.id AS id,
+        |CAST(1 + COALESCE(od.c, 0) + COALESCE(ed.c, 0) + 1 AS BIGINT) AS degree
+        |FROM cm LEFT JOIN od ON cm.pk = od.pk LEFT JOIN ed ON cm.pk = ed.pk""".stripMargin,
+    "q23_graph_summary" ->
+      """SELECT 'nation__hasn_regionkey__region' AS edge_type, COUNT(*) AS n FROM nation WHERE n_regionkey IS NOT NULL
+        |UNION ALL SELECT 'customer__hasc_nationkey__nation', COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |UNION ALL SELECT 'supplier__hass_nationkey__nation', COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
+        |UNION ALL SELECT 'orders__haso_custkey__customer', COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |UNION ALL SELECT 'events__hasuser_id__customer', COUNT(*) FROM events WHERE user_id IS NOT NULL
+        |UNION ALL SELECT 'region__REVERSE_hasn_regionkey__nation', COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL
+        |UNION ALL SELECT 'nation__REVERSE_hasc_nationkey__customer', COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |UNION ALL SELECT 'nation__REVERSE_hass_nationkey__supplier', COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
+        |UNION ALL SELECT 'customer__REVERSE_haso_custkey__orders', COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |UNION ALL SELECT 'customer__REVERSE_hasuser_id__events', COUNT(*) FROM events WHERE user_id IS NOT NULL
+        |UNION ALL SELECT 'region__SELF_LOOP__region', COUNT(*) FROM region
+        |UNION ALL SELECT 'nation__SELF_LOOP__nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'customer__SELF_LOOP__customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier__SELF_LOOP__supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part__SELF_LOOP__part', COUNT(*) FROM part
+        |UNION ALL SELECT 'orders__SELF_LOOP__orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'events__SELF_LOOP__events', COUNT(*) FROM events
+        |UNION ALL SELECT 'documents__SELF_LOOP__documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'embeddings__SELF_LOOP__embeddings', COUNT(*) FROM embeddings""".stripMargin,
+    "q24_link_split" ->
+      s"""WITH e AS ($edgeOcSql)
+        |SELECT src, dst,
+        |CASE WHEN ${DetRandom.uniformSql("src", "dst", 42L)} < 0.15
+        |THEN 'val' ELSE 'train' END AS split FROM e""".stripMargin,
+    "q25_neg_sample" ->
+      s"""WITH e AS ($edgeOcSql),
+        |neg AS (SELECT src, ${DetRandom.mixSql("src", "dst", 7L)} % (SELECT COUNT(*) FROM customer) AS dst FROM e)
+        |SELECT neg.src, neg.dst FROM neg
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = neg.src AND e.dst = neg.dst)""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |COUNT(*) AS n_dupes FROM documents GROUP BY md5(text)""".stripMargin,
+    "q31_text_stats" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS len,
+        |round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio
+        |FROM documents""".stripMargin,
+    "q32_lang_id" ->
+      """SELECT doc_id,
+        |CASE WHEN CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |  / len(regexp_extract_all(text, '[a-z0-9]+')) > 0.05
+        |THEN 'en' ELSE 'unk' END AS lang_pred FROM documents""".stripMargin,
+    "q33_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp FROM documents",
+    "q35_sim_topk" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+  )
 }

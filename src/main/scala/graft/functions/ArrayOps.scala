@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+
+/** Array-column math built from codegen'd built-ins (`zip_with`, `aggregate`,
+  * `transform`, `exp`) — no Scala UDFs on the hot path (SURVEY.md §2.9).
+  *
+  * The reference does these on dense torch tensors: rowwise dot
+  * `model.py:76` (F9), sigmoid `model.py:79` (F10), feature concat
+  * `convert_to_graph.py:32` (U3).
+  */
+object ArrayOps {
+
+  /** Rowwise dot product of two array columns with double accumulation,
+    * left-to-right (deterministic): F9, `model.py:76`. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = sqrt(normSq(a))
+    val nb = sqrt(normSq(b))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Logistic sigmoid — Spark has `exp` but no builtin sigmoid (F10,
+    * `model.py:79`). */
+  def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Elementwise sum of two equal-length arrays. */
+  def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Elementwise (Hadamard) product — the link-prediction edge feature
+    * (SURVEY.md §7.4: LR over Hadamard of endpoint embeddings). */
+  def hadamard(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x * y)
+
+  /** Scale an array column by a scalar column. */
+  def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)
+
+  private implicit val vecEnc: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+
+  /** Elementwise-sum aggregation over `array<double>` — the neighbor
+    * aggregation primitive (A7, `model.py:92-94`, `to_hetero(aggr='sum')`).
+    * A mutable-buffer `Aggregator` keeps per-group state O(dim) instead of
+    * `collect_list`'s O(group size) (SURVEY.md §4.1, §7.3). Nulls are
+    * skipped; an all-null/empty group yields null. Addition order within a
+    * group is partition-dependent — callers needing hash-exact results must
+    * aggregate integer-valued features (SURVEY.md §7.4 hard part 2).
+    */
+  val vecSumAgg: UserDefinedFunction = udaf(
+    new Aggregator[Array[Double], Array[Double], Array[Double]] {
+      def zero: Array[Double] = Array.empty
+      def reduce(buf: Array[Double], v: Array[Double]): Array[Double] =
+        if (v == null) buf
+        else if (buf.isEmpty) v.clone()
+        else { var i = 0; while (i < buf.length) { buf(i) += v(i); i += 1 }; buf }
+      def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+        if (a.isEmpty) b else reduce(a, b)
+      def finish(buf: Array[Double]): Array[Double] =
+        if (buf.isEmpty) null else buf
+      def bufferEncoder: Encoder[Array[Double]] = vecEnc
+      def outputEncoder: Encoder[Array[Double]] = vecEnc
+    })
+}

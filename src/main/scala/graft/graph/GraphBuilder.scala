@@ -1,0 +1,125 @@
+package graft.graph
+
+import graft.catalog.ConstraintCatalog
+import graft.topology.{EdgeSpec, NodeSpec, Topology, TopologyResult}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Relational → heterogeneous-graph conversion (the reference's core
+  * dataflow, `convert_to_graph.py:142-214`), re-expressed as Spark jobs.
+  */
+object GraphBuilder {
+
+  /** Deterministic dense id assignment 0..N-1 in PK order (W2,
+    * `convert_to_graph.py:27` — the reference enumerates rows in scan
+    * order; the port makes the ordering explicit: ascending PK).
+    *
+    * Scale path per SURVEY.md §7.5: range-repartition + in-partition sort
+    * gives a total order across partitions, then `zipWithIndex` assigns
+    * ranks with one lightweight count job — no single-partition
+    * `row_number()` window, no `monotonically_increasing_id`
+    * (partition-dependent, SURVEY.md §7.0). Returns `(pk, id)`.
+    */
+  def denseIds(df: DataFrame, pkCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val pkType = df.schema(pkCol).dataType
+    val sorted = df.select(col(pkCol)).distinct()
+      .repartitionByRange(col(pkCol))
+      .sortWithinPartitions(pkCol)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("pk", pkType), StructField("id", LongType, nullable = false))))
+  }
+
+  /** Numeric feature columns of a node table: every numeric column except
+    * the PK and any FK columns (P6/P7, `convert_to_graph.py:147-158`). */
+  def featureColumns(df: DataFrame, pk: String, fkCols: Seq[String]): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType]
+        && f.name != pk && !fkCols.contains(f.name) => f.name
+    }.toSeq
+
+  /** One-hot encode `column` into 0/1 float columns, one per distinct value
+    * in sorted order (F6, `convert_to_graph.py:162` `to_dummies`). The
+    * distinct set is collected driver-side — one-hot only makes sense for
+    * low-cardinality columns; deterministic column order via sort. */
+  def oneHotColumns(df: DataFrame, column: String): Seq[org.apache.spark.sql.Column] = {
+    val values = df.select(column).distinct().na.drop()
+      .collect().map(_.get(0)).sortBy(_.toString).toSeq
+    values.map(v =>
+      when(col(column) === lit(v), lit(1f)).otherwise(lit(0f))
+        .as(s"${column}_$v"))
+  }
+
+  /** Build one node type: `(id, pk, features)` plus the `(pk, id)` mapping
+    * (G4, `convert_to_graph.py:21-34`, `:194-203`). Null numerics become
+    * 0f (the reference would propagate NaN into tensors; zero-fill is the
+    * deliberate, documented deviation). */
+  def nodeFrame(
+      table: DataFrame,
+      spec: NodeSpec,
+      fkCols: Seq[String],
+      oneHotCol: Option[String] = None): (DataFrame, DataFrame) = {
+    val mapping = denseIds(table, spec.pk)
+    val featCols = featureColumns(table, spec.pk, fkCols)
+    val base = featCols.map(c => coalesce(col(c).cast(FloatType), lit(0f)).as(c))
+    val oh = oneHotCol.toSeq.flatMap(c => oneHotColumns(table, c))
+    val featureArray =
+      if ((base ++ oh).isEmpty) array().cast(ArrayType(FloatType))
+      else array(base ++ oh: _*)
+    val withFeatures = table.select(
+      col(spec.pk).as("pk"), featureArray.as("features"))
+    val nodeDf = withFeatures
+      .join(mapping, Seq("pk"))
+      .select(col("id"), col("pk"), col("features"))
+    (nodeDf, mapping)
+  }
+
+  /** Build one edge type in dense-id COO form (G5/J5,
+    * `convert_to_graph.py:37-53`, `:205-212`): scan only the two endpoint
+    * columns (S5), drop null FK rows (P9, `:184` — nullable FKs like
+    * employees.ReportsTo), then remap both endpoints through the `(pk, id)`
+    * mappings with two equi-joins. At fixture scale Catalyst broadcasts the
+    * mappings; at 100 TB they shuffle on the PK — both are the right plan
+    * for their scale, chosen by AQE, not hand-scheduled.
+    */
+  def edgeFrame(rows: DataFrame, spec: EdgeSpec,
+      srcMap: DataFrame, dstMap: DataFrame): DataFrame = {
+    val pairs = rows.select(col(spec.srcCol).as("src_pk"),
+                            col(spec.dstCol).as("dst_pk"))
+      .na.drop()
+    pairs
+      .join(srcMap.select(col("pk").as("src_pk"), col("id").as("src")), Seq("src_pk"))
+      .join(dstMap.select(col("pk").as("dst_pk"), col("id").as("dst")), Seq("dst_pk"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Full conversion: classify → per-type node frames → per-type edge
+    * frames (the reference's `main()`, `convert_to_graph.py:260-271`,
+    * minus the augmentations, which are [[HeteroGraph]] methods).
+    *
+    * @param loadTable  table name → DataFrame (parquet scan, JDBC, view…)
+    * @param oneHot     table → column to one-hot encode (the reference
+    *                   hard-codes genres, `convert_to_graph.py:162`)
+    */
+  def build(
+      cat: ConstraintCatalog,
+      loadTable: String => DataFrame,
+      oneHot: Map[String, String] = Map.empty,
+      extraEdges: Seq[EdgeSpec] = Nil): HeteroGraph = {
+    val topo: TopologyResult = Topology.classify(cat)
+    val built = topo.nodes.map { n =>
+      val fkCols = cat(n.table).fks.map(_.fromCol)
+      val (nodeDf, mapping) =
+        nodeFrame(loadTable(n.table), n, fkCols, oneHot.get(n.table))
+      n.table -> (nodeDf, mapping)
+    }.toMap
+    val mappings = built.map { case (t, (_, m)) => t -> m }
+    val edges = (topo.edges ++ extraEdges).map { e =>
+      e.key -> edgeFrame(loadTable(e.rowsTable), e,
+        mappings(e.srcTable), mappings(e.dstTable))
+    }.toMap
+    HeteroGraph(built.map { case (t, (n, _)) => t -> n }, edges)
+  }
+}

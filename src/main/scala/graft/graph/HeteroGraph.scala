@@ -1,0 +1,114 @@
+package graft.graph
+
+import graft.topology.EdgeKey
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed heterogeneous property graph — the Spark equivalent of PyG's
+  * `HeteroData` (`convert_to_graph.py:191-214`, SURVEY.md §1.3).
+  *
+  * Per node type one DataFrame `(id: bigint, pk: <original>, features:
+  * array<float>)`; per edge type `(src: bigint, dst: bigint)` in the dense
+  * per-type id space (COO layout, `convert_to_graph.py:46`).
+  */
+final case class HeteroGraph(
+    nodes: Map[String, DataFrame],
+    edges: Map[EdgeKey, DataFrame]) {
+
+  def nodeCount(t: String): Long = nodes(t).count()
+  def edgeCount(k: EdgeKey): Long = edges(k).count()
+
+  /** Degree feature (G6, `convert_to_graph.py:217-241`): per node type, the
+    * number of incident edge endpoints across ALL edge types where the type
+    * appears as src or dst, plus 1; isolated nodes get 1
+    * (`:231-233`). Appended to `features`.
+    *
+    * Scale shape: one `groupBy(endpoint).count` per edge type (map-side
+    * partial agg), a union, a re-aggregation, then a left join back to the
+    * node table — no driver-side state.
+    */
+  def addDegree(implicit spark: SparkSession): HeteroGraph = {
+    val parts: Seq[(String, DataFrame)] =
+      edges.toSeq.flatMap { case (k, df) =>
+        Seq(
+          k.src -> df.groupBy(col("src").as("id")).agg(count("*").as("cnt")),
+          k.dst -> df.groupBy(col("dst").as("id")).agg(count("*").as("cnt")))
+      }
+    val byType = parts.groupBy(_._1).map { case (t, dfs) =>
+      t -> dfs.map(_._2).reduce(_ unionByName _)
+        .groupBy("id").agg(sum("cnt").as("degree"))
+    }
+    val newNodes = nodes.map { case (t, nodeDf) =>
+      val deg = byType.get(t)
+      val joined = deg match {
+        case Some(d) => nodeDf.join(d, Seq("id"), "left")
+        case None    => nodeDf.withColumn("degree", lit(null).cast("bigint"))
+      }
+      // degree+1, default 1 (`convert_to_graph.py:231-233`)
+      t -> joined
+        .withColumn("degree", coalesce(col("degree"), lit(0L)) + 1L)
+        .withColumn("features",
+          concat(col("features"), array(col("degree").cast("float"))))
+        .drop("degree")
+    }
+    copy(nodes = newNodes)
+  }
+
+  /** Reverse edges (G7, `convert_to_graph.py:243-249`): for every edge type
+    * whose src and dst types differ, add `(dst, REVERSE_rel, src)`.
+    * Self-type edge types are skipped, exactly like the reference
+    * (`edge[0] != edge[2]`, `:246`). */
+  def withReverseEdges: HeteroGraph = {
+    val rev = edges.collect {
+      case (k, df) if !k.isSelfType =>
+        k.reversed -> df.select(
+          col("dst").as("src"), col("src").as("dst"))
+    }
+    copy(edges = edges ++ rev)
+  }
+
+  /** Self-loop edge types (G8, `convert_to_graph.py:252-257`):
+    * `(n, SELF_LOOP, n)` for every node of every type. */
+  def withSelfLoops: HeteroGraph = {
+    val loops = nodes.map { case (t, df) =>
+      EdgeKey(t, "SELF_LOOP", t) ->
+        df.select(col("id").as("src"), col("id").as("dst"))
+    }
+    copy(edges = edges ++ loops)
+  }
+
+  /** Persist as a partitioned parquet directory (S7 — the reference's
+    * `torch.save(graph,'data/graph.bin')`, `convert_to_graph.py:271`,
+    * re-expressed as columnar storage that scales past one machine). */
+  def save(path: String): Unit = {
+    nodes.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$path/nodes/$t")
+    }
+    edges.foreach { case (k, df) =>
+      df.write.mode("overwrite").parquet(s"$path/edges/${k.name}")
+    }
+  }
+
+  def cached(): HeteroGraph =
+    HeteroGraph(nodes.map { case (t, d) => t -> d.cache() },
+                edges.map { case (k, d) => k -> d.cache() })
+}
+
+object HeteroGraph {
+  /** Reload a graph saved by [[HeteroGraph.save]] (S8 — `torch.load`,
+    * `train.py:16`). */
+  def load(spark: SparkSession, path: String): HeteroGraph = {
+    def subdirs(p: String): Seq[String] = {
+      val f = new java.io.File(p)
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles.filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
+    val nodes = subdirs(s"$path/nodes")
+      .map(t => t -> spark.read.parquet(s"$path/nodes/$t")).toMap
+    val edges = subdirs(s"$path/edges").map { n =>
+      val Array(s, r, d) = n.split("__", 3)
+      EdgeKey(s, r, d) -> spark.read.parquet(s"$path/edges/$n")
+    }.toMap
+    HeteroGraph(nodes, edges)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.learn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Partition-independent deterministic pseudo-randomness.
+  *
+  * The reference gets reproducibility from global seeding of
+  * torch/numpy/random (`setup.py:7-21`). Spark's `rand(seed)` is seeded
+  * *per partition*, so its output changes with partitioning — it would
+  * break the t2 requirement that split/negative-sample hashes be identical
+  * across `spark.sql.shuffle.partitions` settings (FIXTURES.md §A.6,
+  * SURVEY.md §7.4 hard part 2). Instead: a multiplicative-mix hash over the
+  * edge's own key columns, pure column arithmetic — same value for a row no
+  * matter where it is computed, expressible 1:1 in the DuckDB oracle's SQL,
+  * and ANSI-safe (all intermediates bounded < 2^63).
+  */
+object DetRandom {
+  /** Modulus (prime). */
+  val M: Long = 1000000007L
+  /** Multipliers, both < M so `(x % M) * A` stays < ~1.1e18 < 2^63. */
+  val A: Long = 1103515245L
+  val B: Long = 40503L
+
+  /** Deterministic value in [0, M) mixed from two key columns + seed. */
+  def mix(a: Column, b: Column, seed: Long): Column =
+    (pmod(a.cast("long"), lit(M)) * lit(A)
+      + pmod(b.cast("long"), lit(M)) * lit(B)
+      + lit(seed % M)) % lit(M)
+
+  /** Deterministic uniform in [0, 1). */
+  def uniform(a: Column, b: Column, seed: Long): Column =
+    mix(a, b, seed).cast("double") / lit(M.toDouble)
+
+  /** The same expression as ANSI SQL text, for DuckDB oracle parity. */
+  def mixSql(a: String, b: String, seed: Long): String =
+    s"(((($a) % $M + $M) % $M) * $A + ((($b) % $M + $M) % $M) * $B + ${seed % M}) % $M"
+
+  def uniformSql(a: String, b: String, seed: Long): String =
+    s"CAST(${mixSql(a, b, seed)} AS DOUBLE) / $M.0"
+}

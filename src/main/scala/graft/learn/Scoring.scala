@@ -1,0 +1,53 @@
+package graft.learn
+
+import graft.functions.ArrayOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edge scoring (G13 — the reference's `EdgeDecoder`: embedding lookups,
+  * rowwise dot, sigmoid; `model.py:51-81`). Pure built-ins: two equi-joins
+  * (J7) + `zip_with`/`aggregate` (F9) + `exp` (F10).
+  */
+object Scoring {
+
+  /** Score candidate edges `(src, dst)` against embeddings.
+    * @return (src, dst, score) with score = sigmoid(dot(h_src, h_dst)) */
+  def scoreEdges(
+      candidates: DataFrame,
+      srcEmb: DataFrame,
+      dstEmb: DataFrame): DataFrame = {
+    candidates
+      .join(srcEmb.select(col("id").as("src"), col("vec").as("src_vec")), Seq("src"))
+      .join(dstEmb.select(col("id").as("dst"), col("vec").as("dst_vec")), Seq("dst"))
+      .withColumn("score",
+        ArrayOps.sigmoid(ArrayOps.dot(col("src_vec"), col("dst_vec"))))
+      .select(col("src"), col("dst"), col("score"))
+  }
+
+  /** Binary-classification metrics over scored edges (A5, `model.py:100-102`,
+    * `:126-140`): confusion-matrix counts in one aggregation pass, metrics
+    * derived driver-side. `label` ∈ {0,1}, threshold 0.5. */
+  def metrics(scored: DataFrame): Map[String, Double] = {
+    val row = scored.agg(
+      sum(when(col("score") >= 0.5 && col("label") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("score") >= 0.5 && col("label") === 0, 1).otherwise(0)).as("fp"),
+      sum(when(col("score") < 0.5 && col("label") === 1, 1).otherwise(0)).as("fn"),
+      sum(when(col("score") < 0.5 && col("label") === 0, 1).otherwise(0)).as("tn"),
+      // BCE with clamping (A6, `model.py:118`)
+      avg(-(col("label") * log(greatest(col("score"), lit(1e-12))) +
+        (lit(1) - col("label")) * log(greatest(lit(1) - col("score"), lit(1e-12)))))
+        .as("bce")
+    ).head()
+    val (tp, fp, fn, tn) = (row.getLong(0).toDouble, row.getLong(1).toDouble,
+      row.getLong(2).toDouble, row.getLong(3).toDouble)
+    val precision = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+    val recall = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+    Map(
+      "accuracy" -> (tp + tn) / (tp + tn + fp + fn),
+      "precision" -> precision,
+      "recall" -> recall,
+      "f1" -> (if (precision + recall == 0) 0.0
+               else 2 * precision * recall / (precision + recall)),
+      "bce" -> row.getDouble(4))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.serve
+
+import graft.graph.HeteroGraph
+import graft.learn.{Propagate, Scoring}
+import graft.topology.EdgeKey
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Top-k recommendation over a mutated graph — the port of the reference's
+  * Streamlit inference flow (`inference.py:44-76`): insert a fresh source
+  * node wired to the seed destinations (+ reverse + self-loop, G14),
+  * propagate, score every non-seed destination (candidate set = anti-join,
+  * J6 `inference.py:68`), return the k best (W4 `.topk`, `inference.py:76`).
+  */
+object Recommend {
+
+  /** Insert a new node of `srcType` with edges to `seedDst` ids of the
+    * target edge type (U4, `inference.py:52-65`). The new node's feature
+    * vector is zeros except the trailing degree slot = |seeds| + 1
+    * (mirroring `inference.py:48-52`, where the only engineered feature of
+    * a fresh playlist is its degree).
+    * @return (mutated graph, new node id) */
+  def addSeedNode(
+      g: HeteroGraph,
+      target: EdgeKey,
+      seedDst: Seq[Long])(implicit spark: SparkSession): (HeteroGraph, Long) = {
+    import spark.implicits._
+    val srcNodes = g.nodes(target.src)
+    val newId = srcNodes.agg(max(col("id"))).head().getLong(0) + 1L
+    val width = srcNodes.select(size(col("features"))).head().getInt(0)
+    val feats = Array.fill(width)(0f); feats(width - 1) = seedDst.size + 1f
+    val newNode = Seq((newId, feats)).toDF("id", "features")
+      .withColumn("pk", lit(null).cast(srcNodes.schema("pk").dataType))
+      .select(srcNodes.columns.map(col): _*)
+
+    val fwd = seedDst.map(d => (newId, d)).toDF("src", "dst")
+    val rev = seedDst.map(d => (d, newId)).toDF("src", "dst")
+    val loop = Seq((newId, newId)).toDF("src", "dst")
+
+    var edges = g.edges
+    edges += target -> edges(target).unionByName(fwd)
+    val revKey = target.reversed
+    if (edges.contains(revKey)) edges += revKey -> edges(revKey).unionByName(rev)
+    val loopKey = EdgeKey(target.src, "SELF_LOOP", target.src)
+    if (edges.contains(loopKey)) edges += loopKey -> edges(loopKey).unionByName(loop)
+
+    (g.copy(nodes = g.nodes + (target.src -> srcNodes.unionByName(newNode))),
+      newId)
+  }
+
+  /** Full flow: mutate → propagate `rounds` of frozen mean message passing
+    * on degree-initialized embeddings (§7.2 frozen scorer) → score
+    * `(newNode, candidate)` pairs → top-k by (score desc, id asc) —
+    * the id tiebreak makes the ranking total and hash-stable.
+    * @return (id, pk, score) of the k best candidates */
+  def recommend(
+      g: HeteroGraph,
+      target: EdgeKey,
+      seedDst: Seq[Long],
+      k: Int,
+      rounds: Int = 2)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (mutated, newId) = addSeedNode(g, target, seedDst)
+    val emb = Propagate.meanRounds(mutated, Propagate.degreeInit(mutated), rounds)
+    val seeds = seedDst.toDF("id")
+    val candidates = mutated.nodes(target.dst).select(col("id"))
+      .join(seeds, Seq("id"), "left_anti")                 // J6
+      .filter(col("id") =!= newId)
+      .select(lit(newId).as("src"), col("id").as("dst"))
+    val scored = Scoring.scoreEdges(candidates, emb(target.src), emb(target.dst))
+    scored
+      .join(mutated.nodes(target.dst).select(col("id").as("dst"), col("pk")), Seq("dst"))
+      .select(col("dst").as("id"), col("pk"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)                                            // W4 TakeOrderedAndProject
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.ArrayOps
+import org.apache.spark.sql.functions._
+
+class ArrayOpsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Double = {
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 0.5f, -1.0f)))
+      .toDF("a", "b").select(c.cast("double")).head().getDouble(0)
+  }
+
+  test("dot") { assert(math.abs(one(ArrayOps.dot(col("a"), col("b"))) - 2.0) < 1e-9) }
+
+  test("cosine bounds and zero-vector guard") {
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 0.0f), Array(0.0f, 0.0f))).toDF("a", "b")
+      .select(ArrayOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(d === 0.0)
+    val same = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(ArrayOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-9)
+  }
+
+  test("sigmoid at 0 is 0.5") {
+    import spark.implicits._
+    val v = Seq(0.0).toDF("x").select(ArrayOps.sigmoid(col("x"))).head().getDouble(0)
+    assert(v === 0.5)
+  }
+
+  test("vecSumAgg sums elementwise per group, skips nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(1.0, 2.0)), (1, Array(3.0, 4.0)), (2, Array(5.0, 6.0)))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(ArrayOps.vecSumAgg(col("v")).as("s"))
+      .orderBy("k").collect()
+    assert(out(0).getSeq[Double](1) === Seq(4.0, 6.0))
+    assert(out(1).getSeq[Double](1) === Seq(5.0, 6.0))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.catalog.Catalogs
+import graft.graph.{GraphBuilder, HeteroGraph}
+import graft.topology.{EdgeKey, Topology}
+import org.apache.spark.sql.functions._
+
+/** G4-G8: dense ids, node/edge frames, degree, reverse, self-loops. */
+class GraphBuilderSpec extends SparkSpec {
+
+  private def customer = Tables.load(spark, sf(), "customer")
+  private def orders = Tables.load(spark, sf(), "orders")
+
+  test("denseIds is a bijection 0..N-1 in PK order, stable across partitioning") {
+    val m1 = GraphBuilder.denseIds(customer, "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val n = m1.length
+    assert(m1.map(_._2).toSeq === (0L until n))
+    // id order == pk order
+    assert(m1.map(_._1).toSeq === m1.map(_._1).sorted.toSeq)
+    // partitioning-independent (SURVEY.md §7.0 determinism)
+    val m2 = GraphBuilder.denseIds(customer.repartition(13), "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(m1.toSeq === m2.toSeq)
+  }
+
+  test("nodeFrame: features are numeric non-PK non-FK columns, null→0") {
+    val (nodeDf, mapping) = GraphBuilder.nodeFrame(
+      customer, Topology.classify(Catalogs.tpch).nodes.find(_.table == "customer").get,
+      fkCols = Seq("c_nationkey"))
+    assert(nodeDf.count() === customer.count())
+    assert(mapping.count() === customer.count())
+    // c_custkey (pk) and c_nationkey (fk) excluded; c_acctbal stays
+    val width = nodeDf.select(size(col("features"))).head().getInt(0)
+    val numericNonKey = customer.schema.fields.count(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        f.name != "c_custkey" && f.name != "c_nationkey")
+    assert(width === numericNonKey)
+    assert(nodeDf.filter(exists(col("features"), _.isNull)).count() === 0)
+  }
+
+  test("edgeFrame drops null FK rows and remaps both endpoints") {
+    val spec = Topology.classify(Catalogs.tpch).edges
+      .find(_.rowsTable == "orders").get
+    val e = GraphBuilder.edgeFrame(orders, spec,
+      GraphBuilder.denseIds(orders, "o_orderkey"),
+      GraphBuilder.denseIds(customer, "c_custkey"))
+    val nNonNull = orders.filter(col("o_custkey").isNotNull).count()
+    assert(e.count() === nNonNull)
+    val nCust = customer.count()
+    assert(e.filter(col("dst") < 0 || col("dst") >= nCust).count() === 0)
+  }
+
+  test("build + degree + reverse + selfLoops invariants") {
+    val g = GraphBuilder.build(Catalogs.tpch, n => Tables.load(spark, sf(), n))
+    val g2 = g.addDegree(spark).withReverseEdges.withSelfLoops
+    // |E_rev| = |E| per hetero type (`convert_to_graph.py:243-249`)
+    g.edges.foreach { case (k, df) =>
+      if (!k.isSelfType)
+        assert(g2.edges(k.reversed).count() === df.count(), k.name)
+    }
+    // self-loop count = node count per type
+    g2.nodes.foreach { case (t, df) =>
+      assert(g2.edges(EdgeKey(t, "SELF_LOOP", t)).count() === df.count(), t)
+    }
+    // degree feature: last slot >= 1 everywhere (default 1 for isolated)
+    g2.nodes.foreach { case (t, df) =>
+      assert(df.filter(element_at(col("features"), -1) < 1f).count() === 0, t)
+    }
+    // hand-check one node: region 0 degree = (#nations with n_regionkey=0) + 1
+    val regionDeg = g2.nodes("region")
+      .filter(col("id") === 0).select(element_at(col("features"), -1))
+      .head().getFloat(0)
+    val firstRegion = Tables.load(spark, sf(), "region")
+      .orderBy("r_regionkey").select("r_regionkey").head().get(0)
+    val nNat = Tables.load(spark, sf(), "nation")
+      .filter(col("n_regionkey") === firstRegion).count()
+    assert(regionDeg === nNat + 1f)
+  }
+
+  test("save/load roundtrip preserves schema and counts") {
+    val g = GraphBuilder.build(Catalogs.tpch,
+      n => Tables.load(spark, sf(), n)).withSelfLoops
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    g.save(dir)
+    val g2 = HeteroGraph.load(spark, dir)
+    assert(g2.nodes.keySet === g.nodes.keySet)
+    assert(g2.edges.keySet === g.edges.keySet)
+    assert(g2.nodes("customer").count() === g.nodes("customer").count())
+  }
+}

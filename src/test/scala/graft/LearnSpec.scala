@@ -1,0 +1,90 @@
+package graft
+
+import graft.catalog.Catalogs
+import graft.graph.GraphBuilder
+import graft.learn._
+import graft.topology.EdgeKey
+import org.apache.spark.sql.functions._
+
+/** G9-G13: split, negative sampling, propagation, scoring, metrics. */
+class LearnSpec extends SparkSpec {
+  import SparkEntry.ordersPartEdge
+
+  private lazy val g = GraphBuilder
+    .build(Catalogs.tpch, n => Tables.load(spark, sf(), n),
+      extraEdges = Seq(ordersPartEdge))
+    .addDegree(spark).withReverseEdges.withSelfLoops.cached()
+  private val target = EdgeKey("orders", "hasPart", "part")
+
+  test("DetRandom.uniform is partition-independent and in [0,1)") {
+    val e = g.edges(target)
+    val u1 = e.withColumn("u", DetRandom.uniform(col("src"), col("dst"), 42L))
+    val u2 = e.repartition(17)
+      .withColumn("u", DetRandom.uniform(col("src"), col("dst"), 42L))
+    assert(u1.filter(col("u") < 0 || col("u") >= 1).count() === 0)
+    assert(u1.orderBy("src", "dst").collect().map(_.getDouble(2)).toSeq ===
+           u2.orderBy("src", "dst").collect().map(_.getDouble(2)).toSeq)
+  }
+
+  test("link split: partition, ratio, and reverse-leakage removal") {
+    val res = LinkSplit.split(g, target, valFrac = 0.15, seed = 42L)
+    val total = g.edges(target).count()
+    val nVal = res.valPos.count(); val nTrain = res.trainPos.count()
+    assert(nVal + nTrain === total)
+    assert(math.abs(nVal.toDouble / total - 0.15) < 0.05)
+    // message graph target type = trainPos only
+    assert(res.messageGraph.edges(target).count() === nTrain)
+    // no val edge's reverse twin survives in the message graph
+    val revInMsg = res.messageGraph.edges(target.reversed)
+    val leaked = revInMsg.join(
+      res.valPos.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi").count()
+    assert(leaked === 0L)
+  }
+
+  test("negative sampling: no collisions with true edges, dst in range") {
+    val pos = g.edges(target)
+    val nDst = g.nodes(target.dst).count()
+    val neg = NegativeSampling.sample(pos, pos, nDst, seed = 7L)
+    assert(neg.join(pos, Seq("src", "dst"), "left_semi").count() === 0)
+    assert(neg.filter(col("dst") < 0 || col("dst") >= nDst).count() === 0)
+    assert(neg.count() > pos.count() * 9 / 10) // few collisions at this sparsity
+  }
+
+  test("propagate: shape preserved, isolated nodes untouched, messages flow") {
+    val init = Propagate.degreeInit(g)
+    val out = Propagate.meanRounds(g, init, rounds = 2, checkpoint = false)
+    assert(out.keySet === init.keySet)
+    out.foreach { case (t, df) =>
+      assert(df.count() === g.nodes(t).count(), t)
+      assert(df.select(size(col("vec"))).distinct().head().getInt(0) === 1, t)
+    }
+    // after propagation over a connected type, values change from init
+    val before = init("customer").orderBy("id").limit(5).collect().map(_.getSeq[Double](1))
+    val after = out("customer").orderBy("id").limit(5).collect().map(_.getSeq[Double](1))
+    assert(before.toSeq !== after.toSeq)
+  }
+
+  test("scoring + metrics on a known confusion matrix") {
+    import spark.implicits._
+    val scored = Seq(
+      (0L, 0L, 0.9, 1), (1L, 1L, 0.8, 0), (2L, 2L, 0.2, 1), (3L, 3L, 0.1, 0))
+      .toDF("src", "dst", "score", "label")
+    val m = Scoring.metrics(scored)
+    assert(m("accuracy") === 0.5)
+    assert(m("precision") === 0.5)
+    assert(m("recall") === 0.5)
+    assert(m("f1") === 0.5)
+    assert(m("bce") > 0)
+  }
+
+  test("scoreEdges computes sigmoid(dot)") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0, -1.0)))
+      .toDF("id", "vec")
+    val cand = Seq((0L, 1L)).toDF("src", "dst")
+    val s = Scoring.scoreEdges(cand, emb, emb).head().getDouble(2)
+    val expected = 1.0 / (1.0 + math.exp(-(1.0 * 3 + 2.0 * -1)))
+    assert(math.abs(s - expected) < 1e-12)
+  }
+}
