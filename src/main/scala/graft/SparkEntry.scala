@@ -239,6 +239,20 @@ object SparkEntry {
     "q33_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         md5(regexp_replace(col("text"), "\\s+", " ")).as("fp"))),
+    // near-dedup: MinHash banded LSH candidates + exact-Jaccard verify
+    "q34_dedup_minhash" -> ((s, dir) =>
+      graft.ext.Dedup.nearDupMinhash(t(s, dir, "documents"), "doc_id", "text")),
+    // near-dedup: SimHash 16-bit-block candidates + exact-Jaccard verify
+    "q36_dedup_simhash" -> ((s, dir) =>
+      graft.ext.Dedup.nearDupSimhash(t(s, dir, "documents"), "doc_id", "text")),
+    // BPE-ish token counting (letter runs / digits / punct as tokens)
+    "q38_token_bpeish" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(graft.ext.Dedup.tokensBpeish(col("text"))).cast("long").as("n_bpeish"))),
+    // Rabin–Karp polynomial rolling-hash fingerprint
+    "q39_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.Dedup.rollingFingerprint(col("text")).as("fp"))),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -251,6 +265,20 @@ object SparkEntry {
         .select("vec_id")
     }),
   )
+
+  /** Shared oracle for the near-dedup family: ground truth is the exact
+    * token-bigram Jaccard over all pairs — both LSH schemes must return
+    * precisely the pairs the brute-force finds (candidates are exact-
+    * verified; band/block parameters give ~100% recall at τ=0.8 on any
+    * corpus whose near-dups sit above the LSH S-curve). */
+  private val jaccardPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -371,6 +399,19 @@ object SparkEntry {
         |THEN 'en' ELSE 'unk' END AS lang_pred FROM documents""".stripMargin,
     "q33_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp FROM documents",
+    "q34_dedup_minhash" -> jaccardPairsSql,
+    "q36_dedup_simhash" -> jaccardPairsSql,
+    "q38_token_bpeish" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents""".stripMargin,
+    "q39_rolling_fp" ->
+      """SELECT doc_id,
+        |list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(regexp_replace(text, '\s+', ' ', 'g')) + 1),
+        |      i -> CAST(ascii(substr(regexp_replace(text, '\s+', ' ', 'g'), i, 1)) AS BIGINT))),
+        |  (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
     "q35_sim_topk" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id

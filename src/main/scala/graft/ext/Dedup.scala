@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large-scale text pipelines — the extension
+  * surface the reference lacks entirely (it has no text ops; see SURVEY.md
+  * §2.7 "no regex beyond F3/F4"). Three schemes, all candidate-generation +
+  * exact-verification so results are deterministic and oracle-checkable:
+  *
+  *  - exact:   hash-groupBy on raw text (`SparkEntry` q30).
+  *  - MinHash: K seeded minhashes over token n-gram shingles, banded LSH
+  *             bucket join for candidates, exact Jaccard verify.
+  *  - SimHash: 64-bit fingerprint, 4×16-bit block keys for candidates
+  *             (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal block), exact verify.
+  *
+  * Scale shape (100 TB posture): signatures are computed per-row with no
+  * explode-to-shuffle (nested higher-order functions, whole-stage codegen);
+  * the only shuffles are the band/block self-join — keyed on short band
+  * hashes, so buckets stay small and AQE handles skewed ones — and the
+  * final verify join keyed on doc id. Everything is linear in corpus size
+  * except within-bucket pairing, which LSH keeps near-linear.
+  */
+object Dedup {
+
+  /** Lowercase word tokens (BPE-ish splitting is [[tokensBpeish]]). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-flavored tokenisation: letter runs, single digits, and single
+    * punctuation marks each count as a token — the whitespace+regex
+    * approximation of a byte-pair vocabulary's pre-tokeniser. */
+  def tokensBpeish(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+
+  /** Distinct n-token shingles joined with single spaces. Empty array when
+    * the document has fewer than n tokens (guards `sequence`'s descending
+    * behaviour for a negative stop). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u)
+  }
+
+  /** K-wide MinHash signature: element k is `min_{s ∈ shingles}
+    * xxhash64(s || "#" || k)` — one codegen'd expression per row, no
+    * explode, no UDF. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(
+        transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+
+  /** Banded LSH keys: `bands` hashes, each over `rows` consecutive
+    * signature entries. Equal band value ⇒ candidate pair. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)), v => v.cast("string")))))
+
+  /** Pairs `(doc_a, doc_b)` with exact Jaccard ≥ `tau`, candidates from
+    * MinHash banded LSH. With bands=16, rows=8 the miss probability at
+    * J=0.8 is (1−0.8⁸)¹⁶ ≈ 5%, at J=0.95 ~1e−9; pick τ comfortably above
+    * the corpus's similarity waterline. */
+  def nearDupMinhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      k: Int = 128,
+      bands: Int = 16,
+      rows: Int = 8,
+      tau: Double = 0.8): DataFrame = {
+    require(bands * rows <= k, "bands*rows must fit in the signature")
+    val sh = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      shingles(tokens(col(textCol)), n).as("sh"))
+    val banded = sh.select(col("doc_id"),
+      posexplode(bandKeys(minhashSignature(col("sh"), k), bands, rows))
+        .as(Seq("band", "key")))
+    verifyJaccard(candidatePairs(banded), sh, tau)
+  }
+
+  /** 64-bit SimHash of a shingle set as `blocks` equal-width block values
+    * (bit j of block q = sign of `Σ_s ±1 by bit (q·w+j) of xxhash64(s)`),
+    * each offset by `q·2³²` so values from different block positions never
+    * collide. Pigeonhole: two fingerprints within hamming distance
+    * `blocks−1` share at least one block. Wider-hamming near-dups need more
+    * blocks (narrower keys → bigger buckets): pick
+    * `blocks ≈ expected hamming + 1`, and at very large corpus sizes keep
+    * block width ≥ log₂(corpus)/2 so buckets stay sub-linear. The static
+    * per-bit expansion keeps everything in whole-stage codegen. */
+  def simhashBlockValues(sh: Column, blocks: Int = 8): Seq[Column] = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val w = 64 / blocks
+    val hashes = transform(sh, s => xxhash64(s))
+    (0 until blocks).map { q =>
+      val block = (0 until w).map { j =>
+        val bitSum = aggregate(
+          hashes,
+          lit(0L),
+          (a, h) => a + when(shiftright(h, q * w + j).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+        when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      block + lit(q.toLong * 4294967296L)
+    }
+  }
+
+  /** Pairs with exact Jaccard ≥ `tau`, candidates from SimHash block
+    * collisions (certain for hamming ≤ 3 by pigeonhole; near-dups at
+    * J≈0.95+ land there with high probability). */
+  def nearDupSimhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      tau: Double = 0.8,
+      blocks: Int = 8): DataFrame = {
+    val sh = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      shingles(tokens(col(textCol)), n).as("sh"))
+    val blocked = sh.select(col("doc_id"),
+      posexplode(array(simhashBlockValues(col("sh"), blocks): _*)).as(Seq("band", "key")))
+    verifyJaccard(candidatePairs(blocked), sh, tau)
+  }
+
+  /** Bucket self-join: distinct `(doc_a < doc_b)` pairs sharing any
+    * (band, key). */
+  private def candidatePairs(banded: DataFrame): DataFrame =
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Exact-verification join: attach both shingle sets, keep pairs with
+    * true Jaccard ≥ tau. Candidate lists are tiny relative to the corpus,
+    * so Catalyst broadcasts them into the two id-keyed joins. */
+  private def verifyJaccard(
+      cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= tau)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Polynomial rolling-hash fingerprint (Rabin–Karp accumulator) over the
+    * whitespace-normalised text: `acc ← (acc·31 + code(char)) mod (1e9+7)`.
+    * Every intermediate stays far below 2⁶³, so Spark and any ANSI engine
+    * agree bit-for-bit with no overflow semantics in play. Character-at-a-
+    * time substring is fine at document granularity; a custom Expression
+    * would stream the bytes if profiling ever demands it. */
+  def rollingFingerprint(text: Column): Column = {
+    val norm = regexp_replace(text, "\\s+", " ")
+    when(length(norm) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+/** Near-dedup family (ext/Dedup.scala): shingling, Jaccard, MinHash-LSH and
+  * SimHash candidate generation with exact verification, rolling hash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different words entirely unrelated text"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "x")                                              // < n tokens
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct n-grams, empty under n tokens") {
+    val sh = docs.select($"doc_id",
+      Dedup.shingles(Dedup.tokens($"text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L).contains("the quick") && sh(0L).contains("lazy dog"))
+    assert(sh(0L).length == 8) // 9 tokens -> 8 bigrams, all distinct
+    assert(sh(4L).isEmpty)
+  }
+
+  test("jaccard: exact dup 1.0, near-dup high, disjoint 0") {
+    val sh = docs.select($"doc_id",
+      Dedup.shingles(Dedup.tokens($"text"), 2).as("sh"))
+    val j = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.jaccard($"a.sh", $"b.sh").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.7 && j((0L, 1L)) < 1.0)
+    assert(j((0L, 2L)) == 0.0)
+    assert(j((0L, 4L)) == 0.0) // empty shingle set
+  }
+
+  test("minhash LSH finds exact+near dups, nothing else, deterministically") {
+    val out = Dedup.nearDupMinhash(docs, "doc_id", "text", tau = 0.7)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    // partition-independence
+    val out2 = Dedup.nearDupMinhash(docs.repartition(7), "doc_id", "text", tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out2.toSet == out.toSet)
+  }
+
+  test("simhash blocks find exact+near dups with exact verify") {
+    val out = Dedup.nearDupSimhash(docs, "doc_id", "text", tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("simhash block values: identical docs collide on all 4 blocks") {
+    val bv = docs.select($"doc_id",
+      array(Dedup.simhashBlockValues(
+        Dedup.shingles(Dedup.tokens($"text"), 2)): _*).as("blocks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bv(0L) == bv(3L))
+    // block offsets partition the keyspace by position
+    assert(bv(0L).zipWithIndex.forall { case (v, q) =>
+      v >= q.toLong * 4294967296L && v < (q + 1).toLong * 4294967296L })
+    // near-dup shares at least one block with its twin
+    assert(bv(0L).intersect(bv(1L)).nonEmpty)
+  }
+
+  test("rolling fingerprint: deterministic, whitespace-insensitive, bounded") {
+    val fp = spark.createDataset(Seq(
+        ("a b", 1L), ("a  \t b", 2L), ("ab", 3L), ("", 4L)))
+      .toDF("t", "i")
+      .select($"i", Dedup.rollingFingerprint($"t").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))      // \s+ collapsed
+    assert(fp(1L) != fp(3L))      // space matters once normalised
+    assert(fp(4L) == 0L)
+    // hand-computed: "ab" -> (0*31+97)*31+98 mod p = 3105 (97*31+98)
+    assert(fp(3L) == 97L * 31 + 98)
+  }
+
+  test("bpe-ish tokens split letter runs, digits, punctuation") {
+    val n = spark.createDataset(Seq("Hello, world42!"))
+      .toDF("t").select(size(Dedup.tokensBpeish($"t")).as("n"))
+      .head().getInt(0)
+    // hello , world 4 2 ! -> 6
+    assert(n == 6)
+  }
+}
