@@ -253,6 +253,15 @@ object SparkEntry {
     "q39_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.ext.Dedup.rollingFingerprint(col("text")).as("fp"))),
+    // hyperplane-LSH embedding near-dup: bucket candidates + exact cosine
+    "q40_embed_neardup" -> ((s, dir) =>
+      graft.ext.Similarity.nearDupCosine(
+        t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)
+        .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")),
+    // LSH-bucketed approximate top-k (the scale path for q35)
+    "q41_ann_lsh" -> ((s, dir) =>
+      graft.ext.Similarity.annTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -279,6 +288,14 @@ object SparkEntry {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM t a JOIN t b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin
+
+  /** The LSH bucket-key expressions for the embedding queries — the oracle
+    * replicates the exact seeded-hyperplane algorithm (same planes, same
+    * key packing), so Spark and DuckDB agree bucket-for-bucket; the exact-
+    * cosine verify then makes the result algorithm-independent for any
+    * corpus whose τ-boundary gap exceeds float noise. */
+  private lazy val lshKeySqls =
+    graft.ext.Similarity.bucketKeySql("v", tables = 4, bits = 8, seed = 42L)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -416,5 +433,21 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q40_embed_neardup" ->
+      s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |kb AS (SELECT vec_id, v, unnest([${lshKeySqls.mkString(", ")}]) AS key FROM s),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM kb a JOIN kb b ON a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b FROM cand
+        |JOIN s sa ON sa.vec_id = cand.vec_a JOIN s sb ON sb.vec_id = cand.vec_b
+        |WHERE list_cosine_similarity(sa.v, sb.v) >= 0.4""".stripMargin,
+    "q41_ann_lsh" ->
+      s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |kb AS (SELECT vec_id, v, unnest([${lshKeySqls.mkString(", ")}]) AS key FROM s),
+        |q AS (SELECT key, v AS qv FROM kb WHERE vec_id = 0)
+        |SELECT id FROM (
+        |  SELECT kb.vec_id AS id, MAX(list_cosine_similarity(kb.v, q.qv)) AS score
+        |  FROM kb JOIN q ON kb.key = q.key WHERE kb.vec_id <> 0 GROUP BY 1)
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
   )
 }

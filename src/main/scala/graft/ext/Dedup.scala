@@ -50,14 +50,32 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / u)
   }
 
-  /** K-wide MinHash signature: element k is `min_{s ∈ shingles}
-    * xxhash64(s || "#" || k)` — one codegen'd expression per row, no
-    * explode, no UDF. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(
-        transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+  private val P31 = 2147483647L // 2^31-1, prime
+
+  /** Seeded affine minhash parameters `(a_k, b_k)`, a_k ∈ [1, p),
+    * b_k ∈ [0, p). One base hash + K affine transforms is the standard
+    * cheap MinHash family: `h_k(s) = (a_k·h(s) + b_k) mod p`. */
+  def affineParams(k: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(k)((1L + rnd.nextInt(P31.toInt - 1), rnd.nextInt(P31.toInt).toLong))
+  }
+
+  /** Base shingle hashes (xxhash64) — compute ONCE per row and materialise
+    * behind a barrier before fanning out into signatures: Catalyst does not
+    * eliminate common higher-order subexpressions, so inlining this into K
+    * signature lambdas multiplies the hash work K-fold. */
+  def baseHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** K-wide MinHash signature from pre-computed base hashes: element k is
+    * `min_h (a_k·(h & 0x7fffffff) + b_k) mod p` — pure 64-bit arithmetic,
+    * no overflow (products < 2⁶²), fully codegen'd. */
+  def minhashSignature(hs: Column, k: Int, seed: Long = 42L): Column = {
+    val ps = affineParams(k, seed)
+    array(ps.map { case (a, b) =>
+      array_min(transform(hs,
+        h => (h.bitwiseAND(lit(0x7FFFFFFFL)) * a + b) % P31))
+    }: _*)
+  }
 
   /** Banded LSH keys: `bands` hashes, each over `rows` consecutive
     * signature entries. Equal band value ⇒ candidate pair. */
@@ -66,6 +84,78 @@ object Dedup {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",",
         transform(slice(sig, b * rows + 1, lit(rows)), v => v.cast("string")))))
+
+  /** JIT-compiled signature+banding kernel: base hashes → `bands` band
+    * keys in one tight loop. Spark's higher-order functions evaluate their
+    * lambdas interpreted (they are not part of whole-stage codegen), which
+    * makes the K·|shingles| inner product of MinHash ~100× slower than
+    * this plain Scala loop; a custom Catalyst Expression with `doGenCode`
+    * would shave the remaining serialisation overhead if ever needed. */
+  def minhashBandKeysUdf(
+      k: Int, bands: Int, rows: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ps = affineParams(k, seed)
+    udf { (hs: Seq[Long]) =>
+      val n = hs.length
+      val base = new Array[Long](n)
+      var i = 0
+      while (i < n) { base(i) = hs(i) & 0x7FFFFFFFL; i += 1 }
+      val sig = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        val (a, b) = ps(j)
+        var m = Long.MaxValue
+        i = 0
+        while (i < n) {
+          val v = (base(i) * a + b) % P31
+          if (v < m) m = v
+          i += 1
+        }
+        sig(j) = m
+        j += 1
+      }
+      val keys = new Array[Long](bands)
+      var q = 0
+      while (q < bands) {
+        var acc = 1125899906842597L
+        i = q * rows
+        while (i < q * rows + rows) { acc = acc * 31 + sig(i); i += 1 }
+        keys(q) = acc
+        q += 1
+      }
+      keys
+    }
+  }
+
+  /** JIT-compiled SimHash block kernel (see [[minhashBandKeysUdf]] for why
+    * this is a UDF rather than HOF expressions). */
+  def simhashBlocksUdf(
+      blocks: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(64 % blocks == 0)
+    val w = 64 / blocks
+    udf { (hs: Seq[Long]) =>
+      val sums = new Array[Int](64)
+      hs.foreach { h =>
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) sums(bit) += 1 else sums(bit) -= 1
+          bit += 1
+        }
+      }
+      val keys = new Array[Long](blocks)
+      var q = 0
+      while (q < blocks) {
+        var v = 0L
+        var j = 0
+        while (j < w) {
+          if (sums(q * w + j) > 0) v |= (1L << j)
+          j += 1
+        }
+        keys(q) = v + q.toLong * 4294967296L
+        q += 1
+      }
+      keys
+    }
+  }
 
   /** Pairs `(doc_a, doc_b)` with exact Jaccard ≥ `tau`, candidates from
     * MinHash banded LSH. With bands=16, rows=8 the miss probability at
@@ -84,10 +174,15 @@ object Dedup {
     val sh = docs.select(
       col(idCol).cast("long").as("doc_id"),
       shingles(tokens(col(textCol)), n).as("sh"))
-    val banded = sh.select(col("doc_id"),
-      posexplode(bandKeys(minhashSignature(col("sh"), k), bands, rows))
+      .filter(size(col("sh")) > 0)
+    // barrier: base hashes land on disk/memory once; the band-key fan-out
+    // and the self-join's two branches read them instead of re-hashing
+    val hashed = sh.select(col("doc_id"), col("sh"), baseHashes(col("sh")).as("hs"))
+      .localCheckpoint(eager = false)
+    val banded = hashed.select(col("doc_id"),
+      posexplode(minhashBandKeysUdf(k, bands, rows, seed = 42L)(col("hs")))
         .as(Seq("band", "key")))
-    verifyJaccard(candidatePairs(banded), sh, tau)
+    verifyJaccard(candidatePairs(banded), hashed.select(col("doc_id"), col("sh")), tau)
   }
 
   /** 64-bit SimHash of a shingle set as `blocks` equal-width block values
@@ -99,10 +194,14 @@ object Dedup {
     * `blocks ≈ expected hamming + 1`, and at very large corpus sizes keep
     * block width ≥ log₂(corpus)/2 so buckets stay sub-linear. The static
     * per-bit expansion keeps everything in whole-stage codegen. */
-  def simhashBlockValues(sh: Column, blocks: Int = 8): Seq[Column] = {
+  def simhashBlockValues(sh: Column, blocks: Int = 8): Seq[Column] =
+    simhashBlocksFromHashes(transform(sh, s => xxhash64(s)), blocks)
+
+  /** Same, from pre-computed base hashes (see [[baseHashes]] — use with a
+    * checkpoint barrier so the 64 per-bit aggregates share one hash pass). */
+  def simhashBlocksFromHashes(hashes: Column, blocks: Int = 8): Seq[Column] = {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
-    val hashes = transform(sh, s => xxhash64(s))
     (0 until blocks).map { q =>
       val block = (0 until w).map { j =>
         val bitSum = aggregate(
@@ -129,9 +228,13 @@ object Dedup {
     val sh = docs.select(
       col(idCol).cast("long").as("doc_id"),
       shingles(tokens(col(textCol)), n).as("sh"))
-    val blocked = sh.select(col("doc_id"),
-      posexplode(array(simhashBlockValues(col("sh"), blocks): _*)).as(Seq("band", "key")))
-    verifyJaccard(candidatePairs(blocked), sh, tau)
+      .filter(size(col("sh")) > 0)
+    val hashed = sh.select(col("doc_id"), col("sh"), baseHashes(col("sh")).as("hs"))
+      .localCheckpoint(eager = false)
+    val blocked = hashed.select(col("doc_id"),
+      posexplode(simhashBlocksUdf(blocks)(col("hs")))
+        .as(Seq("band", "key")))
+    verifyJaccard(candidatePairs(blocked), hashed.select(col("doc_id"), col("sh")), tau)
   }
 
   /** Bucket self-join: distinct `(doc_a < doc_b)` pairs sharing any

@@ -1,0 +1,127 @@
+package graft.ext
+
+import graft.functions.ArrayOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column — the vector half of the
+  * LLM-pipeline extension surface (the reference's only vector op is the
+  * edge-decode dot product, `model.py:76`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k (`SparkEntry` q35): the exact baseline, a
+  *    broadcast of the query row against a full scan — linear, but reads
+  *    every vector.
+  *  - random-hyperplane LSH buckets (this file): signatures are seeded
+  *    Rademacher (±1) sign projections, so the whole scheme is
+  *    deterministic and reproducible in plain SQL (the hyperplane literals
+  *    embed into the oracle); candidates share a bucket in ≥1 table and are
+  *    exact-cosine verified. At scale the bucket join replaces the O(n²)
+  *    pair space with near-linear bucket-local work, and the signature scan
+  *    is one codegen'd projection.
+  *
+  * Determinism: hyperplanes derive from `java.util.Random(seed)` alone;
+  * cosine is accumulated in double left-to-right (ArrayOps.dot), matching
+  * sequential SQL summation to ~1 ulp — thresholds must keep a gap wider
+  * than that (τ=0.45 on the fixture has ≥5e-4 of clearance).
+  */
+object Similarity {
+
+  /** `count` Rademacher hyperplanes of dimension `dim`: entries ±1 drawn
+    * from `java.util.Random(seed)` in row-major order. Sign-projection LSH
+    * with ±1 coordinates preserves angular locality like Gaussian planes
+    * (Achlioptas-style sparse projections) while keeping literals compact
+    * enough to inline into SQL. */
+  def hyperplanes(dim: Int, count: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(count)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Bucket keys, one per table: key_t = t·2³² + Σ_j [dot(vec, plane_{t·b+j}) > 0]·2ʲ.
+    * The t·2³² offset keeps keys from different tables disjoint, so a
+    * single exploded join column covers all tables. */
+  def bucketKeys(
+      vec: Column, planes: Array[Array[Double]], tables: Int, bits: Int): Column = {
+    require(planes.length >= tables * bits)
+    val keys = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val plane = planes(t * bits + j)
+        val dot = ArrayOps.dot(vec, typedlit(plane.toSeq))
+        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong * 4294967296L)
+    }
+    array(keys: _*)
+  }
+
+  /** All pairs `(id_a < id_b)` with exact cosine ≥ `tau`, candidates from
+    * hyperplane-LSH bucket collisions (any of `tables` tables). */
+  def nearDupCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      tables: Int = 4,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim = 64, count = tables * bits, seed = seed)
+    val sigs = emb.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"),
+      explode(bucketKeys(col(vecCol), planes, tables, bits)).as("key"))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .filter(ArrayOps.cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Approximate top-k neighbours of `queryId`: candidates share ≥1 bucket
+    * with the query across the tables, ranked by exact cosine (id
+    * tiebreak). The scale path for q35's brute force — the candidate join
+    * touches only bucket-mates instead of the full corpus. */
+  def annTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      tables: Int = 4,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim = 64, count = tables * bits, seed = seed)
+    val sigs = emb.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"),
+      explode(bucketKeys(col(vecCol), planes, tables, bits)).as("key"))
+    val q = sigs.filter(col("id") === queryId)
+      .select(col("key"), col("vec").as("qv"))
+    sigs.join(broadcast(q), Seq("key"))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), ArrayOps.cosine(col("vec"), col("qv")).as("score"))
+      .groupBy("id").agg(max("score").as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
+  }
+
+  /** The oracle twin of [[nearDupCosine]]/[[annTopK]]'s bucket step, as a
+    * SQL scalar expression list: one key expression per table, over the
+    * same seeded planes. `vecExpr` must be a DOUBLE list expression. */
+  def bucketKeySql(
+      vecExpr: String, tables: Int, bits: Int, seed: Long): Seq[String] = {
+    val planes = hyperplanes(dim = 64, count = tables * bits, seed = seed)
+    (0 until tables).map { t =>
+      val bitsSql = (0 until bits).map { j =>
+        val lits = planes(t * bits + j).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product($vecExpr, $lits) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"(CAST(${t.toLong * 4294967296L} AS BIGINT) + $bitsSql)"
+    }
+  }
+}

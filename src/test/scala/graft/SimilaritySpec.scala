@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.ArrayOps
+import org.apache.spark.sql.functions._
+
+/** Hyperplane-LSH similarity (ext/Similarity.scala): determinism, bucket
+  * structure, recall vs brute force on the fixture embeddings. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("hyperplanes are seeded-deterministic Rademacher") {
+    val a = Similarity.hyperplanes(64, 32, 42L)
+    val b = Similarity.hyperplanes(64, 32, 42L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(Similarity.hyperplanes(64, 32, 7L).map(_.toSeq).toSeq != a.map(_.toSeq).toSeq)
+  }
+
+  test("bucket keys: per-table keyspaces disjoint, partition-independent") {
+    val planes = Similarity.hyperplanes(64, 32, 42L)
+    def keysOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", Similarity.bucketKeys($"embedding", planes, 4, 8).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val k1 = keysOf(emb)
+    val k2 = keysOf(emb.repartition(7))
+    assert(k1 == k2)
+    k1.values.foreach { ks =>
+      assert(ks.length == 4)
+      ks.zipWithIndex.foreach { case (v, t) =>
+        assert(v >= t.toLong * 4294967296L && v < t * 4294967296L + 256L + t * 4294967296L)
+      }
+    }
+  }
+
+  test("nearDupCosine: no false positives; recall grows with table count") {
+    // τ=0.4 is near-orthogonal territory — sign-LSH collision probability
+    // per 8-bit key is only ~0.63⁸≈2.5%, so recall is driven by the number
+    // of tables. The contract: exact verify ⇒ zero false positives at any
+    // parameterisation; more tables ⇒ recall monotonically up.
+    val vecs = emb.select($"vec_id", $"embedding")
+    val brute = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        ArrayOps.cosine($"a.embedding", $"b.embedding").as("c"))
+      .filter($"c" >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(tables: Int, bits: Int) =
+      Similarity.nearDupCosine(emb, "vec_id", "embedding", tau = 0.4,
+        tables = tables, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val few = run(4, 8)
+    val many = run(24, 6)
+    assert(few.subsetOf(brute) && many.subsetOf(brute),
+      "LSH+verify must never emit a false positive")
+    info(s"recall 4x8: ${few.size}/${brute.size}, 24x6: ${many.size}/${brute.size}")
+    assert(many.size >= few.size)
+    assert(many.size * 3 >= brute.size, "24-table recall collapsed below 1/3")
+  }
+
+  test("annTopK candidates are ranked by exact cosine and bounded by k") {
+    val out = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(_.getLong(0))
+    assert(out.length <= 5)
+    assert(!out.contains(0L))
+    assert(out.distinct.length == out.length)
+  }
+}
