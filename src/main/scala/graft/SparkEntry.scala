@@ -211,6 +211,23 @@ object SparkEntry {
       val nDst = t(s, dir, "customer").count()
       graft.learn.NegativeSampling.sample(edges, edges, nDst, seed = 7L)
     }),
+    // G10: deterministic neighbor sampling (fanout per destination)
+    "q26_neighbor_sample" -> ((s, dir) =>
+      graft.learn.NeighborSample.sample(
+        edgesOrdersCustomer(s, dir), fanout = 5, seed = 11L)),
+    // G15: trained link-prediction head (LR over Hadamard features) —
+    // not SQL-expressible (L-BFGS training); driver records rows-only.
+    "q28_train_metrics" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+        .addDegree.withReverseEdges.withSelfLoops
+      val m = graft.learn.TrainLR.train(
+        g, Topology.classify(Catalogs.tpch).edges
+          .find(e => e.srcTable == "orders" && e.dstTable == "customer")
+          .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get)
+      m.valMetrics.toSeq.sortBy(_._1).toDF("metric", "value")
+    }),
 
     // ---- LLM-pipeline extension operators -------------------------
     // exact dedup: canonical doc per distinct text (hash-groupBy)
@@ -400,6 +417,13 @@ object SparkEntry {
         |neg AS (SELECT src, ${DetRandom.mixSql("src", "dst", 7L)} % (SELECT COUNT(*) FROM customer) AS dst FROM e)
         |SELECT neg.src, neg.dst FROM neg
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = neg.src AND e.dst = neg.dst)""".stripMargin,
+    "q26_neighbor_sample" ->
+      s"""WITH e AS ($edgeOcSql),
+        |r AS (SELECT src, dst,
+        |  row_number() OVER (PARTITION BY dst
+        |    ORDER BY ${DetRandom.uniformSql("src", "dst", 11L)}, src) AS rn
+        |FROM e)
+        |SELECT src, dst FROM r WHERE rn <= 5""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         |COUNT(*) AS n_dupes FROM documents GROUP BY md5(text)""".stripMargin,

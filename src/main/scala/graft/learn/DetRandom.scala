@@ -22,19 +22,27 @@ object DetRandom {
   val A: Long = 1103515245L
   val B: Long = 40503L
 
-  /** Deterministic value in [0, M) mixed from two key columns + seed. */
-  def mix(a: Column, b: Column, seed: Long): Column =
-    (pmod(a.cast("long"), lit(M)) * lit(A)
+  /** Deterministic value in [0, M) mixed from two key columns + seed.
+    * Two-stage: the linear combine alone is order-preserving under seed
+    * shifts (seed+1 just rotates every value by 1/M, leaving per-group
+    * rankings intact); the second multiply-mod scrambles so nearby seeds
+    * produce unrelated orderings. All intermediates < ~1.1e18 < 2⁶³. */
+  def mix(a: Column, b: Column, seed: Long): Column = {
+    val x = (pmod(a.cast("long"), lit(M)) * lit(A)
       + pmod(b.cast("long"), lit(M)) * lit(B)
       + lit(seed % M)) % lit(M)
+    (x * lit(A) + lit(seed % M)) % lit(M)
+  }
 
   /** Deterministic uniform in [0, 1). */
   def uniform(a: Column, b: Column, seed: Long): Column =
     mix(a, b, seed).cast("double") / lit(M.toDouble)
 
   /** The same expression as ANSI SQL text, for DuckDB oracle parity. */
-  def mixSql(a: String, b: String, seed: Long): String =
-    s"(((($a) % $M + $M) % $M) * $A + ((($b) % $M + $M) % $M) * $B + ${seed % M}) % $M"
+  def mixSql(a: String, b: String, seed: Long): String = {
+    val x = s"(((($a) % $M + $M) % $M) * $A + ((($b) % $M + $M) % $M) * $B + ${seed % M}) % $M"
+    s"(($x) * $A + ${seed % M}) % $M"
+  }
 
   def uniformSql(a: String, b: String, seed: Long): String =
     s"CAST(${mixSql(a, b, seed)} AS DOUBLE) / $M.0"

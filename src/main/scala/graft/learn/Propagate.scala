@@ -70,6 +70,74 @@ object Propagate {
     h
   }
 
+  /** Attention-weighted rounds — the frozen-parameter analogue of the
+    * reference's GATv2 layer (`model.py:92-94`): per edge type, edge
+    * (u,v) gets weight `α(u,v) = softmax_v(leaky_relu(dot(h_u, h_v)))`
+    * over v's incident edges of that type, messages are `α·h_u`, per-type
+    * sums combine across types (`to_hetero(aggr='sum')`) and average with
+    * the self embedding like [[meanRounds]].
+    *
+    * The softmax is the classic three-step DataFrame pattern: score join →
+    * `groupBy(dst).agg(max, sum(exp(score−max)))` → join-divide. Numeric
+    * stability via the per-dst max subtraction; determinism caveat: exp
+    * sums are float-order dependent, so attention outputs are for scoring,
+    * not for hash-exact oracles (SURVEY.md §7.4 hard part 2).
+    *
+    * Scale shape per round and edge type: two shuffles (score agg, message
+    * agg), both keyed on dst; GraphX `aggregateMessages` is the drop-in
+    * alternative if edges outgrow DataFrame joins.
+    */
+  def attentionRounds(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int,
+      leakySlope: Double = 0.2,
+      checkpoint: Boolean = true): Map[String, DataFrame] = {
+    var h = init
+    for (_ <- 1 to rounds) {
+      val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
+        case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
+          val src = h(k.src).select(col("id").as("src"), col("vec").as("src_vec"))
+          val dst = h(k.dst).select(col("id").as("dst"), col("vec").as("dst_vec"))
+          val scored = edges.join(src, Seq("src")).join(dst, Seq("dst"))
+            .withColumn("s", {
+              val d = ArrayOps.dot(col("src_vec"), col("dst_vec"))
+              when(d > 0, d).otherwise(d * leakySlope) // leaky_relu
+            })
+          val stats = scored.groupBy(col("dst"))
+            .agg(max(col("s")).as("s_max"))
+          val withExp = scored.join(stats, Seq("dst"))
+            .withColumn("e", exp(col("s") - col("s_max")))
+          val denom = withExp.groupBy(col("dst")).agg(sum(col("e")).as("z"))
+          val agg = withExp.join(denom, Seq("dst"))
+            .withColumn("w", col("e") / col("z"))
+            .withColumn("msg_part", ArrayOps.vecScale(col("src_vec"), col("w")))
+            .groupBy(col("dst").as("id"))
+            .agg(ArrayOps.vecSumAgg(col("msg_part")).as("msg"))
+          k.dst -> agg
+      }
+      val byDst = perType.groupBy(_._1)
+      h = h.map { case (t, cur) =>
+        val updated = byDst.get(t) match {
+          case None => cur
+          case Some(parts) =>
+            val msgs = parts.map(_._2).reduce(_ unionByName _)
+              .groupBy("id")
+              .agg(ArrayOps.vecSumAgg(col("msg")).as("msg_sum"),
+                   count(lit(1)).as("n_types"))
+            cur.join(msgs, Seq("id"), "left")
+              .select(col("id"),
+                when(col("msg_sum").isNull, col("vec"))
+                  .otherwise(expr(
+                    "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
+                  .as("vec"))
+        }
+        t -> (if (checkpoint) updated.localCheckpoint(eager = false) else updated)
+      }
+    }
+    h
+  }
+
   /** Degree-only initial embeddings: `vec = [last feature]`, which after
     * [[HeteroGraph.addDegree]] is the degree feature — the §7.2 frozen
     * scorer's starting point. Dimension 1 for every type, so hetero types
@@ -79,4 +147,14 @@ object Propagate {
       t -> df.select(col("id"),
         expr("array(cast(element_at(features, -1) as double))").as("vec"))
     }
+
+  /** Full-width initial embeddings: the node feature vector as double —
+    * what the trainable head (§7.4.1) propagates. Only meaningful per
+    * type (widths differ across types); restrict the round loop to the
+    * types you pass in. */
+  def featureInit(g: HeteroGraph, types: Seq[String]): Map[String, DataFrame] =
+    types.map { t =>
+      t -> g.nodes(t).select(col("id"),
+        expr("transform(features, x -> cast(x as double))").as("vec"))
+    }.toMap
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.catalog.Catalogs
+import graft.graph.GraphBuilder
+import graft.learn.{NeighborSample, Propagate, TrainLR}
+import graft.serve.ModelStore
+import graft.topology.{EdgeKey, Topology}
+import org.apache.spark.sql.functions._
+
+/** Learn-side additions: neighbor sampling (G10), attention propagation
+  * (G12), LR training head (G15), model store (S10). */
+class TrainSpec extends SparkSpec {
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+  import spark.implicits._
+
+  private def graph() = GraphBuilder
+    .build(Catalogs.tpch, n => Tables.load(spark, sf(), n))
+    .addDegree.withReverseEdges.withSelfLoops
+
+  private val targetKey = Topology.classify(Catalogs.tpch).edges
+    .find(e => e.srcTable == "orders" && e.dstTable == "customer")
+    .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get
+
+  test("neighbor sample: fanout bound, subset, partition-independent") {
+    val edges = Seq.tabulate(100)(i => (i.toLong, (i % 7).toLong))
+      .toDF("src", "dst")
+    val s1 = NeighborSample.sample(edges, 5, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = NeighborSample.sample(edges.repartition(13), 5, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    val all = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1.subsetOf(all))
+    val perDst = s1.groupBy(_._2).map(_._2.size)
+    assert(perDst.forall(_ <= 5) && perDst.exists(_ == 5))
+    // different seed, different sample
+    val s3 = NeighborSample.sample(edges, 5, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 != s3)
+  }
+
+  test("attention rounds: shape preserved, weights renormalise messages") {
+    val g = graph()
+    val init = Propagate.degreeInit(g)
+    val out = Propagate.attentionRounds(g, init, rounds = 1, checkpoint = false)
+    val t = "customer"
+    assert(out(t).count() == init(t).count())
+    // embeddings moved for connected nodes (orders deliver messages)
+    val before = init(t).orderBy("id").limit(3)
+      .collect().map(_.getSeq[Double](1).head)
+    val after = out(t).orderBy("id").limit(3)
+      .collect().map(_.getSeq[Double](1).head)
+    assert(!before.sameElements(after))
+  }
+
+  test("TrainLR: well-formed metrics, deterministic, stored+reloaded") {
+    val g = graph()
+    val m1 = TrainLR.train(g, targetKey, rounds = 1, seed = 42L)
+    assert(m1.weights.nonEmpty)
+    Seq("accuracy", "precision", "recall", "f1").foreach { k =>
+      val v = m1.valMetrics(k)
+      assert(v >= 0.0 && v <= 1.0, s"$k=$v out of range")
+    }
+    assert(m1.valMetrics("bce") > 0.0)
+    val m2 = TrainLR.train(g, targetKey, rounds = 1, seed = 42L)
+    assert(m1.valMetrics("accuracy") == m2.valMetrics("accuracy"))
+
+    val dir = java.nio.file.Files.createTempDirectory("modelstore").toString
+    ModelStore.save(m1, s"$dir/m")
+    val r = ModelStore.load(s"$dir/m")
+    assert(r.weights.toSeq == m1.weights.toSeq)
+    assert(r.intercept == m1.intercept)
+    assert(r.valMetrics == m1.valMetrics)
+  }
+}
