@@ -270,6 +270,20 @@ object SparkEntry {
     "q39_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.ext.Dedup.rollingFingerprint(col("text")).as("fp"))),
+    // multimodal plumbing: binary payload + metadata-only decode + frame
+    // sampling (decode kernel is a documented stub — container has no
+    // codecs; the column-side arithmetic is the oracle-checked part)
+    "q37_multimodal" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val p = Multimodal.withPayload(t(s, dir, "documents"), "text")
+      val nb = col("meta.n_bytes")
+      val (w, h, f) = Multimodal.fakeDims(nb)
+      p.select(col("doc_id"), nb.as("n_bytes"), w.as("width"), h.as("height"),
+        f.as("n_frames"),
+        // string-join the offsets: array columns don't survive the driver's
+        // sort-rows-then-hash compare
+        concat_ws(",", Multimodal.frameOffsets(f, 2)).as("frames"))
+    }),
     // hyperplane-LSH embedding near-dup: bucket candidates + exact cosine
     "q40_embed_neardup" -> ((s, dir) =>
       graft.ext.Similarity.nearDupCosine(
@@ -457,6 +471,14 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q37_multimodal" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
+        |CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames,
+        |array_to_string(range(0, CAST(1 + octet_length(encode(text)) % 8 AS BIGINT), 2), ',') AS frames
+        |FROM documents""".stripMargin,
     "q40_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |kb AS (SELECT vec_id, v, unnest([${lshKeySqls.mkString(", ")}]) AS key FROM s),

@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for a training-data pipeline: image/audio/
+  * video travel as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction runs batched per partition.
+  *
+  * The container has no media codecs, so the decode KERNEL is stubbed with
+  * a deterministic fake ([[StubDecoder]]) — everything Spark-side is real
+  * and tested: the schema, the binary payload handling, the partition-
+  * batched invocation shape (the Scala analogue of `mapInPandas`: batch in,
+  * batch out, arbitrary batch size), and the frame-sampling arithmetic.
+  * Swapping in a real codec is implementing [[BatchDecoder.decode]].
+  *
+  * Scale shape: decode is embarrassingly parallel per partition with no
+  * shuffle; batch size bounds peak memory per task (bytes stay off-heap in
+  * the column vectors until the batch materialises); metadata-only
+  * operations (dimensions, frame offsets) are pure column arithmetic that
+  * never touches the payload bytes — at 100 TB the payload column is
+  * lazily pruned away unless a stage actually decodes.
+  */
+object Multimodal {
+
+  /** Decoded-media schema appended by [[decodePartitions]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+
+  /** Attach a binary payload + typed metadata to a text column — the
+    * fixture has no binary table, so documents stand in for media blobs;
+    * with a real corpus this is the ingest mapping (path/bytes → payload).
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8").cast("binary"))
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+
+  /** Metadata-only fake decode: deterministic dimensions derived from the
+    * payload size alone — never reads the bytes, stays in codegen, and is
+    * expressible in any SQL engine (the oracle twin). A real pipeline
+    * derives these from container headers the same metadata-only way. */
+  def fakeDims(nBytes: Column): (Column, Column, Column) = (
+    (lit(64) + pmod(nBytes, lit(64))).cast("int"),
+    (lit(64) + pmod(nBytes * 7, lit(64))).cast("int"),
+    (lit(1) + pmod(nBytes, lit(8))).cast("int"))
+
+  /** Sampled frame offsets for a clip of `nFrames` frames: every
+    * `stride`-th frame index. Pure column arithmetic (W5-style sequence).
+    */
+  def frameOffsets(nFrames: Column, stride: Int): Column =
+    when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nFrames - 1, lit(stride)).cast("array<int>"))
+
+  /** Partition-batched decode — the real-codec plug point. Batches of
+    * `batchSize` payloads go to `decoder.decode` together (codecs amortise
+    * setup per batch); output rows keep input order and gain
+    * [[decodedSchema]] columns. */
+  def decodePartitions(
+      df: DataFrame,
+      payloadCol: String,
+      decoder: BatchDecoder,
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(df.schema.fields ++ decodedSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val decoded = decoder.decode(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        require(decoded.length == batch.length,
+          s"decoder returned ${decoded.length} results for ${batch.length} inputs")
+        batch.zip(decoded).map { case (row, d) =>
+          Row.fromSeq(row.toSeq ++ Seq(d.width, d.height, d.nChannels, d.ok))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
+/** Decoded media record produced per payload. */
+final case class DecodedMedia(width: Int, height: Int, nChannels: Int, ok: Boolean)
+
+/** Batch decode contract — implement with a real codec (JNI/FFI image or
+  * audio library) in production. Must return exactly one record per input,
+  * in order. */
+trait BatchDecoder extends Serializable {
+  def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia]
+}
+
+/** Deterministic stand-in for a media codec (the container ships no
+  * image/audio libraries — see the module doc): dimensions derived from
+  * byte length, matching [[Multimodal.fakeDims]], `ok=false` for empty
+  * payloads the way a real decoder fails on truncated files. */
+object StubDecoder extends BatchDecoder {
+  def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia] =
+    batch.map { bytes =>
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      DecodedMedia(
+        width = (64 + n % 64).toInt,
+        height = (64 + (n * 7) % 64).toInt,
+        nChannels = (1 + n % 8).toInt,
+        ok = n > 0)
+    }
+}

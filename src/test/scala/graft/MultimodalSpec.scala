@@ -1,0 +1,82 @@
+package graft
+
+import graft.multimodal.{BatchDecoder, DecodedMedia, Multimodal, StubDecoder}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: payload schema, batched decode shape,
+  * frame sampling. The decode kernel is the documented stub; what's under
+  * test is everything Spark-side. */
+class MultimodalSpec extends SparkSpec {
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello world"), (2L, ""), (3L, "a" * 200)
+  ).toDF("doc_id", "text")
+
+  test("withPayload: binary column + typed metadata, byte-accurate") {
+    val p = Multimodal.withPayload(docs, "text")
+    assert(p.schema("payload").dataType.typeName == "binary")
+    val m = p.select($"doc_id", $"meta.n_bytes")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 11L, 2L -> 0L, 3L -> 200L))
+  }
+
+  test("decodePartitions: batched, order-preserving, schema appended") {
+    val p = Multimodal.withPayload(docs, "text")
+    // decoder that records batch sizes to verify batching actually happens
+    // (via accumulator: the closure is serialized to executors, so a plain
+    // driver-side collection would stay empty)
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val recordingDecoder = new BatchDecoder {
+      def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia] = {
+        batchSizes.add(batch.length)
+        StubDecoder.decode(batch)
+      }
+    }
+    val out = Multimodal.decodePartitions(
+      p.repartition(1), "payload", recordingDecoder, batchSize = 2)
+    val rows = out.select($"doc_id", $"width", $"height", $"n_channels", $"ok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(rows(0) == ((1L, 64 + 11, 64 + 77 % 64, 1 + 11 % 8, true)))
+    assert(rows(1) == ((2L, 64, 64, 1, false)))    // empty payload fails decode
+    assert(rows(2) == ((3L, 64 + 200 % 64, 64 + 1400 % 64, 1 + 200 % 8, true)))
+    // 3 rows, batchSize 2, single partition -> batches of 2 and 1
+    import scala.jdk.CollectionConverters._
+    assert(batchSizes.value.asScala.toSeq.sorted == Seq(1, 2))
+  }
+
+  test("decodePartitions rejects a decoder that drops records") {
+    val bad = new BatchDecoder {
+      def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia] =
+        StubDecoder.decode(batch).drop(1)
+    }
+    val p = Multimodal.withPayload(docs, "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePartitions(p, "payload", bad, batchSize = 8).collect()
+    }
+    assert(e.getMessage.contains("decoder returned") ||
+      e.getCause.getMessage.contains("decoder returned"))
+  }
+
+  test("frameOffsets: stride sampling, empty for non-positive counts") {
+    val out = spark.range(1).select(
+      Multimodal.frameOffsets(lit(8), 3).as("a"),
+      Multimodal.frameOffsets(lit(1), 2).as("b"),
+      Multimodal.frameOffsets(lit(0), 2).as("c")).head()
+    assert(out.getSeq[Int](0) == Seq(0, 3, 6))
+    assert(out.getSeq[Int](1) == Seq(0))
+    assert(out.getSeq[Int](2).isEmpty)
+  }
+
+  test("stub decode matches the metadata-only column arithmetic") {
+    val p = Multimodal.withPayload(docs, "text")
+    val (w, h, c) = Multimodal.fakeDims($"meta.n_bytes")
+    val colSide = p.select($"doc_id", w.as("w"), h.as("h"), c.as("c"))
+    val decSide = Multimodal.decodePartitions(p, "payload", StubDecoder)
+      .select($"doc_id", $"width".as("w"), $"height".as("h"), $"n_channels".as("c"))
+    assert(colSide.except(decSide).count() == 0 &&
+      decSide.except(colSide).count() == 0)
+  }
+}
