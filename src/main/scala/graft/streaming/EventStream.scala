@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest over the `events` fixture — the extension
+  * surface SURVEY.md §2.10 plans (the reference is batch-only; its closest
+  * analogue is the request/response graph mutation, `inference.py:44-76`).
+  *
+  * All transforms take/return DataFrames so each works identically on a
+  * batch frame (`spark.read`) and a stream (`spark.readStream`) — the spec
+  * asserts batch/stream parity on the same rows. Watermarks bound state:
+  * at production rates the windowed aggregations keep one state row per
+  * (window, event_type), evicted `watermark` past the window end.
+  */
+object EventStream {
+
+  /** The fixture's file schema (`ts` is parquet TIMESTAMP(NANOS) read as
+    * raw nanos — see Tables.load). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTime(spark.readStream.schema(eventsSchema).parquet(dir))
+  }
+
+  /** Nanos long → proper event-time timestamp column `ts_utc`. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts_utc",
+      timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+
+  /** Tumbling-window counts/sums per event type (the streaming twin of
+    * SparkEntry q13). DECIMAL accumulation for order-independent sums. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window event rate. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Declarative sessionization: events within `gap` of each other per
+    * user merge into one session row (Spark's native `session_window`). */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(session_window(col("ts_utc"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Custom keyed state (the `mapGroupsWithState` surface, SURVEY.md
+    * §2.10): cumulative per-user event count + value total maintained
+    * across micro-batches. Emits the updated running totals each batch. */
+  final case class UserTotals(user_id: Long, n_events: Long, total: Double)
+
+  def runningUserTotals(
+      events: DataFrame)(implicit spark: SparkSession): Dataset[UserTotals] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var t = t0
+          rows.foreach { case (_, v) => n += 1; t += v }
+          state.update((n, t))
+          UserTotals(uid, n, t)
+      }
+  }
+}

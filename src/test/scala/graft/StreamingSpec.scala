@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over events: batch/stream parity of the windowed
+  * aggregations, custom keyed state across micro-batches. */
+class StreamingSpec extends SparkSpec {
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+  import spark.implicits._
+
+  private def batchEvents = EventStream.withEventTime(
+    Tables.load(spark, sf(), "events"))
+
+  test("tumbling agg on a stream equals the same agg on the batch frame") {
+    val batch = EventStream.tumblingAgg(batchEvents)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = EventStream.withEventTime(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = EventStream.tumblingAgg(streamDf)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      val rows = Tables.load(spark, sf(), "events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+      // feed in two chunks to exercise incremental state
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("tumbling")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessions: gap merges, per-user isolation (batch form)") {
+    val ev = Seq(
+      (1L, 0L, "a", 1.0), (1L, 60L, "a", 2.0),        // same session (gap 10 min)
+      (1L, 3600L, "a", 4.0),                          // new session
+      (2L, 0L, "b", 8.0)                              // other user
+    ).map { case (u, sec, ty, v) => (0L, sec * 1000000000L, u, ty, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.sessions(EventStream.withEventTime(ev), gap = "10 minutes")
+      .select($"user_id", $"n_events", $"session_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("runningUserTotals accumulates custom state across micro-batches") {
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.runningUserTotals(streamDf)
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, 0L, 7L, "x", 1.5, ""), (2L, 0L, 7L, "x", 2.5, "")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, 0L, 7L, "x", 6.0, ""), (4L, 0L, 9L, "y", 1.0, "")))
+      q.processAllAvailable()
+      val rows = spark.table("totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // user 7: batch1 -> (2, 4.0), batch2 -> (3, 10.0); user 9 -> (1, 1.0)
+      assert(rows == Set((7L, 3L, 10.0), (9L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("file-source stream reads the fixture directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    // stage the fixture file into a stream-watched dir
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf() + "/events.parquet"),
+      java.nio.file.Paths.get(tmp + "/events.parquet"))
+    val q = EventStream.tumblingAgg(EventStream.readEventsStream(spark, tmp))
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("filestream").agg(sum("n")).head().getLong(0)
+      assert(n == Tables.load(spark, sf(), "events").count())
+    } finally q.stop()
+  }
+}
