@@ -66,6 +66,46 @@ object Dedup {
     * signature lambdas multiplies the hash work K-fold. */
   def baseHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
 
+  /** JIT tokenize→shingle→hash kernel: text → (distinct n-gram shingles,
+    * 64-bit FNV-1a base hashes). The Column-function pipeline
+    * ([[tokens]]→[[shingles]]→[[baseHashes]]) evaluates per-element
+    * lambdas interpreted, which dominates dedup prep at corpus scale; this
+    * one pass is the same computation JIT-compiled. Shingle STRINGS are
+    * kept because the exactness contract (the oracle compare) verifies
+    * Jaccard on the real sets — the hashes are internal to LSH. */
+  def prepUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (text != null) {
+        val m = java.util.regex.Pattern.compile("[a-z0-9]+")
+          .matcher(text.toLowerCase(java.util.Locale.ROOT))
+        while (m.find()) toks += m.group()
+      }
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen += sb.toString
+        i += 1
+      }
+      val sh = seen.toArray
+      val hs = new Array[Long](sh.length)
+      i = 0
+      while (i < sh.length) {
+        // FNV-1a 64-bit over UTF-16 code units — any stable 64-bit mix works,
+        // the hashes never leave the LSH internals
+        var h = 0xcbf29ce484222325L
+        val s = sh(i)
+        var c = 0
+        while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
+        hs(i) = h
+        i += 1
+      }
+      (sh, hs)
+    }
+
   /** K-wide MinHash signature from pre-computed base hashes: element k is
     * `min_h (a_k·(h & 0x7fffffff) + b_k) mod p` — pure 64-bit arithmetic,
     * no overflow (products < 2⁶²), fully codegen'd. */
@@ -126,9 +166,12 @@ object Dedup {
     }
   }
 
-  /** JIT-compiled SimHash block kernel (see [[minhashBandKeysUdf]] for why
-    * this is a UDF rather than HOF expressions). */
-  def simhashBlocksUdf(
+  /** JIT-compiled SimHash kernel (see [[minhashBandKeysUdf]] for why this
+    * is a UDF rather than HOF expressions): returns the full 64-bit
+    * fingerprint plus the per-block join keys. The fingerprint rides along
+    * so candidate pairs can be hamming-prefiltered with one XOR+popcount
+    * before the expensive shingle-set verification. */
+  def simhashUdf(
       blocks: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(64 % blocks == 0)
     val w = 64 / blocks
@@ -141,19 +184,19 @@ object Dedup {
           bit += 1
         }
       }
+      var fp = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (sums(bit) > 0) fp |= (1L << bit)
+        bit += 1
+      }
       val keys = new Array[Long](blocks)
       var q = 0
       while (q < blocks) {
-        var v = 0L
-        var j = 0
-        while (j < w) {
-          if (sums(q * w + j) > 0) v |= (1L << j)
-          j += 1
-        }
-        keys(q) = v + q.toLong * 4294967296L
+        keys(q) = ((fp >>> (q * w)) & ((1L << w) - 1)) + q.toLong * 4294967296L
         q += 1
       }
-      keys
+      (fp, keys)
     }
   }
 
@@ -171,17 +214,14 @@ object Dedup {
       rows: Int = 8,
       tau: Double = 0.8): DataFrame = {
     require(bands * rows <= k, "bands*rows must fit in the signature")
-    val sh = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      shingles(tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // barrier: base hashes land on disk/memory once; the band-key fan-out
-    // and the self-join's two branches read them instead of re-hashing
-    val hashed = sh.select(col("doc_id"), col("sh"), baseHashes(col("sh")).as("hs"))
-      .localCheckpoint(eager = false)
+    // barrier: shingles+hashes land on disk/memory once; the band-key
+    // fan-out and the self-join's two branches read them instead of
+    // re-tokenising
+    val hashed = prep(docs, idCol, textCol, n)
     val banded = hashed.select(col("doc_id"),
       posexplode(minhashBandKeysUdf(k, bands, rows, seed = 42L)(col("hs")))
         .as(Seq("band", "key")))
+      .localCheckpoint(eager = false) // self-join reads it twice
     verifyJaccard(candidatePairs(banded), hashed.select(col("doc_id"), col("sh")), tau)
   }
 
@@ -216,26 +256,42 @@ object Dedup {
   }
 
   /** Pairs with exact Jaccard ≥ `tau`, candidates from SimHash block
-    * collisions (certain for hamming ≤ 3 by pigeonhole; near-dups at
-    * J≈0.95+ land there with high probability). */
+    * collisions (certain for hamming ≤ blocks−1 by pigeonhole). Block
+    * collisions are frequent by chance at corpus scale (an 8-bit key has
+    * 256 values), so candidates are hamming-prefiltered on the full
+    * fingerprint — one XOR+popcount per pair — before the shingle-set
+    * verification touches any arrays. */
   def nearDupSimhash(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 2,
       tau: Double = 0.8,
-      blocks: Int = 8): DataFrame = {
-    val sh = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      shingles(tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val hashed = sh.select(col("doc_id"), col("sh"), baseHashes(col("sh")).as("hs"))
+      blocks: Int = 8,
+      maxHamming: Int = 16): DataFrame = {
+    val hashed = prep(docs, idCol, textCol, n)
+    val blocked = hashed
+      .withColumn("r", simhashUdf(blocks)(col("hs")))
+      .select(col("doc_id"), col("r._1").as("fp"),
+        posexplode(col("r._2")).as(Seq("band", "key")))
       .localCheckpoint(eager = false)
-    val blocked = hashed.select(col("doc_id"),
-      posexplode(simhashBlocksUdf(blocks)(col("hs")))
-        .as(Seq("band", "key")))
-    verifyJaccard(candidatePairs(blocked), hashed.select(col("doc_id"), col("sh")), tau)
+    val cand = blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, hashed.select(col("doc_id"), col("sh")), tau)
   }
+
+  /** Shared prep: `(doc_id, sh, hs)` behind a checkpoint barrier. */
+  private def prep(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        prepUdf(n)(col(textCol)).as("p"))
+      .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
 
   /** Bucket self-join: distinct `(doc_a < doc_b)` pairs sharing any
     * (band, key). */

@@ -22,14 +22,28 @@ object GraphBuilder {
     * (partition-dependent, SURVEY.md §7.0). Returns `(pk, id)`.
     */
   def denseIds(df: DataFrame, pkCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val pkType = df.schema(pkCol).dataType
-    val sorted = df.select(col(pkCol)).distinct()
-      .repartitionByRange(col(pkCol))
-      .sortWithinPartitions(pkCol)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("pk", pkType), StructField("id", LongType, nullable = false))))
+    import org.apache.spark.sql.expressions.Window
+    // Range-partition so partition order == pk order, rank within each
+    // partition, then add cumulative partition offsets (a tiny windowed
+    // aggregate over #partitions rows). Equivalent to a global
+    // row_number() but with no single-partition window — and, unlike
+    // RDD.zipWithIndex (which runs its offset-count job EAGERLY at
+    // construction), this is one lazy plan: a graph whose mapping is never
+    // queried costs nothing. The global rank is invariant to where the
+    // sampled range bounds fall, so the ids are partitioning-independent.
+    val ranked = df.select(col(pkCol).as("pk")).distinct()
+      .repartitionByRange(col("pk"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("pid").orderBy("pk")))
+    val offsets = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    ranked.join(broadcast(offsets), Seq("pid"))
+      .select(col("pk"), (col("rn") - 1 + col("offset")).as("id"))
   }
 
   /** Numeric feature columns of a node table: every numeric column except
@@ -60,8 +74,9 @@ object GraphBuilder {
       table: DataFrame,
       spec: NodeSpec,
       fkCols: Seq[String],
-      oneHotCol: Option[String] = None): (DataFrame, DataFrame) = {
-    val mapping = denseIds(table, spec.pk)
+      oneHotCol: Option[String] = None,
+      precomputedMapping: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val mapping = precomputedMapping.getOrElse(denseIds(table, spec.pk))
     val featCols = featureColumns(table, spec.pk, fkCols)
     val base = featCols.map(c => coalesce(col(c).cast(FloatType), lit(0f)).as(c))
     val oh = oneHotCol.toSeq.flatMap(c => oneHotColumns(table, c))
@@ -111,8 +126,15 @@ object GraphBuilder {
     val topo: TopologyResult = Topology.classify(cat)
     val built = topo.nodes.map { n =>
       val fkCols = cat(n.table).fks.map(_.fromCol)
-      val (nodeDf, mapping) =
-        nodeFrame(loadTable(n.table), n, fkCols, oneHot.get(n.table))
+      // cache each (pk → id) mapping: the node frame and every edge type
+      // touching this node type re-reads it, and without the barrier each
+      // consumer would re-run the distinct + range-repartition + window
+      // plan (the dominant cost of a graph build). cache() (not
+      // localCheckpoint: under AQE that executes stages at CALL time) is
+      // lazy — a query that never touches a mapping never pays for it.
+      val mapping = denseIds(loadTable(n.table), n.pk).cache()
+      val (nodeDf, _) =
+        nodeFrame(loadTable(n.table), n, fkCols, oneHot.get(n.table), Some(mapping))
       n.table -> (nodeDf, mapping)
     }.toMap
     val mappings = built.map { case (t, (_, m)) => t -> m }

@@ -77,6 +77,25 @@ final case class HeteroGraph(
     copy(edges = edges ++ loops)
   }
 
+  /** Restrict to the sub-graph that can influence `targets` within `hops`
+    * rounds of message passing: keep edge types whose messages reach a
+    * needed node type, walking backwards hop by hop. Propagating a 2-hop
+    * head over the full heterogeneous graph wastes a shuffle per
+    * irrelevant edge type per round — at 100 TB that's the difference
+    * between touching two tables and touching all of them. */
+  def restrictTo(targets: Set[String], hops: Int): HeteroGraph = {
+    var needed = targets
+    var keep = Set.empty[EdgeKey]
+    for (_ <- 1 to hops) {
+      val in = edges.keys.filter(k => needed(k.dst)).toSet
+      keep ++= in
+      needed ++= in.map(_.src)
+    }
+    HeteroGraph(
+      nodes.view.filterKeys(needed).toMap,
+      edges.view.filterKeys(keep).toMap)
+  }
+
   /** Persist as a partitioned parquet directory (S7 — the reference's
     * `torch.save(graph,'data/graph.bin')`, `convert_to_graph.py:271`,
     * re-expressed as columnar storage that scales past one machine). */
@@ -92,6 +111,16 @@ final case class HeteroGraph(
   def cached(): HeteroGraph =
     HeteroGraph(nodes.map { case (t, d) => t -> d.cache() },
                 edges.map { case (k, d) => k -> d.cache() })
+
+  /** Truncate every node/edge lineage behind a checkpoint barrier. A built
+    * graph's DataFrames embed the whole conversion plan (scan + dense-id
+    * windows + remap joins); anything that reuses them — propagation
+    * rounds, degree, split, scoring — would otherwise replay that plan per
+    * reference. One materialisation, then every consumer reads columnar
+    * blocks. Call before multi-pass algorithms. */
+  def materialized(): HeteroGraph =
+    HeteroGraph(nodes.map { case (t, d) => t -> d.localCheckpoint(eager = false) },
+                edges.map { case (k, d) => k -> d.localCheckpoint(eager = false) })
 }
 
 object HeteroGraph {

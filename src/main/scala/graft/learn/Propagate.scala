@@ -2,7 +2,7 @@ package graft.learn
 
 import graft.functions.ArrayOps
 import graft.graph.HeteroGraph
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** L-round heterogeneous message passing as a DataFrame-join loop (G12 —
@@ -25,14 +25,45 @@ import org.apache.spark.sql.functions._
   */
 object Propagate {
 
-  /** @param init per node type `(id: bigint, vec: array<double>)`, all the
-    *             same dimension
+  /** Element-wise array sum as `dim` native SUM aggregates — every column
+    * stays inside whole-stage codegen with map-side partial aggregation;
+    * the generic [[ArrayOps.vecSumAgg]] UDAF pays ExpressionEncoder serde
+    * per row per group, which dominates propagation cost at scale. Use the
+    * UDAF only when the width is unknown at plan time. */
+  private def sumVec(vecCol: String, dim: Int, as: String): Seq[Column] =
+    (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1)).as(s"${as}_$i"))
+
+  private def assembled(as: String, dim: Int): Column =
+    array((0 until dim).map(i => col(s"${as}_$i")): _*)
+
+  /** Materialise one round's outputs behind lineage barriers, CONCURRENTLY:
+    * under AQE, `localCheckpoint` executes its query stages at call time,
+    * so checkpointing the node types one by one serialises otherwise
+    * independent jobs. Submitting from parallel threads lets the scheduler
+    * overlap them across cores. (cache() is no better serial-wise: AQE
+    * cannot re-optimise inside InMemoryRelation and round plans nest.) */
+  private def barrier(h: Map[String, DataFrame]): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = h.toSeq.map { case (t, df) =>
+      Future(t -> df.localCheckpoint(eager = false))
+    }
+    fs.map(f => Await.result(f, Duration.Inf)).toMap
+  }
+
+  /** @param init per node type `(id: bigint, vec: array<double>)`, all of
+    *             width `dim`
+    * @param dim  embedding width — lets the per-dst aggregation run as
+    *             `dim` codegen'd SUMs instead of an array UDAF
     * @return     embeddings of the same shape after `rounds` rounds
     */
   def meanRounds(
       g: HeteroGraph,
       init: Map[String, DataFrame],
       rounds: Int,
+      dim: Int = 1,
       checkpoint: Boolean = true): Map[String, DataFrame] = {
     var h = init
     for (_ <- 1 to rounds) {
@@ -42,10 +73,10 @@ object Propagate {
           val src = h(k.src).select(col("id").as("src"), col("vec"))
           val agg = edges.join(src, Seq("src"))
             .groupBy(col("dst").as("id"))
-            .agg(ArrayOps.vecSumAgg(col("vec")).as("sum_vec"),
-                 count(lit(1)).as("n"))
+            .agg(sumVec("vec", dim, "s").head,
+                 sumVec("vec", dim, "s").tail :+ count(lit(1)).as("n"): _*)
             .select(col("id"),
-              expr("transform(sum_vec, x -> x / n)").as("msg"))
+              transform(assembled("s", dim), x => x / col("n")).as("msg"))
           k.dst -> agg
       }
       val byDst = perType.groupBy(_._1)
@@ -55,8 +86,9 @@ object Propagate {
           case Some(parts) =>
             val msgs = parts.map(_._2).reduce(_ unionByName _)
               .groupBy("id")
-              .agg(ArrayOps.vecSumAgg(col("msg")).as("msg_sum"),
-                   count(lit(1)).as("n_types"))
+              .agg(sumVec("msg", dim, "m").head,
+                   sumVec("msg", dim, "m").tail :+ count(lit(1)).as("n_types"): _*)
+              .select(col("id"), assembled("m", dim).as("msg_sum"), col("n_types"))
             cur.join(msgs, Seq("id"), "left")
               .select(col("id"),
                 when(col("msg_sum").isNull, col("vec"))
@@ -64,8 +96,9 @@ object Propagate {
                     "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
                   .as("vec"))
         }
-        t -> (if (checkpoint) updated.localCheckpoint(eager = false) else updated)
+        t -> updated
       }
+      if (checkpoint) h = barrier(h)
     }
     h
   }
@@ -91,6 +124,7 @@ object Propagate {
       g: HeteroGraph,
       init: Map[String, DataFrame],
       rounds: Int,
+      dim: Int = 1,
       leakySlope: Double = 0.2,
       checkpoint: Boolean = true): Map[String, DataFrame] = {
     var h = init
@@ -113,7 +147,8 @@ object Propagate {
             .withColumn("w", col("e") / col("z"))
             .withColumn("msg_part", ArrayOps.vecScale(col("src_vec"), col("w")))
             .groupBy(col("dst").as("id"))
-            .agg(ArrayOps.vecSumAgg(col("msg_part")).as("msg"))
+            .agg(sumVec("msg_part", dim, "m").head, sumVec("msg_part", dim, "m").tail: _*)
+            .select(col("id"), assembled("m", dim).as("msg"))
           k.dst -> agg
       }
       val byDst = perType.groupBy(_._1)
@@ -123,8 +158,9 @@ object Propagate {
           case Some(parts) =>
             val msgs = parts.map(_._2).reduce(_ unionByName _)
               .groupBy("id")
-              .agg(ArrayOps.vecSumAgg(col("msg")).as("msg_sum"),
-                   count(lit(1)).as("n_types"))
+              .agg(sumVec("msg", dim, "m").head,
+                   sumVec("msg", dim, "m").tail :+ count(lit(1)).as("n_types"): _*)
+              .select(col("id"), assembled("m", dim).as("msg_sum"), col("n_types"))
             cur.join(msgs, Seq("id"), "left")
               .select(col("id"),
                 when(col("msg_sum").isNull, col("vec"))
@@ -132,8 +168,9 @@ object Propagate {
                     "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
                   .as("vec"))
         }
-        t -> (if (checkpoint) updated.localCheckpoint(eager = false) else updated)
+        t -> updated
       }
+      if (checkpoint) h = barrier(h)
     }
     h
   }

@@ -55,27 +55,40 @@ object TrainLR {
       rounds: Int = 2,
       seed: Long = 42L)(implicit spark: SparkSession): TrainedModel = {
     val split = LinkSplit.split(g, target, valFrac, seed)
+    // propagate only the sub-graph that can reach the target's endpoint
+    // types within `rounds` hops — the rest of the hetero graph cannot
+    // influence the features and would cost a shuffle per type per round —
+    // and materialise it once: the round loop re-reads every edge type
+    val msgGraph = split.messageGraph
+      .restrictTo(Set(target.src, target.dst), rounds)
+      .cached()
+    val trainPos = split.trainPos.cache()
+    val valPos = split.valPos.cache()
     val emb = Propagate.meanRounds(
-      split.messageGraph, Propagate.degreeInit(split.messageGraph), rounds)
+      msgGraph, Propagate.degreeInit(msgGraph), rounds)
 
     val nDst = g.nodes(target.dst).count()
+    val allPos = g.edges(target).cache()
     def negs(pos: DataFrame, s: Long) =
-      NegativeSampling.sample(pos, g.edges(target), nDst, s)
+      NegativeSampling.sample(pos, allPos, nDst, s)
 
+    // cache: L-BFGS runs ~50 jobs over this frame; without the cache each
+    // iteration replays the propagation + feature-join lineage
     val trainDf =
-      edgeFeatures(split.trainPos, emb, target, 1)
-        .unionByName(edgeFeatures(negs(split.trainPos, seed + 1), emb, target, 0))
+      edgeFeatures(trainPos, emb, target, 1)
+        .unionByName(edgeFeatures(negs(trainPos, seed + 1), emb, target, 0))
         .select(array_to_vector(col("f")).as("features"), col("label"))
+        .cache()
     val lr = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-    val model = lr.fit(trainDf)
+    val model = try lr.fit(trainDf) finally trainDf.unpersist()
 
     val w = model.coefficients.toArray
     val b = model.intercept
     // score validation with the learned head: sigmoid(w·(h_s∘h_d) + b)
     val valDf =
-      edgeFeatures(split.valPos, emb, target, 1)
-        .unionByName(edgeFeatures(negs(split.valPos, seed + 2), emb, target, 0))
+      edgeFeatures(valPos, emb, target, 1)
+        .unionByName(edgeFeatures(negs(valPos, seed + 2), emb, target, 0))
     val wCol = typedlit(w.toSeq)
     val scored = valDf.select(
       ArrayOps.sigmoid(
