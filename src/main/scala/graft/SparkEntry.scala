@@ -172,6 +172,18 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))),
 
+    // S6/J4/F2: the reference's ad-hoc display query (`inference.py:85-94`)
+    // — registered temp views + spark.sql, 2-way LEFT JOIN + concat label
+    "q14_sql_display" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o.o_orderkey,
+          |       concat_ws(' - ', n.n_name, c.c_name) AS label
+          |FROM orders o
+          |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    }),
+
     // ---- graph construction (G1-G8) -------------------------------
     // G1/G4: node-type inventory with counts
     "q20_node_counts" -> ((s, dir) => {
@@ -383,6 +395,11 @@ object SparkEntry {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q14_sql_display" ->
+      """SELECT o.o_orderkey, concat_ws(' - ', n.n_name, c.c_name) AS label
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
     "q20_node_counts" ->
       """SELECT 'region' AS node_type, COUNT(*) AS n FROM region
         |UNION ALL SELECT 'nation', COUNT(*) FROM nation

@@ -56,6 +56,46 @@ final case class ConstraintCatalog(tables: Seq[TableMeta]) {
 }
 
 object Catalogs {
+  /** Introspect PK/FK metadata from a live JDBC connection — the port of
+    * the reference's `PRAGMA table_info` / `foreign_key_list` scans
+    * (S1-S3, `convert_to_graph.py:62-94`) for sources that DO carry
+    * constraint metadata. `getPrimaryKeys` returns KEY_SEQ (PK ordinal,
+    * 1-based) — preserved as the pkCols ordering, which is what the
+    * junction src/tgt rule keys on (W1). Tables whose names match
+    * `excludeLike` (the reference's `NOT LIKE '%sql%'`, S1/F4) are
+    * skipped. The test environment ships no JDBC driver, so this path is
+    * exercised against the explicit-catalog twin rather than a live DB;
+    * the calls are the standard java.sql metadata API.
+    */
+  def fromJdbc(
+      conn: java.sql.Connection,
+      excludeLike: String = "sql"): ConstraintCatalog = {
+    val md = conn.getMetaData
+    val tables = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rs = md.getTables(null, null, "%", Array("TABLE"))
+    while (rs.next()) {
+      val n = rs.getString("TABLE_NAME")
+      if (!n.toLowerCase.contains(excludeLike)) tables += n
+    }
+    rs.close()
+    ConstraintCatalog(tables.toSeq.map { t =>
+      val pks = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      val prs = md.getPrimaryKeys(null, null, t)
+      while (prs.next())
+        pks += ((prs.getShort("KEY_SEQ"), prs.getString("COLUMN_NAME")))
+      prs.close()
+      val fks = scala.collection.mutable.ArrayBuffer.empty[ForeignKey]
+      val frs = md.getImportedKeys(null, null, t)
+      while (frs.next())
+        fks += ForeignKey(
+          frs.getString("FKCOLUMN_NAME"),
+          frs.getString("PKTABLE_NAME"),
+          frs.getString("PKCOLUMN_NAME"))
+      frs.close()
+      TableMeta(t, pks.sortBy(_._1).map(_._2).toSeq, fks.toSeq)
+    })
+  }
+
   /** Catalog for the driver's TPC-H-ish fixture (FIXTURES.md §A).
     * lineitem has a composite 2-col PK → classified as a junction, which
     * exercises the reference classifier's documented simplification

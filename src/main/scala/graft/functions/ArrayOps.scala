@@ -37,6 +37,16 @@ object ArrayOps {
     * `model.py:79`). */
   def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
 
+  /** L2-normalise an array column (zero vectors pass through unchanged).
+    * Frozen structural embeddings (degree propagation) are unbounded, so
+    * dot scores saturate sigmoid at 1.0 and the ranking collapses to the
+    * tiebreak; normalising makes dot ≡ cosine and keeps scores in a
+    * discriminative range. */
+  def l2normalize(a: Column): Column = {
+    val n = sqrt(normSq(a))
+    when(n === 0, a).otherwise(transform(a, x => x / n))
+  }
+
   /** Elementwise sum of two equal-length arrays. */
   def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
 object Scoring {
 
   /** Score candidate edges `(src, dst)` against embeddings.
-    * @return (src, dst, score) with score = sigmoid(dot(h_src, h_dst)) */
+    * @return (src, dst, logit, score): logit = dot(h_src, h_dst), score =
+    *         sigmoid(logit). Rank by LOGIT: sigmoid is monotone but
+    *         saturates to exactly 1.0 in float for large dots (frozen
+    *         structural embeddings are unbounded), which would erase the
+    *         ordering and leave only the tiebreak. */
   def scoreEdges(
       candidates: DataFrame,
       srcEmb: DataFrame,
@@ -19,9 +23,9 @@ object Scoring {
     candidates
       .join(srcEmb.select(col("id").as("src"), col("vec").as("src_vec")), Seq("src"))
       .join(dstEmb.select(col("id").as("dst"), col("vec").as("dst_vec")), Seq("dst"))
-      .withColumn("score",
-        ArrayOps.sigmoid(ArrayOps.dot(col("src_vec"), col("dst_vec"))))
-      .select(col("src"), col("dst"), col("score"))
+      .withColumn("logit", ArrayOps.dot(col("src_vec"), col("dst_vec")))
+      .withColumn("score", ArrayOps.sigmoid(col("logit")))
+      .select(col("src"), col("dst"), col("logit"), col("score"))
   }
 
   /** Binary-classification metrics over scored edges (A5, `model.py:100-102`,

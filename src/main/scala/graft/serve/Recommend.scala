@@ -63,15 +63,20 @@ object Recommend {
     val (mutated, newId) = addSeedNode(g, target, seedDst)
     val emb = Propagate.meanRounds(mutated, Propagate.degreeInit(mutated), rounds)
     val seeds = seedDst.toDF("id")
-    val candidates = mutated.nodes(target.dst).select(col("id"))
+    // exclude the freshly inserted node from candidates ONLY when src and
+    // dst are the same node type: newId lives in the src id space, so for
+    // hetero targets comparing it against dst ids would silently drop the
+    // unrelated dst node that happens to share the number
+    val base = mutated.nodes(target.dst).select(col("id"))
       .join(seeds, Seq("id"), "left_anti")                 // J6
-      .filter(col("id") =!= newId)
-      .select(lit(newId).as("src"), col("id").as("dst"))
+    val candidates =
+      (if (target.isSelfType) base.filter(col("id") =!= newId) else base)
+        .select(lit(newId).as("src"), col("id").as("dst"))
     val scored = Scoring.scoreEdges(candidates, emb(target.src), emb(target.dst))
     scored
       .join(mutated.nodes(target.dst).select(col("id").as("dst"), col("pk")), Seq("dst"))
-      .select(col("dst").as("id"), col("pk"), col("score"))
-      .orderBy(desc("score"), asc("id"))
+      .select(col("dst").as("id"), col("pk"), col("logit"), col("score"))
+      .orderBy(desc("logit"), asc("id"))                   // rank by logit:
       .limit(k)                                            // W4 TakeOrderedAndProject
   }
 }

@@ -83,8 +83,10 @@ class LearnSpec extends SparkSpec {
     val emb = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0, -1.0)))
       .toDF("id", "vec")
     val cand = Seq((0L, 1L)).toDF("src", "dst")
-    val s = Scoring.scoreEdges(cand, emb, emb).head().getDouble(2)
-    val expected = 1.0 / (1.0 + math.exp(-(1.0 * 3 + 2.0 * -1)))
-    assert(math.abs(s - expected) < 1e-12)
+    val row = Scoring.scoreEdges(cand, emb, emb)
+      .select("logit", "score").head()
+    val dot = 1.0 * 3 + 2.0 * -1
+    assert(math.abs(row.getDouble(0) - dot) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 1.0 / (1.0 + math.exp(-dot))) < 1e-12)
   }
 }
