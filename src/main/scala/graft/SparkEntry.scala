@@ -172,6 +172,16 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))),
 
+    // sessionization (batch form of streaming/EventStream.sessions):
+    // native session_window, 30-minute gap
+    "q15_sessions" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      EventStream.sessions(
+          EventStream.withEventTime(t(s, dir, "events")), gap = "30 minutes")
+        .select(col("user_id"),
+          date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          col("n_events"), col("session_value"))
+    }),
     // S6/J4/F2: the reference's ad-hoc display query (`inference.py:85-94`)
     // — registered temp views + spark.sql, 2-way LEFT JOIN + concat label
     "q14_sql_display" -> ((s, dir) => {
@@ -227,6 +237,17 @@ object SparkEntry {
     "q26_neighbor_sample" -> ((s, dir) =>
       graft.learn.NeighborSample.sample(
         edgesOrdersCustomer(s, dir), fanout = 5, seed = 11L)),
+    // G12: attention-weighted propagation (frozen GATv2 analogue) — exp
+    // softmax sums are float-order dependent, so rows-only (no oracle).
+    "q27_attention_embed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+        .addDegree.restrictTo(Set("customer"), hops = 1)
+      val emb = graft.learn.Propagate.attentionRounds(
+        g, graft.learn.Propagate.degreeInit(g), rounds = 1)
+      emb("customer").select(col("id"),
+        round(element_at(col("vec"), 1), 6).as("h"))
+    }),
     // G15: trained link-prediction head (LR over Hadamard features) —
     // not SQL-expressible (L-BFGS training); driver records rows-only.
     "q28_train_metrics" -> ((s, dir) => {
@@ -400,6 +421,24 @@ object SparkEntry {
         |FROM orders o
         |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    // session semantics twin: new session when the gap to the previous
+    // event is >= 30 min (Spark's session_window end is exclusive)
+    "q15_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q20_node_counts" ->
       """SELECT 'region' AS node_type, COUNT(*) AS n FROM region
         |UNION ALL SELECT 'nation', COUNT(*) FROM nation
