@@ -241,8 +241,10 @@ object SparkEntry {
     // softmax sums are float-order dependent, so rows-only (no oracle).
     "q27_attention_embed" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      // restrict BEFORE addDegree: degree then aggregates only the two
+      // customer-incident edge types instead of every edge in the graph
       val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
-        .addDegree.restrictTo(Set("customer"), hops = 1)
+        .restrictTo(Set("customer"), hops = 1).addDegree
       val emb = graft.learn.Propagate.attentionRounds(
         g, graft.learn.Propagate.degreeInit(g), rounds = 1)
       emb("customer").select(col("id"),

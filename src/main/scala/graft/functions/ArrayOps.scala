@@ -16,8 +16,20 @@ import org.apache.spark.sql.Encoder
 object ArrayOps {
 
   /** Rowwise dot product of two array columns with double accumulation,
-    * left-to-right (deterministic): F9, `model.py:76`. */
-  def dot(a: Column, b: Column): Column =
+    * left-to-right (deterministic): F9, `model.py:76`. Backed by the
+    * codegen [[graft.functions.expressions.DotProduct]] Expression — a
+    * primitive loop in whole-stage codegen instead of interpreted
+    * `zip_with`/`aggregate` lambdas. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(expressions.DotProduct(
+      GraftExpressionBridge.expression(a.cast("array<double>")),
+      GraftExpressionBridge.expression(b.cast("array<double>"))))
+  }
+
+  /** The pure-builtin formulation of [[dot]] (kept as the semantic
+    * reference; the spec asserts equivalence with the codegen path). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -133,11 +133,15 @@ object Propagate {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
           val src = h(k.src).select(col("id").as("src"), col("vec").as("src_vec"))
           val dst = h(k.dst).select(col("id").as("dst"), col("vec").as("dst_vec"))
+          // barrier: the softmax pattern references this frame four times
+          // (max stats, exp, denominator, weighted agg) — without it the
+          // edge join + dot replays per reference
           val scored = edges.join(src, Seq("src")).join(dst, Seq("dst"))
             .withColumn("s", {
               val d = ArrayOps.dot(col("src_vec"), col("dst_vec"))
               when(d > 0, d).otherwise(d * leakySlope) // leaky_relu
             })
+            .localCheckpoint(eager = false)
           val stats = scored.groupBy(col("dst"))
             .agg(max(col("s")).as("s_max"))
           val withExp = scored.join(stats, Seq("dst"))

@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 
 class ArrayOpsSpec extends SparkSpec {
 
+  test("codegen DotProduct matches the HOF reference formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0)),
+      (Array(-1.5, 2.5), Array(2.0, 4.0))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.ArrayOps.dot(col("a"), col("b")).as("fast"),
+      graft.functions.ArrayOps.dotHof(col("a"), col("b")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // float arrays go through the implicit cast
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(graft.functions.ArrayOps.dot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(f == 11.0)
+    // null input -> null
+    val n = Seq((Option.empty[Array[Double]], Some(Array(1.0))))
+      .toDF("a", "b")
+      .select(graft.functions.ArrayOps.dot(col("a"), col("b")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   private def one(c: org.apache.spark.sql.Column): Double = {
     import spark.implicits._
     Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 0.5f, -1.0f)))
