@@ -328,6 +328,10 @@ object SparkEntry {
     "q41_ann_lsh" -> ((s, dir) =>
       graft.ext.Similarity.annTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // IVF approximate top-k (seeded-centroid inverted lists, nProbe=4)
+    "q42_ann_ivf" -> ((s, dir) =>
+      graft.ext.Similarity.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -553,5 +557,21 @@ object SparkEntry {
         |  SELECT kb.vec_id AS id, MAX(list_cosine_similarity(kb.v, q.qv)) AS score
         |  FROM kb JOIN q ON kb.key = q.key WHERE kb.vec_id <> 0 GROUP BY 1)
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "q42_ann_ivf" ->
+      s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM (
+        |  SELECT id, v, row_number() OVER (ORDER BY ${DetRandom.uniformSql("id", "id", 42L)}, id) AS rn FROM s)
+        |  WHERE rn <= 16),
+        |asg AS (SELECT id, v, cid FROM (
+        |  SELECT s.id, s.v, c.cid,
+        |    row_number() OVER (PARTITION BY s.id ORDER BY list_dot_product(s.v, c.cv) DESC, c.cid) AS rk
+        |  FROM s CROSS JOIN c) WHERE rk = 1),
+        |qv AS (SELECT v FROM s WHERE id = 0),
+        |probes AS (SELECT cid FROM (
+        |  SELECT c.cid, row_number() OVER (ORDER BY list_dot_product(c.cv, (SELECT v FROM qv)) DESC, c.cid) AS rk
+        |  FROM c) WHERE rk <= 4)
+        |SELECT id FROM asg JOIN probes USING (cid)
+        |WHERE id <> 0
+        |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
   )
 }

@@ -109,6 +109,52 @@ object Similarity {
       .select("id")
   }
 
+  /** IVF-style approximate top-k: `nCentroids` centroids are a seeded
+    * deterministic sample of the corpus's own vectors (rank by
+    * [[graft.learn.DetRandom]] over the id — reproducible in SQL, unlike
+    * k-means iterations), every vector is assigned to its max-inner-product
+    * centroid, and the query probes the `nProbe` nearest centroid lists,
+    * ranking candidates by exact cosine. The inverted-file shape is the
+    * point: at corpus scale the assignment is one broadcast-join pass and
+    * a query touches ~nProbe/nCentroids of the data instead of all of it.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val centroids = s
+      .withColumn("r", graft.learn.DetRandom.uniform(col("id"), col("id"), seed))
+      .orderBy(col("r"), col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    // assignment: argmax inner product, centroid-id tiebreak
+    val asgW = Window.partitionBy("id")
+      .orderBy(desc("dp"), asc("cid"))
+    val assigned = s.crossJoin(broadcast(centroids))
+      .withColumn("dp", ArrayOps.dot(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(asgW))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    val qv = s.filter(col("id") === queryId).select(col("v").as("qv"))
+    val probes = centroids.crossJoin(broadcast(qv))
+      .withColumn("dp", ArrayOps.dot(col("cv"), col("qv")))
+      .orderBy(desc("dp"), asc("cid")).limit(nProbe)
+      .select(col("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("id"), ArrayOps.cosine(col("v"), col("qv")).as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
+  }
+
   /** The oracle twin of [[nearDupCosine]]/[[annTopK]]'s bucket step, as a
     * SQL scalar expression list: one key expression per table, over the
     * same seeded planes. `vecExpr` must be a DOUBLE list expression. */

@@ -60,6 +60,24 @@ class SimilaritySpec extends SparkSpec {
     assert(many.size * 3 >= brute.size, "24-table recall collapsed below 1/3")
   }
 
+  test("ivfTopK: bounded, deterministic, ranked by exact cosine") {
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.length <= 5 && !out.contains(0L) && out.distinct == out)
+    val out2 = Similarity.ivfTopK(
+      emb.repartition(7), "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == out2)
+    // recall vs brute force (report only — IVF probes a fraction of lists)
+    val brute = emb.select($"vec_id", $"embedding")
+      .crossJoin(emb.filter($"vec_id" === 0).select($"embedding".as("q")))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", ArrayOps.cosine($"embedding", $"q").as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    info(s"ivf recall@5: ${out.toSet.intersect(brute).size}/5")
+  }
+
   test("annTopK candidates are ranked by exact cosine and bounded by k") {
     val out = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5)
       .collect().map(_.getLong(0))
