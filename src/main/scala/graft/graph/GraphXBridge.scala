@@ -139,6 +139,19 @@ object GraphXBridge {
     byTypeVec(hx, updated, init.keySet)
   }
 
+  /** L rounds of [[meanRound]] — the Pregel-shaped loop: the flattened
+    * edge RDD is partitioned once and every round's `aggregateMessages`
+    * reuses it, versus the DataFrame loop's shuffle-per-type-per-round.
+    * Prefer this backend when the edge list dominates cluster memory. */
+  def meanRounds(
+      hx: HeteroGraphX,
+      init: Map[String, DataFrame],
+      rounds: Int)(implicit spark: SparkSession): Map[String, DataFrame] = {
+    var h = init
+    for (_ <- 1 to rounds) h = meanRound(hx, h)
+    h
+  }
+
   private def byType(
       hx: HeteroGraphX, rdd: RDD[(VertexId, Long)])(
       implicit spark: SparkSession): Map[String, DataFrame] = {
