@@ -23,6 +23,27 @@ object GraphBuilder {
     */
   def denseIds(df: DataFrame, pkCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Fast path: an integral PK that is already dense (max−min+1 == count,
+    // unique by catalog contract) maps with a subtraction — rank order and
+    // therefore ids are identical to the general path, but the mapping
+    // becomes a scan-level projection instead of distinct+shuffle+window.
+    // The probe is one column-pruned agg pass; graph mappings are cached
+    // and reused, so the probe amortises immediately.
+    val integral = df.schema(pkCol).dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      val r = df.agg(
+        min(col(pkCol)), max(col(pkCol)), count(lit(1))).head()
+      if (!r.isNullAt(0)) {
+        val (lo, hi, n) =
+          (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(), r.getLong(2))
+        if (hi - lo + 1 == n)
+          return df.select(col(pkCol).as("pk"),
+            (col(pkCol).cast("long") - lo).as("id"))
+      }
+    }
     // Range-partition so partition order == pk order, rank within each
     // partition, then add cumulative partition offsets (a tiny windowed
     // aggregate over #partitions rows). Equivalent to a global
