@@ -53,6 +53,20 @@ class TrainSpec extends SparkSpec {
     assert(!before.sameElements(after))
   }
 
+  test("Tuning.gridSearch ranks trials by metric, deterministically") {
+    val g = graph()
+    val configs = Seq(
+      graft.learn.TrialConfig(rounds = 1, valFrac = 0.15, seed = 42L),
+      graft.learn.TrialConfig(rounds = 2, valFrac = 0.2, seed = 7L))
+    val r1 = graft.learn.Tuning.gridSearch(g, targetKey, configs)
+    assert(r1.size == 2)
+    assert(r1.head.metrics("accuracy") >= r1.last.metrics("accuracy"))
+    val r2 = graft.learn.Tuning.gridSearch(g, targetKey, configs)
+    assert(r1.map(_.config) == r2.map(_.config))
+    assert(graft.learn.Tuning.randomConfigs(5, 1L) ==
+      graft.learn.Tuning.randomConfigs(5, 1L))
+  }
+
   test("TrainLR: well-formed metrics, deterministic, stored+reloaded") {
     val g = graph()
     val m1 = TrainLR.train(g, targetKey, rounds = 1, seed = 42L)
