@@ -103,6 +103,80 @@ object Propagate {
     h
   }
 
+  /** [[meanRounds]] semantics over a FLATTENED graph: node types offset
+    * into one global Long id space (same layout as the GraphX bridge), all
+    * edge types in one tagged frame, all embeddings in one frame. Per
+    * round: one shuffle join (edges ⨝ src embeddings), one two-level
+    * aggregation ((dst,tag) mean → dst sum + type count), one join back to
+    * the self embedding — **~3 shuffles per round TOTAL**, versus
+    * 2·|edge types| for the per-type loop, and a single plan per round for
+    * the scheduler instead of a job fan-out. On local[32] at fixture scale
+    * the two measure the same (~6s for 2 rounds over 12 types at sf0.1 —
+    * small shuffles are cheap locally); the flat shape is for the cluster
+    * regime, where stage count and per-stage skew dominate. The per-type
+    * loop remains the readable reference implementation.
+    */
+  def meanRoundsFlat(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int,
+      dim: Int = 1): Map[String, DataFrame] = {
+    val types = init.keys.toSeq.sorted
+    // offsets from max(id)+1 per type, like GraphXBridge (one tiny agg per
+    // type; amortised by the round loop)
+    val sizes = types.map(t => t -> (g.nodes(t).agg(max(col("id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }))
+    val offsets = sizes.scanLeft(("", 0L)) {
+      case ((_, acc), (t, n)) => (t, acc + n)
+    }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
+
+    val flatEdges = g.edges.toSeq
+      .filter { case (k, _) => offsets.contains(k.src) && offsets.contains(k.dst) }
+      .sortBy(_._1.name)
+      .zipWithIndex.map { case ((k, df), tag) =>
+        df.select(
+          (col("src") + offsets(k.src)).as("src"),
+          (col("dst") + offsets(k.dst)).as("dst"),
+          lit(tag).as("tag"))
+      }
+      .reduce(_ unionByName _)
+      .localCheckpoint(eager = false) // one partitioned edge frame, reused per round
+
+    var h: DataFrame = types.map { t =>
+      init(t).select((col("id") + offsets(t)).as("gid"), col("vec"))
+    }.reduce(_ unionByName _)
+
+    for (_ <- 1 to rounds) {
+      val perTypeMean = flatEdges
+        .join(h.select(col("gid").as("src"), col("vec")), Seq("src"))
+        .groupBy(col("dst"), col("tag"))
+        .agg(sumVec("vec", dim, "s").head,
+             sumVec("vec", dim, "s").tail :+ count(lit(1)).as("n"): _*)
+        .select(col("dst"),
+          transform(assembled("s", dim), x => x / col("n")).as("msg"))
+      val msgs = perTypeMean
+        .groupBy(col("dst").as("gid"))
+        .agg(sumVec("msg", dim, "m").head,
+             sumVec("msg", dim, "m").tail :+ count(lit(1)).as("n_types"): _*)
+        .select(col("gid"), assembled("m", dim).as("msg_sum"), col("n_types"))
+      h = h.join(msgs, Seq("gid"), "left")
+        .select(col("gid"),
+          when(col("msg_sum").isNull, col("vec"))
+            .otherwise(expr(
+              "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
+            .as("vec"))
+        .localCheckpoint(eager = false)
+    }
+    types.map { t =>
+      val lo = offsets(t)
+      val hi = lo + sizes.toMap.apply(t)
+      t -> h.filter(col("gid") >= lo && col("gid") < hi)
+        .select((col("gid") - lo).as("id"), col("vec"))
+    }.toMap
+  }
+
   /** Attention-weighted rounds — the frozen-parameter analogue of the
     * reference's GATv2 layer (`model.py:92-94`): per edge type, edge
     * (u,v) gets weight `α(u,v) = softmax_v(leaky_relu(dot(h_u, h_v)))`

@@ -78,6 +78,23 @@ class LearnSpec extends SparkSpec {
     assert(m("bce") > 0)
   }
 
+  test("meanRoundsFlat matches the per-type loop") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val g = graft.graph.GraphBuilder
+      .build(graft.catalog.Catalogs.tpch, n => Tables.load(spark, sf(), n))
+      .addDegree.withReverseEdges.withSelfLoops
+    val init = Propagate.degreeInit(g)
+    val loop = Propagate.meanRounds(g, init, 2, checkpoint = false)
+    val flat = Propagate.meanRoundsFlat(g, init, 2)
+    for (t <- Seq("customer", "orders", "part")) {
+      import org.apache.spark.sql.functions._
+      val j = flat(t).select(col("id"), element_at(col("vec"), 1).as("a"))
+        .join(loop(t).select(col("id"), element_at(col("vec"), 1).as("b")), Seq("id"))
+      assert(j.count() == loop(t).count(), s"$t id sets differ")
+      assert(j.filter(abs(col("a") - col("b")) > 1e-9).count() == 0, s"$t values differ")
+    }
+  }
+
   test("scoreEdges computes sigmoid(dot)") {
     import spark.implicits._
     val emb = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0, -1.0)))
