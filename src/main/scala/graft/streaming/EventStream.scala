@@ -71,6 +71,20 @@ object EventStream {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop events whose `idCol` was already seen,
+    * with state bounded by the watermark (Spark's
+    * `dropDuplicatesWithinWatermark` — late duplicates beyond the
+    * watermark age out of the state store instead of accumulating
+    * forever). The streaming twin of the batch hash-dedup (q30).
+    * Note: rows are only EMITTED once the watermark passes their event
+    * time (observed behaviour on 4.1 — plan on a watermark's worth of
+    * output latency, not immediate pass-through). */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
   /** Custom keyed state (the `mapGroupsWithState` surface, SURVEY.md
     * §2.10): cumulative per-user event count + value total maintained
     * across micro-batches. Emits the updated running totals each batch. */

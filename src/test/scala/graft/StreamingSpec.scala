@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops cross-batch duplicate ids within the watermark") {
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = EventStream.withEventTime(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = EventStream.dedupStream(streamDf, "event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, sec: Long) = (id, sec * 1000000000L, 1L, "x", 1.0, "")
+      input.addData(Seq(ev(1, 0), ev(2, 10), ev(1, 20))) // in-batch dup of 1
+      q.processAllAvailable()
+      input.addData(Seq(ev(2, 30), ev(3, 40)))           // cross-batch dup of 2
+      q.processAllAvailable()
+      // a far-future row advances the watermark so earlier rows finalise
+      input.addData(Seq(ev(99, 100000)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 99L))
+    } finally q.stop()
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
