@@ -64,7 +64,7 @@ object TrainLR {
       .cached()
     val trainPos = split.trainPos.cache()
     val valPos = split.valPos.cache()
-    val emb = Propagate.meanRounds(
+    val emb = Propagate.meanRoundsFlat(
       msgGraph, Propagate.degreeInit(msgGraph), rounds)
 
     val nDst = g.nodes(target.dst).count()
