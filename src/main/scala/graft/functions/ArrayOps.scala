@@ -37,8 +37,18 @@ object ArrayOps {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
+  /** Cosine similarity; 0 when either vector is all-zero. Fused codegen
+    * expression — one pass over the arrays for all three accumulators
+    * instead of the three passes the composed form costs. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(expressions.CosineSimilarity(
+      GraftExpressionBridge.expression(a.cast("array<double>")),
+      GraftExpressionBridge.expression(b.cast("array<double>"))))
+  }
+
+  /** Composed-form cosine (kept as the semantic reference for the spec). */
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = sqrt(normSq(a))
     val nb = sqrt(normSq(b))

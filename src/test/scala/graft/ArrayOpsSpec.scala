@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class ArrayOpsSpec extends SparkSpec {
 
+  test("fused CosineSimilarity matches the composed formulation exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)),   // zero vector -> 0
+      (Array(-1.5, 2.5, 0.25), Array(2.0, 4.0, -8.0)),
+      (Array(1e-7, 2e7, 3.3), Array(4.4, -5e-6, 6.6))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.ArrayOps.cosine(col("a"), col("b")).as("fused"),
+      graft.functions.ArrayOps.cosineComposed(col("a"), col("b")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("codegen DotProduct matches the HOF reference formulation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
