@@ -221,7 +221,7 @@ object Dedup {
     val banded = hashed.select(col("doc_id"),
       posexplode(minhashBandKeysUdf(k, bands, rows, seed = 42L)(col("hs")))
         .as(Seq("band", "key")))
-      .localCheckpoint(eager = false) // self-join reads it twice
+      .localCheckpoint(eager = true) // self-join reads it twice
     verifyJaccard(candidatePairs(banded), hashed.select(col("doc_id"), col("sh")), tau)
   }
 
@@ -274,7 +274,7 @@ object Dedup {
       .withColumn("r", simhashUdf(blocks)(col("hs")))
       .select(col("doc_id"), col("r._1").as("fp"),
         posexplode(col("r._2")).as(Seq("band", "key")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val cand = blocked.as("x")
       .join(blocked.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
@@ -291,7 +291,7 @@ object Dedup {
         prepUdf(n)(col(textCol)).as("p"))
       .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
   /** Bucket self-join: distinct `(doc_a < doc_b)` pairs sharing any
     * (band, key). */

@@ -119,8 +119,8 @@ final case class HeteroGraph(
     * reference. One materialisation, then every consumer reads columnar
     * blocks. Call before multi-pass algorithms. */
   def materialized(): HeteroGraph =
-    HeteroGraph(nodes.map { case (t, d) => t -> d.localCheckpoint(eager = false) },
-                edges.map { case (k, d) => k -> d.localCheckpoint(eager = false) })
+    HeteroGraph(nodes.map { case (t, d) => t -> d.localCheckpoint(eager = true) },
+                edges.map { case (k, d) => k -> d.localCheckpoint(eager = true) })
 }
 
 object HeteroGraph {

@@ -42,13 +42,22 @@ object Propagate {
     * so checkpointing the node types one by one serialises otherwise
     * independent jobs. Submitting from parallel threads lets the scheduler
     * overlap them across cores. (cache() is no better serial-wise: AQE
-    * cannot re-optimise inside InMemoryRelation and round plans nest.) */
+    * cannot re-optimise inside InMemoryRelation and round plans nest.)
+    *
+    * Checkpoints are EAGER: with `eager = false` the final checkpoint job
+    * is deferred until the first downstream action, by which time the
+    * originating SQLExecution (and its SQL-metric accumulators) may be
+    * gone — task completions then hit dead accumulators and the
+    * DAGScheduler logs `updateAccumulators` errors on every bench run.
+    * Since AQE executes all query stages at call time even for
+    * `eager = false`, eagerness only moves the cheap final job, and it
+    * runs while the execution context is still alive. */
   private def barrier(h: Map[String, DataFrame]): Map[String, DataFrame] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val fs = h.toSeq.map { case (t, df) =>
-      Future(t -> df.localCheckpoint(eager = false))
+      Future(t -> df.localCheckpoint(eager = true))
     }
     fs.map(f => Await.result(f, Duration.Inf)).toMap
   }
@@ -142,7 +151,7 @@ object Propagate {
           lit(tag).as("tag"))
       }
       .reduce(_ unionByName _)
-      .localCheckpoint(eager = false) // one partitioned edge frame, reused per round
+      .localCheckpoint() // eager (see barrier); one edge frame reused per round
 
     var h: DataFrame = types.map { t =>
       init(t).select((col("id") + offsets(t)).as("gid"), col("vec"))
@@ -167,7 +176,7 @@ object Propagate {
             .otherwise(expr(
               "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
             .as("vec"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint() // eager — see barrier scaladoc
     }
     types.map { t =>
       val lo = offsets(t)
@@ -215,7 +224,7 @@ object Propagate {
               val d = ArrayOps.dot(col("src_vec"), col("dst_vec"))
               when(d > 0, d).otherwise(d * leakySlope) // leaky_relu
             })
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
           val stats = scored.groupBy(col("dst"))
             .agg(max(col("s")).as("s_max"))
           val withExp = scored.join(stats, Seq("dst"))
