@@ -250,6 +250,25 @@ object SparkEntry {
       emb("customer").select(col("id"),
         round(element_at(col("vec"), 1), 6).as("h"))
     }),
+    // G12 oracle witness: fixed-point (scaled-long, floor-mean) propagation.
+    // Integer sums are exact and order-independent, so the L-round
+    // message-passing core gets a hash-exact DuckDB oracle; the double and
+    // attention variants stay rows-only under the float-order policy.
+    // Graph: reverse edges so messages flow both ways (customer ⇄ orders),
+    // restricted to the 4 edge types incident to {customer, orders}.
+    "q29_propagate_fixed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+        .withReverseEdges
+        .restrictTo(Set("customer", "orders"), hops = 1)
+        .addDegree
+      val emb = graft.learn.Propagate.meanRoundsFixed(
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+      emb("customer")
+        .select(lit("customer").as("node_type"), col("id"), col("h"))
+        .unionByName(emb("orders")
+          .select(lit("orders").as("node_type"), col("id"), col("h")))
+    }),
     // G15: trained link-prediction head (LR over Hadamard features) —
     // not SQL-expressible (L-BFGS training); driver records rows-only.
     "q28_train_metrics" -> ((s, dir) => {
@@ -500,6 +519,77 @@ object SparkEntry {
         |    ORDER BY ${DetRandom.uniformSql("src", "dst", 11L)}, src) AS rn
         |FROM e)
         |SELECT src, dst FROM r WHERE rn <= 5""".stripMargin,
+    // Fixed-point propagation unrolled to 2 rounds. Restricted graph =
+    // {orders→customer, events→customer, nation_REV→customer,
+    //  customer_REV→orders}; degrees counted over exactly those types + 1.
+    // Events and nation receive no messages, so their h (and the messages
+    // they send) are round-invariant: me / mn below serve both rounds.
+    // DuckDB SUM(BIGINT) widens to HUGEINT → every floor-mean is cast back.
+    "q29_propagate_fixed" ->
+      s"""WITH cm AS ($cmSql), om AS ($omSql),
+        |no_ AS (SELECT o_custkey AS pk, COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |ne_ AS (SELECT user_id AS pk, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |nc_ AS (SELECT c_nationkey AS pk, COUNT(*) AS n FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+        |h0c AS (
+        |  SELECT c_custkey AS pk,
+        |    CAST(1 + 2*COALESCE(no_.n,0) + COALESCE(ne_.n,0)
+        |       + CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) * 1000000 AS h,
+        |    COALESCE(no_.n,0) > 0 AS has_o,
+        |    COALESCE(ne_.n,0) > 0 AS has_e,
+        |    c_nationkey IS NOT NULL AS has_n
+        |  FROM customer LEFT JOIN no_ ON c_custkey = no_.pk LEFT JOIN ne_ ON c_custkey = ne_.pk),
+        |h0o AS (
+        |  SELECT o_orderkey AS pk, o_custkey,
+        |    CAST(1 + 2*(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 AS h
+        |  FROM orders),
+        |h0n AS (
+        |  SELECT n_nationkey AS pk, CAST(1 + COALESCE(nc_.n,0) AS BIGINT) * 1000000 AS h
+        |  FROM nation LEFT JOIN nc_ ON n_nationkey = nc_.pk),
+        |h0e AS (
+        |  SELECT user_id, CAST(2 AS BIGINT) * 1000000 AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |me AS (SELECT user_id AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m FROM h0e GROUP BY user_id),
+        |mn AS (SELECT c.c_custkey AS pk, CAST(SUM(h0n.h) // COUNT(*) AS BIGINT) AS m
+        |       FROM customer c JOIN h0n ON h0n.pk = c.c_nationkey GROUP BY c.c_custkey),
+        |m1o AS (SELECT o_custkey AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m
+        |        FROM h0o WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |r1c AS (
+        |  SELECT h0c.pk, h0c.has_o, h0c.has_e, h0c.has_n,
+        |    CASE WHEN NOT (has_o OR has_e OR has_n) THEN h0c.h
+        |    ELSE (h0c.h + COALESCE(m1o.m,0) + COALESCE(me.m,0) + COALESCE(mn.m,0))
+        |      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
+        |         + CASE WHEN has_n THEN 1 ELSE 0 END)
+        |    END AS h
+        |  FROM h0c LEFT JOIN m1o ON h0c.pk = m1o.pk LEFT JOIN me ON h0c.pk = me.pk
+        |    LEFT JOIN mn ON h0c.pk = mn.pk),
+        |m1c AS (SELECT o.o_orderkey AS pk, CAST(SUM(h0c.h) // COUNT(*) AS BIGINT) AS m
+        |        FROM orders o JOIN h0c ON h0c.pk = o.o_custkey GROUP BY o.o_orderkey),
+        |r1o AS (
+        |  SELECT h0o.pk, h0o.o_custkey,
+        |    CASE WHEN m1c.m IS NULL THEN h0o.h ELSE (h0o.h + m1c.m) // 2 END AS h
+        |  FROM h0o LEFT JOIN m1c ON h0o.pk = m1c.pk),
+        |m2o AS (SELECT o_custkey AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m
+        |        FROM r1o WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |r2c AS (
+        |  SELECT r1c.pk,
+        |    CASE WHEN NOT (has_o OR has_e OR has_n) THEN r1c.h
+        |    ELSE (r1c.h + COALESCE(m2o.m,0) + COALESCE(me.m,0) + COALESCE(mn.m,0))
+        |      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
+        |         + CASE WHEN has_n THEN 1 ELSE 0 END)
+        |    END AS h
+        |  FROM r1c LEFT JOIN m2o ON r1c.pk = m2o.pk LEFT JOIN me ON r1c.pk = me.pk
+        |    LEFT JOIN mn ON r1c.pk = mn.pk),
+        |m2c AS (SELECT o.o_orderkey AS pk, CAST(SUM(r1c.h) // COUNT(*) AS BIGINT) AS m
+        |        FROM orders o JOIN r1c ON r1c.pk = o.o_custkey GROUP BY o.o_orderkey),
+        |r2o AS (
+        |  SELECT r1o.pk,
+        |    CASE WHEN m2c.m IS NULL THEN r1o.h ELSE (r1o.h + m2c.m) // 2 END AS h
+        |  FROM r1o LEFT JOIN m2c ON r1o.pk = m2c.pk)
+        |SELECT 'customer' AS node_type, cm.id AS id, CAST(r2c.h AS BIGINT) AS h
+        |FROM r2c JOIN cm ON cm.pk = r2c.pk
+        |UNION ALL
+        |SELECT 'orders', om.id, CAST(r2o.h AS BIGINT)
+        |FROM r2o JOIN om ON om.pk = r2o.pk""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         |COUNT(*) AS n_dupes FROM documents GROUP BY md5(text)""".stripMargin,

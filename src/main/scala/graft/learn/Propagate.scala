@@ -186,6 +186,63 @@ object Propagate {
     }.toMap
   }
 
+  /** Fixed-point twin of [[meanRounds]] over a single scaled-long channel:
+    * embeddings are `h: bigint` (value × scale), per-type means are
+    * floor-divided long sums, and the cross-type combine is
+    * `(h + Σ msgs) div (1 + n_types)`. Long addition is exact and
+    * order-independent, so — unlike the double variants, whose float sums
+    * are partition-order dependent — this propagation is ANSI-SQL
+    * expressible and hash-exact against a DuckDB oracle (the round
+    * recurrence is the same `model.py:92-94` shape, truncated instead of
+    * rounded). This is the correctness witness for the message-passing
+    * core (G12); the double/attention variants remain the production
+    * scorers. Same scale shape as [[meanRounds]]: one join + two
+    * aggregations per edge type per round, all map-side combinable. */
+  def meanRoundsFixed(
+      g: HeteroGraph,
+      init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
+      rounds: Int,
+      checkpoint: Boolean = false): Map[String, DataFrame] = {
+    var h = init
+    for (_ <- 1 to rounds) {
+      val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
+        case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
+          val src = h(k.src).select(col("id").as("src"), col("h"))
+          k.dst -> edges.join(src, Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(expr("sum(h) div count(1)").as("msg")) // floor-mean, exact
+      }
+      val byDst = perType.groupBy(_._1)
+      h = h.map { case (t, cur) =>
+        val updated = byDst.get(t) match {
+          case None => cur
+          case Some(parts) =>
+            val msgs = parts.map(_._2).reduce(_ unionByName _)
+              .groupBy("id")
+              .agg(sum("msg").as("msg_sum"), count(lit(1)).as("n_types"))
+            cur.join(msgs, Seq("id"), "left")
+              .select(col("id"),
+                when(col("msg_sum").isNull, col("h"))
+                  .otherwise(expr("(h + msg_sum) div (1 + n_types)"))
+                  .as("h"))
+        }
+        t -> updated
+      }
+      if (checkpoint) h = barrier(h)
+    }
+    h
+  }
+
+  /** Scaled-long degree init for [[meanRoundsFixed]]: `h = degree × scale`
+    * where degree is the last feature after [[HeteroGraph.addDegree]].
+    * Degrees are integers well below 2^24, so the float→long cast is
+    * exact. */
+  def degreeInitFixed(g: HeteroGraph, scale: Long = 1000000L): Map[String, DataFrame] =
+    g.nodes.map { case (t, df) =>
+      t -> df.select(col("id"),
+        (element_at(col("features"), -1).cast("long") * scale).as("h"))
+    }
+
   /** Attention-weighted rounds — the frozen-parameter analogue of the
     * reference's GATv2 layer (`model.py:92-94`): per edge type, edge
     * (u,v) gets weight `α(u,v) = softmax_v(leaky_relu(dot(h_u, h_v)))`
