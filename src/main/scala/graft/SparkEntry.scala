@@ -42,7 +42,8 @@ object SparkEntry {
     implicit val s: SparkSession = spark
     val dir = "/root/testdata/sf0.001"
     val g = GraphBuilder
-      .build(Catalogs.tpch, n => t(spark, dir, n), extraEdges = Seq(ordersPartEdge))
+      .build(Catalogs.tpch, n => t(spark, dir, n), extraEdges = Seq(ordersPartEdge),
+        probeDense = true)
       .addDegree.withReverseEdges.withSelfLoops
     Recommend.recommend(g, EdgeKey("orders", "hasPart", "part"),
       seedDst = Seq(1L, 2L, 3L), k = 10)
@@ -57,6 +58,71 @@ object SparkEntry {
     s"WITH cm AS ($cmSql), om AS ($omSql) " +
     "SELECT om.id AS src, cm.id AS dst FROM orders o " +
     "JOIN om ON o.o_orderkey = om.pk JOIN cm ON o.o_custkey = cm.pk"
+
+  /** Oracle CTE chain shared by the fixed-point propagation family
+    * (q29/q43): 2 unrolled rounds of scaled-long floor-mean message
+    * passing over the {customer, orders}-restricted reverse-edged
+    * graph; ends with `r2c` (customer h) / `r2o` (orders h), both
+    * keyed by original pk. Requires `cm`/`om` dense-id CTEs in scope. */
+  private val fixedPropCtes =
+    """no_ AS (SELECT o_custkey AS pk, COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+ne_ AS (SELECT user_id AS pk, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+nc_ AS (SELECT c_nationkey AS pk, COUNT(*) AS n FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+h0c AS (
+  SELECT c_custkey AS pk,
+    CAST(1 + 2*COALESCE(no_.n,0) + COALESCE(ne_.n,0)
+       + CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) * 1000000 AS h,
+    COALESCE(no_.n,0) > 0 AS has_o,
+    COALESCE(ne_.n,0) > 0 AS has_e,
+    c_nationkey IS NOT NULL AS has_n
+  FROM customer LEFT JOIN no_ ON c_custkey = no_.pk LEFT JOIN ne_ ON c_custkey = ne_.pk),
+h0o AS (
+  SELECT o_orderkey AS pk, o_custkey,
+    CAST(1 + 2*(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 AS h
+  FROM orders),
+h0n AS (
+  SELECT n_nationkey AS pk, CAST(1 + COALESCE(nc_.n,0) AS BIGINT) * 1000000 AS h
+  FROM nation LEFT JOIN nc_ ON n_nationkey = nc_.pk),
+h0e AS (
+  SELECT user_id, CAST(2 AS BIGINT) * 1000000 AS h
+  FROM events WHERE user_id IS NOT NULL),
+me AS (SELECT user_id AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m FROM h0e GROUP BY user_id),
+mn AS (SELECT c.c_custkey AS pk, CAST(SUM(h0n.h) // COUNT(*) AS BIGINT) AS m
+       FROM customer c JOIN h0n ON h0n.pk = c.c_nationkey GROUP BY c.c_custkey),
+m1o AS (SELECT o_custkey AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m
+        FROM h0o WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+r1c AS (
+  SELECT h0c.pk, h0c.has_o, h0c.has_e, h0c.has_n,
+    CASE WHEN NOT (has_o OR has_e OR has_n) THEN h0c.h
+    ELSE (h0c.h + COALESCE(m1o.m,0) + COALESCE(me.m,0) + COALESCE(mn.m,0))
+      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
+         + CASE WHEN has_n THEN 1 ELSE 0 END)
+    END AS h
+  FROM h0c LEFT JOIN m1o ON h0c.pk = m1o.pk LEFT JOIN me ON h0c.pk = me.pk
+    LEFT JOIN mn ON h0c.pk = mn.pk),
+m1c AS (SELECT o.o_orderkey AS pk, CAST(SUM(h0c.h) // COUNT(*) AS BIGINT) AS m
+        FROM orders o JOIN h0c ON h0c.pk = o.o_custkey GROUP BY o.o_orderkey),
+r1o AS (
+  SELECT h0o.pk, h0o.o_custkey,
+    CASE WHEN m1c.m IS NULL THEN h0o.h ELSE (h0o.h + m1c.m) // 2 END AS h
+  FROM h0o LEFT JOIN m1c ON h0o.pk = m1c.pk),
+m2o AS (SELECT o_custkey AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m
+        FROM r1o WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+r2c AS (
+  SELECT r1c.pk,
+    CASE WHEN NOT (has_o OR has_e OR has_n) THEN r1c.h
+    ELSE (r1c.h + COALESCE(m2o.m,0) + COALESCE(me.m,0) + COALESCE(mn.m,0))
+      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
+         + CASE WHEN has_n THEN 1 ELSE 0 END)
+    END AS h
+  FROM r1c LEFT JOIN m2o ON r1c.pk = m2o.pk LEFT JOIN me ON r1c.pk = me.pk
+    LEFT JOIN mn ON r1c.pk = mn.pk),
+m2c AS (SELECT o.o_orderkey AS pk, CAST(SUM(r1c.h) // COUNT(*) AS BIGINT) AS m
+        FROM orders o JOIN r1c ON r1c.pk = o.o_custkey GROUP BY o.o_orderkey),
+r2o AS (
+  SELECT r1o.pk,
+    CASE WHEN m2c.m IS NULL THEN r1o.h ELSE (r1o.h + m2c.m) // 2 END AS h
+  FROM r1o LEFT JOIN m2c ON r1o.pk = m2c.pk)"""
 
   /** Spark-side dense-id edge list for orders→customer (G2/G5/J5). */
   private def edgesOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
@@ -207,7 +273,7 @@ object SparkEntry {
     // G6: degree feature (customer): incident endpoints over all edge types + 1
     "q22_degree_customer" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n)).addDegree
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true).addDegree
       g.nodes("customer").select(col("id"),
         element_at(col("features"), -1).cast("long").as("degree"))
     }),
@@ -215,7 +281,7 @@ object SparkEntry {
     "q23_graph_summary" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
         .withReverseEdges.withSelfLoops
       g.edges.toSeq.map { case (k, df) =>
         df.agg(count(lit(1)).as("n")).select(lit(k.name).as("edge_type"), $"n")
@@ -243,7 +309,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       // restrict BEFORE addDegree: degree then aggregates only the two
       // customer-incident edge types instead of every edge in the graph
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
         .restrictTo(Set("customer"), hops = 1).addDegree
       val emb = graft.learn.Propagate.attentionRounds(
         g, graft.learn.Propagate.degreeInit(g), rounds = 1)
@@ -258,7 +324,7 @@ object SparkEntry {
     // restricted to the 4 edge types incident to {customer, orders}.
     "q29_propagate_fixed" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
         .withReverseEdges
         .restrictTo(Set("customer", "orders"), hops = 1)
         .addDegree
@@ -269,12 +335,47 @@ object SparkEntry {
         .unionByName(emb("orders")
           .select(lit("orders").as("node_type"), col("id"), col("h")))
     }),
+    // Trained-head serving (the missing reference flow: checkpoint-loaded
+    // weights scoring candidates, `inference.py:30-41`): recommend orders
+    // to customer 0 by `sigmoid(w·[h_s ∥ h_d ∥ h_s∘h_d] + b)` with a FROZEN
+    // head over the fixed-point embeddings. Candidates = anti-join of the
+    // seed's existing orders (J6); ranked by logit (monotone with score,
+    // and exp-free so the oracle compares unrounded doubles).
+    "q43_recommend_trained" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
+        .withReverseEdges
+        .restrictTo(Set("customer", "orders"), hops = 1)
+        .addDegree
+      val emb = graft.learn.Propagate.meanRoundsFixed(
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+      // descale the fixed-point channel into width-1 double vecs
+      def vecs(tn: String) = emb(tn).select(col("id"),
+        array(col("h") / lit(1000000.0)).as("vec"))
+      val head = graft.learn.TrainedModel(
+        Array(0.5, -0.25, 0.001), -1.0, Map.empty)
+      val ordersToCust = g.edges.keys
+        .find(k => k.src == "orders" && k.dst == "customer").get
+      val seedOrders = g.edges(ordersToCust)
+        .filter(col("dst") === 0).select(col("src").as("id"))
+      val candidates = g.nodes("orders").select(col("id"))
+        .join(seedOrders, Seq("id"), "left_anti")
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      graft.learn.Scoring
+        .scoreEdgesModel(candidates, vecs("customer"), vecs("orders"),
+          head.weights, head.intercept)
+        .join(g.nodes("orders").select(col("id").as("dst"),
+          col("pk").cast("long").as("pk")), Seq("dst"))
+        .orderBy(desc("logit"), asc("dst"))
+        .limit(10)
+        .select(col("dst").as("id"), col("pk"), col("logit"))
+    }),
     // G15: trained link-prediction head (LR over Hadamard features) —
     // not SQL-expressible (L-BFGS training); driver records rows-only.
     "q28_train_metrics" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n))
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
         .addDegree.withReverseEdges.withSelfLoops
       val m = graft.learn.TrainLR.train(
         g, Topology.classify(Catalogs.tpch).edges
@@ -527,69 +628,34 @@ object SparkEntry {
     // DuckDB SUM(BIGINT) widens to HUGEINT → every floor-mean is cast back.
     "q29_propagate_fixed" ->
       s"""WITH cm AS ($cmSql), om AS ($omSql),
-        |no_ AS (SELECT o_custkey AS pk, COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
-        |ne_ AS (SELECT user_id AS pk, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-        |nc_ AS (SELECT c_nationkey AS pk, COUNT(*) AS n FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
-        |h0c AS (
-        |  SELECT c_custkey AS pk,
-        |    CAST(1 + 2*COALESCE(no_.n,0) + COALESCE(ne_.n,0)
-        |       + CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) * 1000000 AS h,
-        |    COALESCE(no_.n,0) > 0 AS has_o,
-        |    COALESCE(ne_.n,0) > 0 AS has_e,
-        |    c_nationkey IS NOT NULL AS has_n
-        |  FROM customer LEFT JOIN no_ ON c_custkey = no_.pk LEFT JOIN ne_ ON c_custkey = ne_.pk),
-        |h0o AS (
-        |  SELECT o_orderkey AS pk, o_custkey,
-        |    CAST(1 + 2*(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 AS h
-        |  FROM orders),
-        |h0n AS (
-        |  SELECT n_nationkey AS pk, CAST(1 + COALESCE(nc_.n,0) AS BIGINT) * 1000000 AS h
-        |  FROM nation LEFT JOIN nc_ ON n_nationkey = nc_.pk),
-        |h0e AS (
-        |  SELECT user_id, CAST(2 AS BIGINT) * 1000000 AS h
-        |  FROM events WHERE user_id IS NOT NULL),
-        |me AS (SELECT user_id AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m FROM h0e GROUP BY user_id),
-        |mn AS (SELECT c.c_custkey AS pk, CAST(SUM(h0n.h) // COUNT(*) AS BIGINT) AS m
-        |       FROM customer c JOIN h0n ON h0n.pk = c.c_nationkey GROUP BY c.c_custkey),
-        |m1o AS (SELECT o_custkey AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m
-        |        FROM h0o WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
-        |r1c AS (
-        |  SELECT h0c.pk, h0c.has_o, h0c.has_e, h0c.has_n,
-        |    CASE WHEN NOT (has_o OR has_e OR has_n) THEN h0c.h
-        |    ELSE (h0c.h + COALESCE(m1o.m,0) + COALESCE(me.m,0) + COALESCE(mn.m,0))
-        |      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
-        |         + CASE WHEN has_n THEN 1 ELSE 0 END)
-        |    END AS h
-        |  FROM h0c LEFT JOIN m1o ON h0c.pk = m1o.pk LEFT JOIN me ON h0c.pk = me.pk
-        |    LEFT JOIN mn ON h0c.pk = mn.pk),
-        |m1c AS (SELECT o.o_orderkey AS pk, CAST(SUM(h0c.h) // COUNT(*) AS BIGINT) AS m
-        |        FROM orders o JOIN h0c ON h0c.pk = o.o_custkey GROUP BY o.o_orderkey),
-        |r1o AS (
-        |  SELECT h0o.pk, h0o.o_custkey,
-        |    CASE WHEN m1c.m IS NULL THEN h0o.h ELSE (h0o.h + m1c.m) // 2 END AS h
-        |  FROM h0o LEFT JOIN m1c ON h0o.pk = m1c.pk),
-        |m2o AS (SELECT o_custkey AS pk, CAST(SUM(h) // COUNT(*) AS BIGINT) AS m
-        |        FROM r1o WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
-        |r2c AS (
-        |  SELECT r1c.pk,
-        |    CASE WHEN NOT (has_o OR has_e OR has_n) THEN r1c.h
-        |    ELSE (r1c.h + COALESCE(m2o.m,0) + COALESCE(me.m,0) + COALESCE(mn.m,0))
-        |      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
-        |         + CASE WHEN has_n THEN 1 ELSE 0 END)
-        |    END AS h
-        |  FROM r1c LEFT JOIN m2o ON r1c.pk = m2o.pk LEFT JOIN me ON r1c.pk = me.pk
-        |    LEFT JOIN mn ON r1c.pk = mn.pk),
-        |m2c AS (SELECT o.o_orderkey AS pk, CAST(SUM(r1c.h) // COUNT(*) AS BIGINT) AS m
-        |        FROM orders o JOIN r1c ON r1c.pk = o.o_custkey GROUP BY o.o_orderkey),
-        |r2o AS (
-        |  SELECT r1o.pk,
-        |    CASE WHEN m2c.m IS NULL THEN r1o.h ELSE (r1o.h + m2c.m) // 2 END AS h
-        |  FROM r1o LEFT JOIN m2c ON r1o.pk = m2c.pk)
+        |$fixedPropCtes
         |SELECT 'customer' AS node_type, cm.id AS id, CAST(r2c.h AS BIGINT) AS h
         |FROM r2c JOIN cm ON cm.pk = r2c.pk
         |UNION ALL
         |SELECT 'orders', om.id, CAST(r2o.h AS BIGINT)
         |FROM r2o JOIN om ON om.pk = r2o.pk""".stripMargin,
+    // Trained-head serving over the fixed-point embeddings: logit =
+    // w·[h_s, h_d, h_s*h_d] + b with frozen weights — pure per-row IEEE
+    // +/×/÷ (no exp), so the unrounded doubles hash-match. All double
+    // literals are 1eN/CAST(AS DOUBLE): bare decimals are DECIMAL-typed in
+    // DuckDB and would silently switch the arithmetic to decimal.
+    "q43_recommend_trained" ->
+      s"""WITH cm AS ($cmSql), om AS ($omSql),
+        |$fixedPropCtes,
+        |seedc AS (SELECT r2c.h FROM r2c JOIN cm ON cm.pk = r2c.pk WHERE cm.id = 0),
+        |cand AS (
+        |  SELECT om.id AS id, r2o.pk AS opk, r2o.h AS hd
+        |  FROM r2o JOIN om ON om.pk = r2o.pk
+        |  WHERE r2o.pk NOT IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_custkey = (SELECT pk FROM cm WHERE id = 0)))
+        |SELECT cand.id, CAST(cand.opk AS BIGINT) AS pk,
+        |  (((CAST(5 AS DOUBLE)/10 * (seedc.h / 1e6))
+        |    + (CAST(-25 AS DOUBLE)/100 * (cand.hd / 1e6)))
+        |    + (CAST(1 AS DOUBLE)/1000 * ((seedc.h / 1e6) * (cand.hd / 1e6))))
+        |    + CAST(-1 AS DOUBLE) AS logit
+        |FROM cand, seedc
+        |ORDER BY logit DESC, id ASC LIMIT 10""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         |COUNT(*) AS n_dupes FROM documents GROUP BY md5(text)""".stripMargin,

@@ -28,7 +28,11 @@ object ArrayOps {
   }
 
   /** The pure-builtin formulation of [[dot]] (kept as the semantic
-    * reference; the spec asserts equivalence with the codegen path). */
+    * reference; the spec asserts equivalence with the codegen path).
+    * The equivalence contract is scoped to DENSE arrays (no null
+    * elements): a null element here propagates to a null result
+    * (`null * x → null` under zip_with), whereas the codegen [[dot]]
+    * skips the pair — see the DotProduct scaladoc. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

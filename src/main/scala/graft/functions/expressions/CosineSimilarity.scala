@@ -9,10 +9,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 /** Fused codegen cosine similarity: dot, ‖a‖² and ‖b‖² accumulate in ONE
   * pass over the arrays, where the Column-level composition
   * (`dot(a,b) / (sqrt(dot(a,a))·sqrt(dot(b,b)))`) walks the arrays three
-  * times. Same semantics as `ArrayOps.cosine`: 0 when either vector is
-  * all-zero, null inputs → null, null elements contribute 0, lengths
-  * truncated to the shorter array. Numerically identical to the composed
-  * form (same left-to-right double accumulation per accumulator).
+  * times. Semantics on DENSE arrays (the scoped contract — see the
+  * DotProduct scaladoc): 0 when either vector is all-zero, null inputs →
+  * null, lengths truncated to the shorter array. Null ELEMENTS contribute
+  * 0 to all three accumulators (outside the contract; the composed HOF
+  * form would propagate null instead). Numerically identical to the
+  * composed form on the shared dense domain (same left-to-right double
+  * accumulation per accumulator).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -13,11 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * lambdas interpreted with a per-element call round trip. This compiles
   * to a tight primitive loop inside whole-stage codegen.
   *
-  * Semantics match the HOF formulation: double accumulation left-to-right
-  * (deterministic), null inputs → null, null ELEMENTS treated as 0 (the
-  * engine's arrays are dense; the guard keeps eval total), lengths
-  * truncated to the shorter array. Callers cast `array<float>` inputs to
-  * `array<double>` (exact) — see `ArrayOps.dot`.
+  * CONTRACT (dense arrays): the engine's embedding/feature arrays contain
+  * no null elements, and the equivalence with the HOF formulation
+  * (`ArrayOps.dotHof`, asserted by ArrayOpsSpec) holds only for such
+  * inputs. On the shared domain: double accumulation left-to-right
+  * (deterministic), null top-level inputs → null, lengths truncated to
+  * the shorter array. Outside it the formulations intentionally differ —
+  * this expression skips null ELEMENTS (a branch-light total loop), while
+  * the HOF form propagates them to a null result. Callers cast
+  * `array<float>` inputs to `array<double>` (exact) — see `ArrayOps.dot`.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

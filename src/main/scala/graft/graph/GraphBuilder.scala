@@ -21,25 +21,31 @@ object GraphBuilder {
     * `row_number()` window, no `monotonically_increasing_id`
     * (partition-dependent, SURVEY.md §7.0). Returns `(pk, id)`.
     */
-  def denseIds(df: DataFrame, pkCol: String): DataFrame = {
+  def denseIds(df: DataFrame, pkCol: String,
+      probeDense: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Fast path: an integral PK that is already dense (max−min+1 == count,
-    // unique by catalog contract) maps with a subtraction — rank order and
-    // therefore ids are identical to the general path, but the mapping
-    // becomes a scan-level projection instead of distinct+shuffle+window.
-    // The probe is one column-pruned agg pass; graph mappings are cached
-    // and reused, so the probe amortises immediately.
+    // Fast path: an integral PK that is already dense (max−min+1 == count
+    // == countDistinct — the distinct check guards against duplicated PKs,
+    // which max−min+1 == count alone cannot see, e.g. {1,2,2,4}) maps with
+    // a subtraction — rank order and therefore ids are identical to the
+    // general path, but the mapping becomes a scan-level projection instead
+    // of distinct+shuffle+window. The probe is one column-pruned agg pass
+    // but EAGER (a blocking driver action) — direct callers default it on
+    // (the mapping is queried immediately, so it amortises); [[build]]
+    // defaults it OFF so constructing a graph runs zero Spark jobs.
     val integral = df.schema(pkCol).dataType match {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
       case _ => false
     }
-    if (integral) {
+    if (integral && probeDense) {
       val r = df.agg(
-        min(col(pkCol)), max(col(pkCol)), count(lit(1))).head()
+        min(col(pkCol)), max(col(pkCol)), count(lit(1)),
+        countDistinct(col(pkCol))).head()
       if (!r.isNullAt(0)) {
-        val (lo, hi, n) =
-          (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(), r.getLong(2))
-        if (hi - lo + 1 == n)
+        val (lo, hi, n, nd) =
+          (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+            r.getLong(2), r.getLong(3))
+        if (hi - lo + 1 == n && nd == n)
           return df.select(col(pkCol).as("pk"),
             (col(pkCol).cast("long") - lo).as("id"))
       }
@@ -138,12 +144,20 @@ object GraphBuilder {
     * @param loadTable  table name → DataFrame (parquet scan, JDBC, view…)
     * @param oneHot     table → column to one-hot encode (the reference
     *                   hard-codes genres, `convert_to_graph.py:162`)
+    * @param probeDense opt-in eager dense-PK probe (one min/max/count/
+    *                   countDistinct pass per node table at build time).
+    *                   Default OFF: `build` is then fully lazy — zero
+    *                   Spark jobs until the first query — at the cost of
+    *                   the distinct+window id path. Turn on when queries
+    *                   run immediately after the build (the probe
+    *                   amortises) or PKs are known dense.
     */
   def build(
       cat: ConstraintCatalog,
       loadTable: String => DataFrame,
       oneHot: Map[String, String] = Map.empty,
-      extraEdges: Seq[EdgeSpec] = Nil): HeteroGraph = {
+      extraEdges: Seq[EdgeSpec] = Nil,
+      probeDense: Boolean = false): HeteroGraph = {
     val topo: TopologyResult = Topology.classify(cat)
     val built = topo.nodes.map { n =>
       val fkCols = cat(n.table).fks.map(_.fromCol)
@@ -153,7 +167,7 @@ object GraphBuilder {
       // plan (the dominant cost of a graph build). cache() (not
       // localCheckpoint: under AQE that executes stages at CALL time) is
       // lazy — a query that never touches a mapping never pays for it.
-      val mapping = denseIds(loadTable(n.table), n.pk).cache()
+      val mapping = denseIds(loadTable(n.table), n.pk, probeDense).cache()
       val (nodeDf, _) =
         nodeFrame(loadTable(n.table), n, fkCols, oneHot.get(n.table), Some(mapping))
       n.table -> (nodeDf, mapping)

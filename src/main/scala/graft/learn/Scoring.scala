@@ -28,6 +28,33 @@ object Scoring {
       .select(col("src"), col("dst"), col("logit"), col("score"))
   }
 
+  /** Score candidate edges with a TRAINED head — the serving twin of the
+    * reference's checkpoint-loaded inference (`inference.py:30-41`, `:76`):
+    * `logit = w · [h_src ∥ h_dst ∥ h_src∘h_dst] + b`, the exact feature
+    * layout [[TrainLR]] trains on, so [[TrainedModel]] weights plug in
+    * unchanged. The dot accumulates left-to-right (codegen
+    * [[graft.functions.ArrayOps.dot]]), making the logit a deterministic
+    * per-row function of the embeddings — pure IEEE +/×, no libm — so a
+    * frozen-weight query is hash-exact against an ANSI oracle.
+    * @return (src, dst, logit, score) */
+  def scoreEdgesModel(
+      candidates: DataFrame,
+      srcEmb: DataFrame,
+      dstEmb: DataFrame,
+      weights: Array[Double],
+      intercept: Double): DataFrame = {
+    val w = typedlit(weights.toSeq)
+    candidates
+      .join(srcEmb.select(col("id").as("src"), col("vec").as("sv")), Seq("src"))
+      .join(dstEmb.select(col("id").as("dst"), col("vec").as("dv")), Seq("dst"))
+      .withColumn("f",
+        concat(col("sv"), col("dv"),
+          ArrayOps.hadamard(col("sv"), col("dv"))))
+      .withColumn("logit", ArrayOps.dot(col("f"), w) + lit(intercept))
+      .withColumn("score", ArrayOps.sigmoid(col("logit")))
+      .select(col("src"), col("dst"), col("logit"), col("score"))
+  }
+
   /** Binary-classification metrics over scored edges (A5, `model.py:100-102`,
     * `:126-140`): confusion-matrix counts in one aggregation pass, metrics
     * derived driver-side. `label` ∈ {0,1}, threshold 0.5. */

@@ -1,7 +1,7 @@
 package graft.serve
 
 import graft.graph.HeteroGraph
-import graft.learn.{Propagate, Scoring}
+import graft.learn.{Propagate, Scoring, TrainedModel}
 import graft.topology.EdgeKey
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,6 +19,11 @@ object Recommend {
     * vector is zeros except the trailing degree slot = |seeds| + 1
     * (mirroring `inference.py:48-52`, where the only engineered feature of
     * a fresh playlist is its degree).
+    *
+    * PRECONDITION: the graph has been through [[HeteroGraph.addDegree]]
+    * (the trailing feature is the degree slot) and `srcType` is non-empty;
+    * both are `require`d — on a degree-less graph the seed degree would
+    * silently overwrite a real engineered feature.
     * @return (mutated graph, new node id) */
   def addSeedNode(
       g: HeteroGraph,
@@ -26,8 +31,16 @@ object Recommend {
       seedDst: Seq[Long])(implicit spark: SparkSession): (HeteroGraph, Long) = {
     import spark.implicits._
     val srcNodes = g.nodes(target.src)
-    val newId = srcNodes.agg(max(col("id"))).head().getLong(0) + 1L
-    val width = srcNodes.select(size(col("features"))).head().getInt(0)
+    // one pass for both: max id (null ⇒ empty type) and feature width
+    val head = srcNodes
+      .agg(max(col("id")).as("mx"), max(size(col("features"))).as("w")).head()
+    require(!head.isNullAt(0),
+      s"addSeedNode: node type '${target.src}' is empty — nothing to anchor the new id to")
+    val newId = head.getLong(0) + 1L
+    val width = head.getInt(1)
+    require(width >= 1,
+      s"addSeedNode: node type '${target.src}' has empty feature vectors — " +
+        "call addDegree before mutating (the seed's only feature is its degree)")
     val feats = Array.fill(width)(0f); feats(width - 1) = seedDst.size + 1f
     val newNode = Seq((newId, feats)).toDF("id", "features")
       .withColumn("pk", lit(null).cast(srcNodes.schema("pk").dataType))
@@ -49,16 +62,22 @@ object Recommend {
   }
 
   /** Full flow: mutate → propagate `rounds` of frozen mean message passing
-    * on degree-initialized embeddings (§7.2 frozen scorer) → score
-    * `(newNode, candidate)` pairs → top-k by (score desc, id asc) —
-    * the id tiebreak makes the ranking total and hash-stable.
-    * @return (id, pk, score) of the k best candidates */
+    * on degree-initialized embeddings → score `(newNode, candidate)` pairs
+    * → top-k by (score desc, id asc) — the id tiebreak makes the ranking
+    * total and hash-stable.
+    *
+    * With `model = Some(trained)` the candidates are scored by the TRAINED
+    * head over `[h_s ∥ h_d ∥ h_s∘h_d]` (the reference's checkpoint-loaded
+    * serving, `inference.py:30-41`); with `None` the frozen §7.2 dot scorer
+    * applies. Load a persisted head with [[ModelStore.load]].
+    * @return (id, pk, logit, score) of the k best candidates */
   def recommend(
       g: HeteroGraph,
       target: EdgeKey,
       seedDst: Seq[Long],
       k: Int,
-      rounds: Int = 2)(implicit spark: SparkSession): DataFrame = {
+      rounds: Int = 2,
+      model: Option[TrainedModel] = None)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (mutated, newId) = addSeedNode(g, target, seedDst)
     val emb = Propagate.meanRounds(mutated, Propagate.degreeInit(mutated), rounds)
@@ -72,7 +91,13 @@ object Recommend {
     val candidates =
       (if (target.isSelfType) base.filter(col("id") =!= newId) else base)
         .select(lit(newId).as("src"), col("id").as("dst"))
-    val scored = Scoring.scoreEdges(candidates, emb(target.src), emb(target.dst))
+    val scored = model match {
+      case Some(m) =>
+        Scoring.scoreEdgesModel(candidates, emb(target.src), emb(target.dst),
+          m.weights, m.intercept)
+      case None =>
+        Scoring.scoreEdges(candidates, emb(target.src), emb(target.dst))
+    }
     scored
       .join(mutated.nodes(target.dst).select(col("id").as("dst"), col("pk")), Seq("dst"))
       .select(col("dst").as("id"), col("pk"), col("logit"), col("score"))

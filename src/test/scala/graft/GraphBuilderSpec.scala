@@ -78,6 +78,41 @@ class GraphBuilderSpec extends SparkSpec {
     assert(regionDeg === nNat + 1f)
   }
 
+  test("denseIds dense fast path rejects duplicated PKs") {
+    import spark.implicits._
+    // {1,2,2,4}: max-min+1 == count but pks collide — the probe's
+    // countDistinct guard must route to the general distinct path
+    val dup = Seq(1L, 2L, 2L, 4L).toDF("pk_col")
+    val m = GraphBuilder.denseIds(dup, "pk_col").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(m.toSeq === Seq((1L, 0L), (2L, 1L), (4L, 2L)))
+  }
+
+  test("build() with default probeDense runs zero Spark jobs") {
+    // load first: spark.read.parquet runs footer/schema-listing jobs at
+    // read time — those belong to the scan, not to the graph build
+    val tables = Catalogs.tpch.tableNames
+      .map(n => n -> Tables.load(spark, sf(), n)).toMap
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val g = GraphBuilder.build(Catalogs.tpch, tables(_))
+        .addDegree(spark).withReverseEdges.withSelfLoops
+      assert(g.nodes.nonEmpty && g.edges.nonEmpty)
+      // listener events post asynchronously — give the bus a beat
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        s"graph construction triggered ${jobs.get()} eager Spark job(s)")
+      // first actual query pays, and works
+      assert(g.nodes("customer").count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("save/load roundtrip preserves schema and counts") {
     val g = GraphBuilder.build(Catalogs.tpch,
       n => Tables.load(spark, sf(), n)).withSelfLoops

