@@ -411,12 +411,25 @@ r2o AS (
     "q33_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         md5(regexp_replace(col("text"), "\\s+", " ")).as("fp"))),
-    // near-dedup: MinHash banded LSH candidates + exact-Jaccard verify
+    // near-dedup: MinHash banded LSH candidates + exact-Jaccard verify.
+    // bands=32/rows=4 puts miss probability at τ=0.8 near 5e-8 (vs ~5%
+    // for 16×8) — the oracle is brute force, so recall IS the gate.
     "q34_dedup_minhash" -> ((s, dir) =>
-      graft.ext.Dedup.nearDupMinhash(t(s, dir, "documents"), "doc_id", "text")),
-    // near-dedup: SimHash 16-bit-block candidates + exact-Jaccard verify
+      graft.ext.Dedup.nearDupMinhash(t(s, dir, "documents"), "doc_id", "text",
+        bands = 32, rows = 4)),
+    // near-dedup: SimHash block candidates + exact-Jaccard verify.
+    // DATA CONTRACT vs the brute-force oracle: every τ-pair of the corpus
+    // must sit within maxHamming of its twin and share a 8-bit block —
+    // holds for near-identical dups (the fixture plants J ≥ 0.97, hamming
+    // ≲ 3 ≤ blocks−1 = pigeonhole-certain); q44 is the unconditional twin.
     "q36_dedup_simhash" -> ((s, dir) =>
       graft.ext.Dedup.nearDupSimhash(t(s, dir, "documents"), "doc_id", "text")),
+    // near-dedup: prefix-filtered exact Jaccard self-join (AllPairs/PPJoin)
+    // — candidates provably complete at any τ for ANY corpus, so the
+    // brute-force oracle holds unconditionally (no LSH recall assumption).
+    "q44_dedup_jaccard" -> ((s, dir) =>
+      graft.ext.Dedup.nearDupJaccardExact(
+        t(s, dir, "documents"), "doc_id", "text")),
     // BPE-ish token counting (letter runs / digits / punct as tokens)
     "q38_token_bpeish" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -674,6 +687,7 @@ r2o AS (
       "SELECT doc_id, md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp FROM documents",
     "q34_dedup_minhash" -> jaccardPairsSql,
     "q36_dedup_simhash" -> jaccardPairsSql,
+    "q44_dedup_jaccard" -> jaccardPairsSql,
     "q38_token_bpeish" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents""".stripMargin,

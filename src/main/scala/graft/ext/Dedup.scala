@@ -284,6 +284,52 @@ object Dedup {
     verifyJaccard(cand, hashed.select(col("doc_id"), col("sh")), tau)
   }
 
+  /** Pairs with exact Jaccard ≥ `tauNum/tauDen`, candidates from PREFIX
+    * FILTERING (AllPairs/PPJoin family, Bayardo et al. WWW'07) — the
+    * GUARANTEED-complete member of the near-dup family: J(a,b) ≥ τ implies
+    * |a∩b| ≥ ⌈τ·max(|a|,|b|)⌉, and two sets with overlap ≥ o must share an
+    * element within the first `|s|−o+1` elements of each in ANY fixed
+    * global order (here: lexicographic — binary-identical ordering in
+    * Spark and ANSI engines for the ASCII shingle alphabet). Unlike
+    * MinHash/SimHash candidates, no pair above τ can ever be missed, for
+    * any corpus — so a brute-force oracle is valid unconditionally.
+    *
+    * τ is a RATIONAL (`tauNum/tauDen`) so the per-set overlap bound
+    * `⌈τ·|s|⌉ = (tauNum·|s| + tauDen − 1) div tauDen` is computed in exact
+    * integer arithmetic: a float `ceil(0.8·15)` evaluates 12.000000000000002
+    * → 13 and would silently shorten the prefix below the completeness
+    * bound.
+    *
+    * Scale shape: explode only the prefixes (a (1−τ) fraction of each
+    * shingle set), self-join on the shingle string, verify exact Jaccard.
+    * Hot prefixes (common shingles) can skew the join — AQE skew-join
+    * splits those buckets; DF-ascending global orders shrink prefixes
+    * further if ever needed (a pure optimisation, completeness holds for
+    * any order). */
+  def nearDupJaccardExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    val hashed = prep(docs, idCol, textCol, n)
+    val sorted = hashed.select(col("doc_id"), array_sort(col("sh")).as("shs"))
+    // prefix length |s| − ⌈τ|s|⌉ + 1, exact integer arithmetic (`div`)
+    val sz = size(col("shs"))
+    val prefLen = (sz - expr(
+      s"(size(shs) * $tauNum + ${tauDen - 1}) div $tauDen").cast("int") + 1)
+    val pref = sorted.select(col("doc_id"),
+      explode(slice(col("shs"), lit(1), prefLen)).as("p"))
+    val cand = pref.as("x")
+      .join(pref.as("y"),
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, hashed.select(col("doc_id"), col("sh")),
+      tauNum.toDouble / tauDen)
+  }
+
   /** Shared prep: `(doc_id, sh, hs)` behind a checkpoint barrier. */
   private def prep(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -49,6 +49,34 @@ class DedupSpec extends SparkSpec {
     assert(out2.toSet == out.toSet)
   }
 
+  test("prefix-filtered exact Jaccard == brute force, including boundary sizes") {
+    // nearDupJaccardExact must equal all-pairs Jaccard for ANY corpus —
+    // that's its contract. Mix the standard docs with boundary-size texts
+    // where the prefix bound ⌈τ|s|⌉ lands exactly on/off an integer
+    // (|s| = 5, 10, 15 at τ = 4/5) and a pair sharing ONLY its last-ordered
+    // shingle (completeness would fail if prefixes were one too short).
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (10L, "aa bb cc dd ee ff"),                // 5 bigrams
+      (11L, "aa bb cc dd ee gg"),                // 4/6 shared: J=0.667 < 0.8
+      (12L, "aa bb cc dd ee ff"),                // exact dup of 10
+      (13L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 ka kb"), // 10 bigrams
+      (14L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 ka kc"), // 9/11 shared: J=0.818
+      (15L, "zz k1 k2 k3 k4 k5 k6 k7 k8 k9 ka")  // shares 9, J = 9/13
+    )).toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id",
+      Dedup.shingles(Dedup.tokens($"text"), 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(Dedup.jaccard($"a.sh", $"b.sh") >= 0.8)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.nearDupJaccardExact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref == brute)
+    assert(brute.contains((10L, 12L)) && brute.contains((13L, 14L)))
+    assert(!brute.contains((10L, 11L)))
+  }
+
   test("simhash blocks find exact+near dups with exact verify") {
     val out = Dedup.nearDupSimhash(docs, "doc_id", "text", tau = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
