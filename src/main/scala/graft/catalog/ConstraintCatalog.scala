@@ -63,9 +63,9 @@ object Catalogs {
     * 1-based) — preserved as the pkCols ordering, which is what the
     * junction src/tgt rule keys on (W1). Tables whose names match
     * `excludeLike` (the reference's `NOT LIKE '%sql%'`, S1/F4) are
-    * skipped. The test environment ships no JDBC driver, so this path is
-    * exercised against the explicit-catalog twin rather than a live DB;
-    * the calls are the standard java.sql metadata API.
+    * skipped. Exercised against a live embedded Derby database (the JDBC
+    * engine on Spark's own classpath) in JdbcCatalogSpec, including
+    * composite-PK KEY_SEQ ordering and the exclusion filter.
     */
   def fromJdbc(
       conn: java.sql.Connection,
