@@ -75,82 +75,90 @@ object GraphXBridge {
     byType(hx, degs.mapValues(_.toLong))
   }
 
-  /** One frozen mean-propagation round via `aggregateMessages`, matching
+  // message accumulator: edgeTag -> (vector partial sum, count) — carries
+  // per-edge-tag partials so the per-TYPE mean can be recovered dst-side
+  private type Acc = Map[Byte, (Array[Double], Long)]
+
+  private def mergeAcc(a: Acc, b: Acc): Acc =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some((va, na)), Some((vb, nb))) =>
+          val s = va.clone(); var i = 0
+          while (i < s.length) { s(i) += vb(i); i += 1 }
+          k -> ((s, na + nb))
+        case (Some(x), None) => k -> x
+        case (None, Some(x)) => k -> x
+        case _ => throw new IllegalStateException
+      }
+    }.toMap
+
+  /** One superstep over in-graph state: `aggregateMessages` (one pass over
+    * the partition-stable edge RDD) + a vertex-local `outerJoinVertices`
+    * with the co-partitioned message VertexRDD, matching
     * [[graft.learn.Propagate.meanRounds]] semantics exactly: per edge TYPE
     * the mean of source vectors per destination, summed across types,
-    * averaged with the self embedding over (1 + #delivering types).
-    * Messages carry per-edge-tag partial sums so the per-type mean can be
-    * recovered — one pass over the (partition-stable) edge RDD. */
-  def meanRound(
-      hx: HeteroGraphX,
-      init: Map[String, DataFrame])(
-      implicit spark: SparkSession): Map[String, DataFrame] = {
-    // vec per global vertex id
-    val vecs: RDD[(VertexId, Array[Double])] = init.map { case (t, df) =>
-      val off = hx.typeOffsets(t)
-      df.select(col("id"), col("vec")).rdd.map(r =>
-        (off + r.getLong(0), r.getSeq[Double](1).toArray))
-    }.reduce(_ union _)
-    val withVec: Graph[Array[Double], Byte] =
-      hx.graph.outerJoinVertices(vecs) { case (_, _, v) => v.orNull }
-
-    type Acc = Map[Byte, (Array[Double], Long)] // edgeTag -> (sum, count)
-    def merge(a: Acc, b: Acc): Acc =
-      (a.keySet ++ b.keySet).map { k =>
-        (a.get(k), b.get(k)) match {
-          case (Some((va, na)), Some((vb, nb))) =>
-            val s = va.clone(); var i = 0
-            while (i < s.length) { s(i) += vb(i); i += 1 }
-            k -> ((s, na + nb))
-          case (Some(x), None) => k -> x
-          case (None, Some(x)) => k -> x
-          case _ => throw new IllegalStateException
-        }
-      }.toMap
-
-    val msgs = withVec.aggregateMessages[Acc](
+    * averaged with the self embedding over (1 + #delivering types). */
+  private def step(g: Graph[Array[Double], Byte]): Graph[Array[Double], Byte] = {
+    val msgs = g.aggregateMessages[Acc](
       ctx => if (ctx.srcAttr != null)
         ctx.sendToDst(Map(ctx.attr -> ((ctx.srcAttr, 1L)))),
-      merge)
-
-    val updated: RDD[(VertexId, Array[Double])] = withVec.vertices
-      .leftOuterJoin(msgs)
-      .flatMap {
-        case (vid, (vec, accOpt)) if vec != null =>
-          val out = accOpt match {
-            case None => vec
-            case Some(acc) =>
-              val nTypes = acc.size
-              val sum = new Array[Double](vec.length)
-              acc.values.foreach { case (s, n) =>
-                var i = 0
-                while (i < sum.length) { sum(i) += s(i) / n; i += 1 }
-              }
-              val res = new Array[Double](vec.length)
-              var i = 0
-              while (i < res.length) {
-                res(i) = (vec(i) + sum(i)) / (1 + nTypes); i += 1
-              }
-              res
+      mergeAcc)
+    g.outerJoinVertices(msgs) { (_, vec, accOpt) =>
+      if (vec == null) null
+      else accOpt match {
+        case None => vec
+        case Some(acc) =>
+          val nTypes = acc.size
+          val sum = new Array[Double](vec.length)
+          acc.values.foreach { case (s, n) =>
+            var i = 0
+            while (i < sum.length) { sum(i) += s(i) / n; i += 1 }
           }
-          Seq((vid, out))
-        case _ => Nil
+          val res = new Array[Double](vec.length)
+          var i = 0
+          while (i < res.length) {
+            res(i) = (vec(i) + sum(i)) / (1 + nTypes); i += 1
+          }
+          res
       }
-    byTypeVec(hx, updated, init.keySet)
+    }
   }
 
-  /** L rounds of [[meanRound]] — the Pregel-shaped loop: the flattened
-    * edge RDD is partitioned once and every round's `aggregateMessages`
-    * reuses it, versus the DataFrame loop's shuffle-per-type-per-round.
+  /** L rounds, Pregel-shaped: ONE vertex join brings the init embeddings
+    * into the graph, then every round is `aggregateMessages` + a
+    * vertex-local message join — the state never leaves the `Graph`, the
+    * flattened edge RDD keeps its partitioning across all rounds, and no
+    * DataFrame↔RDD round trip happens until the final type split. Each
+    * round's graph is materialised + cached and its parent unpersisted
+    * (GraphX-Pregel style) so lineage and storage stay O(1) in rounds.
     * Prefer this backend when the edge list dominates cluster memory. */
   def meanRounds(
       hx: HeteroGraphX,
       init: Map[String, DataFrame],
       rounds: Int)(implicit spark: SparkSession): Map[String, DataFrame] = {
-    var h = init
-    for (_ <- 1 to rounds) h = meanRound(hx, h)
-    h
+    val vecs: RDD[(VertexId, Array[Double])] = init.map { case (t, df) =>
+      val off = hx.typeOffsets(t)
+      df.select(col("id"), col("vec")).rdd.map(r =>
+        (off + r.getLong(0), r.getSeq[Double](1).toArray))
+    }.reduce(_ union _)
+    var cur: Graph[Array[Double], Byte] =
+      hx.graph.outerJoinVertices(vecs) { case (_, _, v) => v.orNull }.cache()
+    for (_ <- 1 to rounds) {
+      val next = step(cur).cache()
+      next.vertices.count() // materialise before dropping the parent
+      cur.unpersistVertices(blocking = false)
+      cur.edges.unpersist(blocking = false)
+      cur = next
+    }
+    byTypeVec(hx, cur.vertices.filter(_._2 != null), init.keySet)
   }
+
+  /** One round of [[meanRounds]]. */
+  def meanRound(
+      hx: HeteroGraphX,
+      init: Map[String, DataFrame])(
+      implicit spark: SparkSession): Map[String, DataFrame] =
+    meanRounds(hx, init, rounds = 1)
 
   private def byType(
       hx: HeteroGraphX, rdd: RDD[(VertexId, Long)])(

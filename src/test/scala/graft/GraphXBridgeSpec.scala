@@ -37,10 +37,10 @@ class GraphXBridgeSpec extends SparkSpec {
     assert(dfDeg.forall { case (id, d) => gxDeg.getOrElse(id, 0L) == d })
   }
 
-  test("two GraphX mean rounds match the DataFrame meanRounds rounds") {
+  test("three Pregel-shaped GraphX rounds match the DataFrame meanRounds") {
     val init = Propagate.degreeInit(g)
-    val df = Propagate.meanRounds(g, init, rounds = 2, checkpoint = false)
-    val gx = GraphXBridge.meanRounds(hx, init, rounds = 2)
+    val df = Propagate.meanRounds(g, init, rounds = 3, checkpoint = false)
+    val gx = GraphXBridge.meanRounds(hx, init, rounds = 3)
     for (t <- Seq("customer", "orders", "nation")) {
       val a = df(t).select(col("id"), element_at(col("vec"), 1).as("v"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
