@@ -465,6 +465,12 @@ r2o AS (
     "q42_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // IVF over REAL k-means centroids (Spark ML, seeded) — the quality
+    // tier of q42. Distributed float reductions in the fit make it
+    // rows-only; q42's sampled-centroid twin carries the hash oracle.
+    "q45_ann_ivf_kmeans" -> ((s, dir) =>
+      graft.ext.Similarity.ivfTopKKMeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

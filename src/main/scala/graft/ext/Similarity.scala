@@ -127,13 +127,61 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val centroids = s
       .withColumn("r", graft.learn.DetRandom.uniform(col("id"), col("id"), seed))
       .orderBy(col("r"), col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
-    // assignment: argmax inner product, centroid-id tiebreak
+    ivfSearch(s, centroids, queryId, k, nProbe)
+  }
+
+  /** IVF top-k over REAL k-means centroids (Spark ML `KMeans`, seeded) —
+    * the quality tier of [[ivfTopK]] behind the same signature: properly
+    * fitted centroids partition the corpus by actual density, so at equal
+    * `nProbe` the probed lists capture more of the query's true
+    * neighbourhood than sampled-vector centroids. The fit is one
+    * distributed Lloyd's run (k-means∥ init); float reduction order makes
+    * it rows-only territory — the sampled variant stays the hash-exact
+    * oracle twin (q42), this one is the production path (q45). */
+  def ivfTopKKMeans(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // spherical k-means: fit and assign in L2-normalised space, where
+    // Euclidean clustering is equivalent to cosine clustering — the final
+    // ranking is exact cosine, which normalisation leaves unchanged
+    val s = emb.select(col(idCol).cast("long").as("id"),
+      ArrayOps.l2normalize(col(vecCol).cast("array<double>")).as("v"))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(20)
+      .fit(s.select(array_to_vector(col("v")).as("features")))
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("cid", "cv")
+    ivfSearch(s, centroids, queryId, k, nProbe)
+  }
+
+  /** Shared IVF tail: assign every vector to its max-inner-product
+    * centroid (broadcast, argmax via window with centroid-id tiebreak),
+    * probe the `nProbe` centroids nearest the query, rank the probed lists
+    * by exact cosine. One broadcast-join pass for assignment; a query
+    * touches ~nProbe/nCentroids of the corpus. */
+  private def ivfSearch(
+      s: DataFrame,
+      centroids: DataFrame,
+      queryId: Long,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val asgW = Window.partitionBy("id")
       .orderBy(desc("dp"), asc("cid"))
     val assigned = s.crossJoin(broadcast(centroids))

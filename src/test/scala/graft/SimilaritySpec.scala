@@ -78,6 +78,38 @@ class SimilaritySpec extends SparkSpec {
     info(s"ivf recall@5: ${out.toSet.intersect(brute).size}/5")
   }
 
+  test("ivfTopKKMeans: repeatable, sane recall vs brute force") {
+    def recallOf(df: org.apache.spark.sql.DataFrame): (Set[Long], Int) = {
+      val got = df.collect().map(_.getLong(0)).toSet
+      val brute = emb.select($"vec_id", $"embedding")
+        .crossJoin(emb.filter($"vec_id" === 0).select($"embedding".as("q")))
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", ArrayOps.cosine($"embedding", $"q").as("c"))
+        .orderBy(desc("c"), asc("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      (got, got.intersect(brute).size)
+    }
+    val (km, kmRecall) = recallOf(
+      Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    // k-means|| init samples per partition, so the fit is seeded-stable for
+    // a FIXED input layout (repeatable runs) but not across repartitioning
+    // — which is why the sampled-centroid twin carries the hash oracle
+    val (km2, _) = recallOf(
+      Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    assert(km == km2, "k-means IVF not repeatable on identical input")
+    assert(km.size <= 10 && !km.contains(0L))
+    val (_, sampledRecall) = recallOf(
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    info(s"recall@10 — kmeans: $kmRecall/10, sampled: $sampledRecall/10")
+    // the fixture's embeddings are near-random in 64-d (max cosine ~0.5) —
+    // structureless data gives k-means no clusters to find, so its recall
+    // can only MATCH sampled centroids up to probe-coverage noise (both
+    // probe 4/16 of the corpus). Assert a sanity floor, not dominance; on
+    // genuinely clustered corpora fitted centroids concentrate the true
+    // neighbourhood into fewer probed lists.
+    assert(kmRecall >= 4, s"k-means IVF recall@10 collapsed: $kmRecall")
+  }
+
   test("annTopK candidates are ranked by exact cosine and bounded by k") {
     val out = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5)
       .collect().map(_.getLong(0))
