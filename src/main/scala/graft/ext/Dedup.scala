@@ -330,6 +330,28 @@ object Dedup {
       tauNum.toDouble / tauDen)
   }
 
+  /** Signature frame for incremental/streaming dedup: one row per
+    * (doc, band) with the banded MinHash key, plus the shingle set for the
+    * exact verify — the unit a streaming ingest appends to its signature
+    * store ([[graft.streaming.DocIngest]]). No checkpoint barrier: the
+    * caller owns materialisation. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      k: Int = 128,
+      bands: Int = 32,
+      rows: Int = 4,
+      seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        prepUdf(n)(col(textCol)).as("p"))
+      .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        posexplode(minhashBandKeysUdf(k, bands, rows, seed)(col("hs")))
+          .as(Seq("band", "key")))
+
   /** Shared prep: `(doc_id, sh, hs)` behind a checkpoint barrier. */
   private def prep(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -352,7 +374,7 @@ object Dedup {
   /** Exact-verification join: attach both shingle sets, keep pairs with
     * true Jaccard ≥ tau. Candidate lists are tiny relative to the corpus,
     * so Catalyst broadcasts them into the two id-keyed joins. */
-  private def verifyJaccard(
+  def verifyJaccard(
       cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -93,6 +93,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch ingest → incremental near-dedup equals the batch dedup") {
+    import graft.streaming.DocIngest
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    val inDir = s"$tmp/in"; val storeDir = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(inDir).mkdirs()
+
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").cache()
+    val n = docs.count()
+
+    val q = DocIngest.start(spark, inDir, storeDir, ckpt)
+    try {
+      // land the corpus as three separate files, one micro-batch each —
+      // near-dup pairs must be found across batch boundaries too
+      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).zipWithIndex
+        .foreach { case ((lo, hi), i) =>
+          // the file source only sees top-level files: write the chunk
+          // aside, then move its part-file into the watched dir
+          val staging = s"$tmp/stage$i"
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$i.parquet"))
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+
+    val streamed = DocIngest.pairs(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ext.Dedup
+      .nearDupMinhash(docs, "doc_id", "text", bands = 32, rows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
