@@ -385,10 +385,36 @@ object Dedup {
   /** Polynomial rolling-hash fingerprint (Rabin–Karp accumulator) over the
     * whitespace-normalised text: `acc ← (acc·31 + code(char)) mod (1e9+7)`.
     * Every intermediate stays far below 2⁶³, so Spark and any ANSI engine
-    * agree bit-for-bit with no overflow semantics in play. Character-at-a-
-    * time substring is fine at document granularity; a custom Expression
-    * would stream the bytes if profiling ever demands it. */
-  def rollingFingerprint(text: Column): Column = {
+    * agree bit-for-bit with no overflow semantics in play.
+    *
+    * JIT kernel UDF: the HOF formulation ([[rollingFingerprintHof]])
+    * builds a per-character int array and runs the fold interpreted —
+    * measured ~10× slower at fixture scale once the bench evaluates rows
+    * for real. The kernel matches `ascii()` semantics (first CODE POINT of
+    * the 1-char substring; supplementary chars use their code point). */
+  def rollingFingerprint(text: Column): Column = rollingFpUdf(text)
+
+  private val rollingFpUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      // \s+ → single space, matching regexp_replace(text, "\\s+", " ")
+      val norm = java.util.regex.Pattern.compile("\\s+")
+        .matcher(text).replaceAll(" ")
+      var acc = 0L
+      var i = 0
+      val len = norm.length
+      while (i < len) {
+        val cp = norm.codePointAt(i)
+        acc = (acc * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+  }
+
+  /** The pure-builtin formulation of [[rollingFingerprint]] — kept as the
+    * semantic reference; the spec asserts equivalence on the fixture. */
+  def rollingFingerprintHof(text: Column): Column = {
     val norm = regexp_replace(text, "\\s+", " ")
     when(length(norm) === 0, lit(0L)).otherwise(
       aggregate(

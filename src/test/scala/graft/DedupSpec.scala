@@ -107,6 +107,13 @@ class DedupSpec extends SparkSpec {
     assert(fp(4L) == 0L)
     // hand-computed: "ab" -> (0*31+97)*31+98 mod p = 3105 (97*31+98)
     assert(fp(3L) == 97L * 31 + 98)
+    // kernel == HOF semantic reference on the fixture corpus
+    val fixture = Tables.load(spark, sf(), "documents")
+    val diff = fixture.select(
+        Dedup.rollingFingerprint($"text").as("a"),
+        Dedup.rollingFingerprintHof($"text").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
   }
 
   test("bpe-ish tokens split letter runs, digits, punctuation") {
