@@ -313,21 +313,91 @@ object Dedup {
       n: Int = 2,
       tauNum: Int = 4,
       tauDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hashed = prep(docs, idCol, textCol, n)
-    val sorted = hashed.select(col("doc_id"), array_sort(col("sh")).as("shs"))
+    // Global order = (document frequency ASC, shingle) — the AllPairs
+    // ordering: prefixes then hold each document's RAREST shingles, so
+    // prefix buckets stay near-singleton and the self-join near-linear.
+    // Any corpus-constant total order preserves completeness; lexicographic
+    // order was measured 17× slower here because common shingles (shared
+    // stopword bigrams) landed in every prefix and built quadratic buckets.
+    val exploded = hashed.select(col("doc_id"),
+      size(col("sh")).as("nsh"), explode(col("sh")).as("p"))
+    val dfreq = exploded.groupBy("p").agg(count(lit(1)).as("df"))
     // prefix length |s| − ⌈τ|s|⌉ + 1, exact integer arithmetic (`div`)
-    val sz = size(col("shs"))
-    val prefLen = (sz - expr(
-      s"(size(shs) * $tauNum + ${tauDen - 1}) div $tauDen").cast("int") + 1)
-    val pref = sorted.select(col("doc_id"),
-      explode(slice(col("shs"), lit(1), prefLen)).as("p"))
+    val prefLen = (col("nsh") - expr(
+      s"(nsh * $tauNum + ${tauDen - 1}) div $tauDen").cast("int") + 1)
+    val pref = exploded.join(dfreq, Seq("p"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("p"))))
+      .filter(col("rk") <= prefLen)
+      .select(col("doc_id"), col("nsh"), col("rk"), col("p"))
+      .localCheckpoint(eager = true) // self-join reads it twice
+    // PPJoin candidate join: besides the shared prefix element, apply the
+    // LENGTH filter (J ≥ τ forces τ·|b| ≤ |a| ≤ |b|/τ) and the POSITIONAL
+    // filter — the first shared element at ranks (i, j) bounds achievable
+    // overlap by 1 + min(|a|−i, |b|−j), which must reach the equivalent
+    // overlap threshold α = ⌈τ/(1+τ)·(|a|+|b|)⌉. Both are completeness-
+    // preserving (the first shared element always sits in both prefixes
+    // once the length filter holds) and prune the quadratic bucket work a
+    // degenerate small-vocabulary corpus would otherwise produce.
+    val alpha = expr(
+      s"($tauNum * (x.nsh + y.nsh) + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}")
     val cand = pref.as("x")
       .join(pref.as("y"),
-        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id"))
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.nsh") * tauNum <= col("x.nsh") * tauDen &&
+          col("x.nsh") * tauNum <= col("y.nsh") * tauDen &&
+          alpha <= lit(1) + least(
+            col("x.nsh") - col("x.rk"), col("y.nsh") - col("y.rk")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, hashed.select(col("doc_id"), col("sh")),
-      tauNum.toDouble / tauDen)
+    // verify over PACKED sorted shingle sets: one ''-joined string
+    // per doc instead of array<string> — the array form pays a UTF8String
+    // decode per ELEMENT per candidate pair at the UDF boundary (~100
+    // decodes/pair), which dominated verification; the packed form decodes
+    // two strings per pair and merge-walks the segments. '' cannot
+    // occur in shingles ([a-z0-9 ] alphabet), and segment order under the
+    // walk equals array_sort's binary string order for ASCII.
+    val packed = hashed.select(col("doc_id"),
+      concat_ws("", array_sort(col("sh"))).as("shp"))
+    cand
+      .join(packed.select(col("doc_id").as("doc_a"), col("shp").as("pa")), Seq("doc_a"))
+      .join(packed.select(col("doc_id").as("doc_b"), col("shp").as("pb")), Seq("doc_b"))
+      .filter(jaccardPackedUdf(col("pa"), col("pb")) >= tauNum.toDouble / tauDen)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Merge-intersection Jaccard over two packed (''-delimited,
+    * sorted, distinct) shingle strings — one linear walk, no per-element
+    * object churn. */
+  private val jaccardPackedUdf = udf { (a: String, b: String) =>
+    val la = a.length; val lb = b.length
+    var i = 0; var j = 0
+    var na = 0; var nb = 0; var inter = 0
+    def segEnd(s: String, from: Int, len: Int): Int = {
+      var e = from
+      while (e < len && s.charAt(e) != '') e += 1
+      e
+    }
+    while (i < la && j < lb) {
+      val ea = segEnd(a, i, la); val eb = segEnd(b, j, lb)
+      // compare segments a[i,ea) vs b[j,eb) char-wise
+      var x = i; var y = j
+      while (x < ea && y < eb && a.charAt(x) == b.charAt(y)) { x += 1; y += 1 }
+      val c =
+        if (x == ea && y == eb) 0
+        else if (x == ea) -1
+        else if (y == eb) 1
+        else if (a.charAt(x) < b.charAt(y)) -1 else 1
+      if (c == 0) { inter += 1; na += 1; nb += 1; i = ea + 1; j = eb + 1 }
+      else if (c < 0) { na += 1; i = ea + 1 }
+      else { nb += 1; j = eb + 1 }
+    }
+    while (i < la) { na += 1; i = segEnd(a, i, la) + 1 }
+    while (j < lb) { nb += 1; j = segEnd(b, j, lb) + 1 }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   /** Signature frame for incremental/streaming dedup: one row per
