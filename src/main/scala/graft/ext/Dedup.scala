@@ -352,15 +352,15 @@ object Dedup {
             col("x.nsh") - col("x.rk"), col("y.nsh") - col("y.rk")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify over PACKED sorted shingle sets: one ''-joined string
+    // verify over PACKED sorted shingle sets: one ShingleSep-joined string
     // per doc instead of array<string> — the array form pays a UTF8String
     // decode per ELEMENT per candidate pair at the UDF boundary (~100
     // decodes/pair), which dominated verification; the packed form decodes
-    // two strings per pair and merge-walks the segments. '' cannot
+    // two strings per pair and merge-walks the segments. ShingleSep cannot
     // occur in shingles ([a-z0-9 ] alphabet), and segment order under the
     // walk equals array_sort's binary string order for ASCII.
     val packed = hashed.select(col("doc_id"),
-      concat_ws("", array_sort(col("sh"))).as("shp"))
+      concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
     cand
       .join(packed.select(col("doc_id").as("doc_a"), col("shp").as("pa")), Seq("doc_a"))
       .join(packed.select(col("doc_id").as("doc_b"), col("shp").as("pb")), Seq("doc_b"))
@@ -368,7 +368,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** Merge-intersection Jaccard over two packed (''-delimited,
+  /** Packed-shingle delimiter. U+0001 cannot occur in shingles (the
+    * `[a-z0-9 ]` alphabet) and sorts below every shingle character, so the
+    * merge walk preserves `array_sort` order. Written as an escape — a raw
+    * control char in source is invisible in diffs and one formatter away
+    * from silent corruption. `final` without a type annotation makes it a
+    * compile-time constant: the UDF body inlines it instead of capturing
+    * the enclosing object in its closure. */
+  private final val ShingleSep = '\u0001'
+
+  /** Merge-intersection Jaccard over two packed (ShingleSep-delimited,
     * sorted, distinct) shingle strings — one linear walk, no per-element
     * object churn. */
   private val jaccardPackedUdf = udf { (a: String, b: String) =>
@@ -377,7 +386,7 @@ object Dedup {
     var na = 0; var nb = 0; var inter = 0
     def segEnd(s: String, from: Int, len: Int): Int = {
       var e = from
-      while (e < len && s.charAt(e) != '') e += 1
+      while (e < len && s.charAt(e) != ShingleSep) e += 1
       e
     }
     while (i < la && j < lb) {

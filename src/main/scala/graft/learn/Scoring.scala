@@ -50,7 +50,16 @@ object Scoring {
       .withColumn("f",
         concat(col("sv"), col("dv"),
           ArrayOps.hadamard(col("sv"), col("dv"))))
-      .withColumn("logit", ArrayOps.dot(col("f"), w) + lit(intercept))
+      // fail fast on width mismatch: ArrayOps.dot truncates to the shorter
+      // array, so a head trained at a different embedding width would
+      // otherwise produce plausible-looking but wrong logits
+      .withColumn("logit",
+        when(size(col("f")) === lit(weights.length),
+          ArrayOps.dot(col("f"), w) + lit(intercept))
+          .otherwise(raise_error(format_string(
+            "scoreEdgesModel: feature width %d != trained weight width " +
+              s"${weights.length} (embedding dim mismatch)",
+            size(col("f")))).cast("double")))
       .withColumn("score", ArrayOps.sigmoid(col("logit")))
       .select(col("src"), col("dst"), col("logit"), col("score"))
   }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.ext.Dedup
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -16,15 +17,22 @@ import org.apache.spark.sql.types._
   * keyed on short band keys against a bucketed store; the full corpus is
   * never re-shingled.
   *
-  * State lives in three parquet dirs under `storeDir`:
+  * State lives in three parquet dirs under `storeDir`, each
+  * hash-partitioned by `batch_id`:
   *   - `sigs`      (doc_id, band, key)  — the LSH index
   *   - `shingles`  (doc_id, sh)         — for the exact verify
   *   - `pairs`     (doc_a, doc_b)       — verified near-dup pairs
   *
   * Every pair involves at least one new document exactly once (old × old
-  * pairs were emitted by earlier batches), so appends never duplicate:
-  * the accumulated `pairs` equal the batch [[Dedup.nearDupMinhash]] over
-  * the same corpus — asserted by StreamingSpec.
+  * pairs were emitted by earlier batches), so the accumulated `pairs`
+  * equal the batch [[Dedup.nearDupMinhash]] over the same corpus —
+  * asserted by StreamingSpec.
+  *
+  * Idempotency under at-least-once `foreachBatch` replay: every write is a
+  * dynamic-partition OVERWRITE of the batch's own `batch_id=N` partition,
+  * and store reads exclude the current batch id — a replayed micro-batch
+  * recomputes against exactly the pre-batch state and REPLACES its earlier
+  * (possibly partial) output instead of appending a second copy.
   */
 object DocIngest {
 
@@ -44,15 +52,24 @@ object DocIngest {
       tau: Double = 0.8): StreamingQuery =
     spark.readStream.schema(docSchema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, storeDir, tau)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, storeDir, tau, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** `exists` through the Hadoop FileSystem API so the store works on any
+    * supported filesystem (HDFS/S3A/local), not just driver-local disk. */
+  private def storeExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** One micro-batch: signatures for the NEW docs, candidates from the
-    * band-key join against (store ∪ new), exact-Jaccard verify, append. */
-  def ingestBatch(batch: DataFrame, storeDir: String, tau: Double): Unit = {
+    * band-key join against (store ∪ new), exact-Jaccard verify, overwrite
+    * this batch's partition of each store. */
+  def ingestBatch(batch: DataFrame, storeDir: String, tau: Double,
+      batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val sigs = Dedup.signatures(batch, "doc_id", "text")
       .localCheckpoint(eager = true) // one tokenize+hash pass, read 4×
@@ -60,9 +77,13 @@ object DocIngest {
     val newKeys = sigs.select(col("doc_id"), col("band"), col("key"))
     val newSh = sigs.select(col("doc_id"), col("sh")).distinct()
 
+    // exclude the current batch id: a replayed batch must see the
+    // pre-batch store, not its own earlier partial output
     def readStore(name: String): Option[DataFrame] =
-      if (new java.io.File(s"$storeDir/$name").exists())
-        Some(spark.read.parquet(s"$storeDir/$name"))
+      if (storeExists(spark, s"$storeDir/$name"))
+        Some(spark.read.parquet(s"$storeDir/$name")
+          .filter(col("batch_id") =!= batchId)
+          .drop("batch_id"))
       else None
 
     val allKeys = readStore("sigs")
@@ -80,17 +101,23 @@ object DocIngest {
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    Dedup.verifyJaccard(cand, allSh, tau)
-      .write.mode("append").parquet(s"$storeDir/pairs")
 
-    newKeys.write.mode("append").parquet(s"$storeDir/sigs")
-    newSh.write.mode("append").parquet(s"$storeDir/shingles")
+    // dynamic partitionOverwriteMode: replace ONLY batch_id=<this batch>
+    def writeStore(df: DataFrame, name: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$storeDir/$name")
+
+    writeStore(Dedup.verifyJaccard(cand, allSh, tau), "pairs")
+    writeStore(newKeys, "sigs")
+    writeStore(newSh, "shingles")
   }
 
   /** The accumulated near-dup pairs (empty frame if nothing ingested). */
   def pairs(spark: SparkSession, storeDir: String): DataFrame =
-    if (new java.io.File(s"$storeDir/pairs").exists())
-      spark.read.parquet(s"$storeDir/pairs")
+    if (storeExists(spark, s"$storeDir/pairs"))
+      spark.read.parquet(s"$storeDir/pairs").select("doc_a", "doc_b")
     else {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

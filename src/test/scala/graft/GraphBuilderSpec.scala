@@ -104,8 +104,8 @@ class GraphBuilderSpec extends SparkSpec {
       val g = GraphBuilder.build(Catalogs.tpch, tables(_))
         .addDegree(spark).withReverseEdges.withSelfLoops
       assert(g.nodes.nonEmpty && g.edges.nonEmpty)
-      // listener events post asynchronously — give the bus a beat
-      Thread.sleep(1500)
+      // listener events post asynchronously — drain the bus deterministically
+      org.apache.spark.ListenerDrain.drain(spark.sparkContext)
       assert(jobs.get() === 0,
         s"graph construction triggered ${jobs.get()} eager Spark job(s)")
       // first actual query pays, and works

@@ -129,6 +129,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture should contain planted near-dups")
+
+    // at-least-once replay: re-running the LAST micro-batch with its own
+    // batchId must overwrite its earlier output, not append a second copy
+    val lastBatch = spark.read.parquet(s"$inDir/chunk2.parquet")
+    DocIngest.ingestBatch(lastBatch, storeDir, tau = 0.8, batchId = 2L)
+    val replayed = DocIngest.pairs(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(replayed.length == replayed.distinct.length,
+      "replayed batch appended duplicate pairs")
+    assert(replayed.toSet == batch, "replay changed the accumulated pairs")
   }
 
   test("file-source stream reads the fixture directory") {
