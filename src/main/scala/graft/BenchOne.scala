@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a subset of SparkEntry queries (dev loop for perf work; the
+  * driver-facing harness is [[Bench]]). Usage:
+  * {{{ runMain graft.BenchOne q43_recommend_trained q29_propagate_fixed }}}
+  * Honours SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like [[Bench]]; runs each
+  * named query `SPARK_GRAFT_REPS` times (default 1) through the noop sink
+  * and prints per-rep seconds. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- args; r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"BENCHONE $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

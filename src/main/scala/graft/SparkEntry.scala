@@ -328,8 +328,12 @@ r2o AS (
         .withReverseEdges
         .restrictTo(Set("customer", "orders"), hops = 1)
         .addDegree
+      // checkpoint: the union below reads BOTH type frames, and each
+      // final-round frame references every type's previous round — without
+      // the per-round barrier the propagation tree re-executes per consumer
       val emb = graft.learn.Propagate.meanRoundsFixed(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2,
+        checkpoint = true)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))
         .unionByName(emb("orders")
@@ -347,8 +351,12 @@ r2o AS (
         .withReverseEdges
         .restrictTo(Set("customer", "orders"), hops = 1)
         .addDegree
+      // checkpoint: scoring joins customer AND orders embeddings, and the
+      // candidate anti-join re-reads the graph — barrier per round so the
+      // propagation executes once, not once per consumer
       val emb = graft.learn.Propagate.meanRoundsFixed(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2,
+        checkpoint = true)
       // descale the fixed-point channel into width-1 double vecs
       def vecs(tn: String) = emb(tn).select(col("id"),
         array(col("h") / lit(1000000.0)).as("vec"))

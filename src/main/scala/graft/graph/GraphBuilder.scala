@@ -21,6 +21,39 @@ object GraphBuilder {
     * `row_number()` window, no `monotonically_increasing_id`
     * (partition-dependent, SURVEY.md §7.0). Returns `(pk, id)`.
     */
+  /** Memoised dense-PK probe results, keyed by (canonicalised source plan,
+    * pk column): `Some((lo, n))` = PKs are the dense range `lo..lo+n-1`,
+    * `None` = not dense. Every graph-shaped query calls [[build]] afresh,
+    * and without the memo each build re-runs one eager min/max/count/
+    * countDistinct agg per node table (~9 blocking jobs, several seconds of
+    * fixed cost per query at sf0.1; at 100 TB a full-column scan per table
+    * per build). Source data is immutable for a session (parquet fixtures),
+    * so the probe is a pure function of the canonical scan plan. The row
+    * count `n` doubles as the node type's id-space size hint
+    * ([[HeteroGraph.sizeHints]]) so flat propagation / GraphX layouts skip
+    * their own eager per-type max-id aggregations. */
+  private val denseProbeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+           Option[(Long, Long)]]
+
+  /** The memoised probe (see [[denseProbeCache]]): `Some((lo, n))` if
+    * `df(pkCol)` holds exactly the dense integral range `lo..lo+n-1`. */
+  private def denseProbe(df: DataFrame, pkCol: String): Option[(Long, Long)] = {
+    val key = (df.queryExecution.analyzed.canonicalized, pkCol)
+    denseProbeCache.getOrElseUpdate(key, {
+      val r = df.agg(
+        min(col(pkCol)), max(col(pkCol)), count(lit(1)),
+        countDistinct(col(pkCol))).head()
+      if (r.isNullAt(0)) None
+      else {
+        val (lo, hi, n, nd) =
+          (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+            r.getLong(2), r.getLong(3))
+        if (hi - lo + 1 == n && nd == n) Some((lo, n)) else None
+      }
+    })
+  }
+
   def denseIds(df: DataFrame, pkCol: String,
       probeDense: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -32,22 +65,16 @@ object GraphBuilder {
     // of distinct+shuffle+window. The probe is one column-pruned agg pass
     // but EAGER (a blocking driver action) — direct callers default it on
     // (the mapping is queried immediately, so it amortises); [[build]]
-    // defaults it OFF so constructing a graph runs zero Spark jobs.
+    // defaults it OFF so constructing a graph runs zero Spark jobs. Probe
+    // results are memoised per (plan, pk) — see [[denseProbeCache]].
     val integral = df.schema(pkCol).dataType match {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
       case _ => false
     }
     if (integral && probeDense) {
-      val r = df.agg(
-        min(col(pkCol)), max(col(pkCol)), count(lit(1)),
-        countDistinct(col(pkCol))).head()
-      if (!r.isNullAt(0)) {
-        val (lo, hi, n, nd) =
-          (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
-            r.getLong(2), r.getLong(3))
-        if (hi - lo + 1 == n && nd == n)
-          return df.select(col(pkCol).as("pk"),
-            (col(pkCol).cast("long") - lo).as("id"))
+      denseProbe(df, pkCol).foreach { case (lo, _) =>
+        return df.select(col(pkCol).as("pk"),
+          (col(pkCol).cast("long") - lo).as("id"))
       }
     }
     // Range-partition so partition order == pk order, rank within each
@@ -167,7 +194,8 @@ object GraphBuilder {
       // plan (the dominant cost of a graph build). cache() (not
       // localCheckpoint: under AQE that executes stages at CALL time) is
       // lazy — a query that never touches a mapping never pays for it.
-      val mapping = denseIds(loadTable(n.table), n.pk, probeDense).cache()
+      val mapping =
+        graft.functions.Caching.ensureCached(denseIds(loadTable(n.table), n.pk, probeDense))
       val (nodeDf, _) =
         nodeFrame(loadTable(n.table), n, fkCols, oneHot.get(n.table), Some(mapping))
       n.table -> (nodeDf, mapping)
@@ -177,6 +205,18 @@ object GraphBuilder {
       e.key -> edgeFrame(loadTable(e.rowsTable), e,
         mappings(e.srcTable), mappings(e.dstTable))
     }.toMap
-    HeteroGraph(built.map { case (t, (n, _)) => t -> n }, edges)
+    // id-space sizes fall out of the dense probe for free (memoised) —
+    // downstream flat layouts then need no eager max(id) pass per type
+    val hints =
+      if (!probeDense) Map.empty[String, Long]
+      else topo.nodes.flatMap { n =>
+        val integral = loadTable(n.table).schema(n.pk).dataType match {
+          case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
+          case _ => false
+        }
+        if (!integral) None
+        else denseProbe(loadTable(n.table), n.pk).map(p => n.table -> p._2)
+      }.toMap
+    HeteroGraph(built.map { case (t, (n, _)) => t -> n }, edges, hints)
   }
 }

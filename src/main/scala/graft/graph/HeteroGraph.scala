@@ -13,10 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class HeteroGraph(
     nodes: Map[String, DataFrame],
-    edges: Map[EdgeKey, DataFrame]) {
+    edges: Map[EdgeKey, DataFrame],
+    sizeHints: Map[String, Long] = Map.empty) {
 
   def nodeCount(t: String): Long = nodes(t).count()
   def edgeCount(k: EdgeKey): Long = edges(k).count()
+
+  /** Size of a node type's dense id space (`max(id)+1`). Served from
+    * [[sizeHints]] when the builder's dense-PK probe already knows it
+    * (zero Spark jobs); otherwise one column-pruned max aggregation. */
+  def idSpaceSize(t: String): Long =
+    sizeHints.getOrElse(t, nodes(t).agg(max(col("id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    })
 
   /** Degree feature (G6, `convert_to_graph.py:217-241`): per node type, the
     * number of incident edge endpoints across ALL edge types where the type
@@ -91,9 +101,9 @@ final case class HeteroGraph(
       keep ++= in
       needed ++= in.map(_.src)
     }
-    HeteroGraph(
-      nodes.view.filterKeys(needed).toMap,
-      edges.view.filterKeys(keep).toMap)
+    copy(
+      nodes = nodes.view.filterKeys(needed).toMap,
+      edges = edges.view.filterKeys(keep).toMap)
   }
 
   /** Persist as a partitioned parquet directory (S7 — the reference's
@@ -109,8 +119,9 @@ final case class HeteroGraph(
   }
 
   def cached(): HeteroGraph =
-    HeteroGraph(nodes.map { case (t, d) => t -> d.cache() },
-                edges.map { case (k, d) => k -> d.cache() })
+    copy(
+      nodes = nodes.map { case (t, d) => t -> graft.functions.Caching.ensureCached(d) },
+      edges = edges.map { case (k, d) => k -> graft.functions.Caching.ensureCached(d) })
 
   /** Truncate every node/edge lineage behind a checkpoint barrier. A built
     * graph's DataFrames embed the whole conversion plan (scan + dense-id
@@ -119,8 +130,8 @@ final case class HeteroGraph(
     * reference. One materialisation, then every consumer reads columnar
     * blocks. Call before multi-pass algorithms. */
   def materialized(): HeteroGraph =
-    HeteroGraph(nodes.map { case (t, d) => t -> d.localCheckpoint(eager = true) },
-                edges.map { case (k, d) => k -> d.localCheckpoint(eager = true) })
+    copy(nodes = nodes.map { case (t, d) => t -> d.localCheckpoint(eager = true) },
+         edges = edges.map { case (k, d) => k -> d.localCheckpoint(eager = true) })
 }
 
 object HeteroGraph {

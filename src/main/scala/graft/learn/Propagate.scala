@@ -125,18 +125,34 @@ object Propagate {
     * regime, where stage count and per-stage skew dominate. The per-type
     * loop remains the readable reference implementation.
     */
+  /** Per-type dense id-space sizes for the flat layouts: served from
+    * [[HeteroGraph.sizeHints]] when known (zero jobs); missing types fall
+    * back to one max(id) aggregation each, submitted concurrently so the
+    * independent jobs overlap instead of serialising. */
+  private def flatSizes(g: HeteroGraph, types: Seq[String]): Seq[(String, Long)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = types.map(t => Future(t -> g.idSpaceSize(t)))
+    fs.map(f => Await.result(f, Duration.Inf))
+  }
+
   def meanRoundsFlat(
       g: HeteroGraph,
       init: Map[String, DataFrame],
       rounds: Int,
       dim: Int = 1): Map[String, DataFrame] = {
+    // dim=1 (the degree-init path TrainLR uses) runs as a plain double
+    // column: `transform`/`zip_with` lambdas are interpreted expressions
+    // (not codegen), and at ~millions of node rows × rounds they dominate
+    // the propagation wall-clock. The scalar twin keeps every round inside
+    // whole-stage codegen and re-wraps `array(h)` only at the boundary.
+    if (dim == 1) return meanRoundsFlatScalar(g, init, rounds)
     val types = init.keys.toSeq.sorted
-    // offsets from max(id)+1 per type, like GraphXBridge (one tiny agg per
-    // type; amortised by the round loop)
-    val sizes = types.map(t => t -> (g.nodes(t).agg(max(col("id"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) + 1L
-    }))
+    // id-space sizes: free when the builder probe left hints, otherwise a
+    // max(id) agg per type — run those CONCURRENTLY (they are independent
+    // jobs; serial execution was a measured multi-second fixed cost)
+    val sizes = flatSizes(g, types)
     val offsets = sizes.scanLeft(("", 0L)) {
       case ((_, acc), (t, n)) => (t, acc + n)
     }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
@@ -186,6 +202,61 @@ object Propagate {
     }.toMap
   }
 
+  /** [[meanRoundsFlat]] specialised to embedding width 1: the channel is a
+    * bare `double` column, so the per-round mean/combine arithmetic is
+    * native SUM/COUNT/division inside whole-stage codegen — no interpreted
+    * array lambdas. Same recurrence, same float-order caveats. */
+  private def meanRoundsFlatScalar(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int): Map[String, DataFrame] = {
+    val types = init.keys.toSeq.sorted
+    val sizes = flatSizes(g, types)
+    val offsets = sizes.scanLeft(("", 0L)) {
+      case ((_, acc), (t, n)) => (t, acc + n)
+    }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
+
+    val flatEdges0 = g.edges.toSeq
+      .filter { case (k, _) => offsets.contains(k.src) && offsets.contains(k.dst) }
+      .sortBy(_._1.name)
+      .zipWithIndex.map { case ((k, df), tag) =>
+        df.select(
+          (col("src") + offsets(k.src)).as("src"),
+          (col("dst") + offsets(k.dst)).as("dst"),
+          lit(tag).as("tag"))
+      }
+      .reduce(_ unionByName _)
+    // eager (see barrier); one edge frame reused per round
+    val flatEdgesCk = flatEdges0.localCheckpoint()
+
+    var h: DataFrame = types.map { t =>
+      init(t).select((col("id") + offsets(t)).as("gid"),
+        element_at(col("vec"), 1).as("h"))
+    }.reduce(_ unionByName _)
+
+    for (_ <- 1 to rounds) {
+      val perTypeMean = flatEdgesCk
+        .join(h.select(col("gid").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst"), col("tag"))
+        .agg((sum(col("h")) / count(lit(1))).as("msg"))
+      val msgs = perTypeMean
+        .groupBy(col("dst").as("gid"))
+        .agg(sum(col("msg")).as("msg_sum"), count(lit(1)).as("n_types"))
+      h = h.join(msgs, Seq("gid"), "left")
+        .select(col("gid"),
+          when(col("msg_sum").isNull, col("h"))
+            .otherwise((col("h") + col("msg_sum")) / (lit(1) + col("n_types")))
+            .as("h"))
+        .localCheckpoint() // eager — see barrier scaladoc
+    }
+    types.map { t =>
+      val lo = offsets(t)
+      val hi = lo + sizes.toMap.apply(t)
+      t -> h.filter(col("gid") >= lo && col("gid") < hi)
+        .select((col("gid") - lo).as("id"), array(col("h")).as("vec"))
+    }.toMap
+  }
+
   /** Fixed-point twin of [[meanRounds]] over a single scaled-long channel:
     * embeddings are `h: bigint` (value × scale), per-type means are
     * floor-divided long sums, and the cross-type combine is
@@ -204,7 +275,7 @@ object Propagate {
       rounds: Int,
       checkpoint: Boolean = false): Map[String, DataFrame] = {
     var h = init
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
           val src = h(k.src).select(col("id").as("src"), col("h"))
@@ -228,7 +299,20 @@ object Propagate {
         }
         t -> updated
       }
-      if (checkpoint) h = barrier(h)
+      // Barrier policy: the FINAL round is never checkpointed — its frames
+      // are each consumed once downstream, so eager materialisation of
+      // every type (including ones the caller never reads) is pure cost.
+      // Round 1 barriers ALL types, truncating the graph-build lineage
+      // behind pass-through message sources too; later middle rounds only
+      // barrier types that actually received messages (the rest already
+      // sit on their round-1 checkpoint).
+      if (checkpoint && r < rounds) {
+        if (r == 1) h = barrier(h)
+        else {
+          val (upd, same) = h.partition { case (t, _) => byDst.contains(t) }
+          h = barrier(upd) ++ same
+        }
+      }
     }
     h
   }

@@ -62,13 +62,13 @@ object TrainLR {
     val msgGraph = split.messageGraph
       .restrictTo(Set(target.src, target.dst), rounds)
       .cached()
-    val trainPos = split.trainPos.cache()
-    val valPos = split.valPos.cache()
+    val trainPos = graft.functions.Caching.ensureCached(split.trainPos)
+    val valPos = graft.functions.Caching.ensureCached(split.valPos)
     val emb = Propagate.meanRoundsFlat(
       msgGraph, Propagate.degreeInit(msgGraph), rounds)
 
     val nDst = g.nodes(target.dst).count()
-    val allPos = g.edges(target).cache()
+    val allPos = graft.functions.Caching.ensureCached(g.edges(target))
     def negs(pos: DataFrame, s: Long) =
       NegativeSampling.sample(pos, allPos, nDst, s)
 
