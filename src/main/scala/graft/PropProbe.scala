@@ -1,0 +1,146 @@
+package graft
+
+import graft.catalog.Catalogs
+import graft.graph.GraphBuilder
+import graft.learn.{LinkSplit, Propagate}
+import graft.topology.EdgeKey
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: per-phase wall times inside the flat scalar propagation
+  * that dominates q28 (mirrors [[graft.learn.Propagate.meanRoundsFlat]]'s
+  * dim=1 path step by step). Not part of the driver contract. */
+object PropProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // job/task accounting: wall >> task-time means scheduler/planning overhead
+    if (sys.env.contains("PROP_JOB_STACKS")) {
+      // sample the main thread: what is it doing during "lazy" phases?
+      val mainTh = Thread.currentThread()
+      new Thread(() => {
+        while (true) {
+          Thread.sleep(100)
+          val fr = mainTh.getStackTrace
+          val interesting = fr.filter(f =>
+            f.getClassName.startsWith("graft") ||
+            f.getClassName.contains("DAGScheduler") ||
+            f.getClassName.contains("Canonicalize") ||
+            f.getClassName.contains("QueryExecution") ||
+            f.getClassName.contains("RuleExecutor") ||
+            f.getClassName.contains("CacheManager"))
+          if (interesting.nonEmpty)
+            println("  TRACE " + interesting.take(4).mkString(" <- "))
+        }
+      }) { setDaemon(true) }.start()
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (sys.env.contains("PROP_JOB_NAMES")) {
+          val cs = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.root.id")))
+          val nt = j.stageInfos.map(_.numTasks).sum
+          println("  JOB rootExec=" + cs.getOrElse("?") + " stages=" +
+            j.stageInfos.size + " tasks=" + nt + " " +
+            j.stageInfos.map(_.name).headOption.getOrElse("?"))
+        }
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+          stageTime.merge(t.stageId, ("", t.taskMetrics.executorRunTime, 1),
+            (a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+        }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageTime.merge(s.stageInfo.stageId, (s.stageInfo.name, 0L, 0),
+          (a, b) => (b._1, a._2, a._3))
+    })
+    def time[A](label: String)(f: => A): A = {
+      val j0 = jobs.get(); val n0 = taskNanos.get()
+      val t0 = System.nanoTime(); val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let the async listener bus drain (dev probe only)
+      println(f"PROP $label $wall%.2f s  jobs=${jobs.get() - j0} taskTime=${(taskNanos.get() - n0) / 1e9}%.2f s")
+      import scala.jdk.CollectionConverters._
+      val hot = stageTime.asScala.toSeq.sortBy(-_._2._2).take(4)
+        .filter(_._2._2 > 500)
+      hot.foreach { case (id, (nm, ms, nt)) =>
+        println(f"  stage $id $nm tasks=$nt time=${ms / 1e3}%.1f s") }
+      stageTime.clear()
+      r
+    }
+
+    for (rep <- 1 to 2) {
+      println(s"== rep $rep")
+      implicit val sp: SparkSession = spark
+      val g0 = time("graph build")(
+        GraphBuilder.build(Catalogs.tpch, n => Tables.load(spark, sfDir, n),
+          probeDense = true).addDegree.withReverseEdges.withSelfLoops)
+      val target = graft.topology.Topology.classify(Catalogs.tpch).edges
+        .find(e => e.srcTable == "orders" && e.dstTable == "customer")
+        .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get
+      val split = time("split")(LinkSplit.split(g0, target, 0.15, 42L))
+      val msg = time("restrict+cache")(
+        split.messageGraph.restrictTo(Set(target.src, target.dst), 2).cached())
+      time("materialize node caches")(
+        msg.nodes.values.foreach(_.count()))
+      time("materialize edge caches")(
+        msg.edges.values.foreach(_.count()))
+      val init = Propagate.degreeInit(msg)
+      val types = init.keys.toSeq.sorted
+      println(s"PROP types=${types.mkString(",")} edgeTypes=${msg.edges.size} hints=${msg.sizeHints.size}")
+
+      val sizes = time("flatSizes")(types.map(t => t -> msg.idSpaceSize(t)))
+      val offsets = sizes.scanLeft(("", 0L)) {
+        case ((_, acc), (t, n)) => (t, acc + n)
+      }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
+
+      val flatEdges0 = msg.edges.toSeq
+        .filter { case (k, _) => offsets.contains(k.src) && offsets.contains(k.dst) }
+        .sortBy(_._1.name)
+        .zipWithIndex.map { case ((k, df), tag) =>
+          df.select(
+            (col("src") + offsets(k.src)).as("src"),
+            (col("dst") + offsets(k.dst)).as("dst"),
+            lit(tag).as("tag"))
+        }
+        .reduce(_ unionByName _)
+      val flatEdgesCk = time("edge union ckpt")(flatEdges0.coalesce(32).localCheckpoint())
+
+      var h = time("init union")(types.map { t =>
+        init(t).select((col("id") + offsets(t)).as("gid"),
+          element_at(col("vec"), 1).as("h"))
+      }.reduce(_ unionByName _).coalesce(32).localCheckpoint())
+
+      for (r <- 1 to 2) {
+        h = time(s"round $r") {
+          val perTypeMean = flatEdgesCk
+            .join(h.select(col("gid").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst"), col("tag"))
+            .agg((sum(col("h")) / count(lit(1))).as("msg"))
+          val msgs = perTypeMean
+            .groupBy(col("dst").as("gid"))
+            .agg(sum(col("msg")).as("msg_sum"), count(lit(1)).as("n_types"))
+          h.join(msgs, Seq("gid"), "left")
+            .select(col("gid"),
+              when(col("msg_sum").isNull, col("h"))
+                .otherwise((col("h") + col("msg_sum")) / (lit(1) + col("n_types")))
+                .as("h"))
+            .localCheckpoint()
+        }
+      }
+      time("final count")(println("rows=" + h.count()))
+    }
+    spark.stop()
+  }
+}

@@ -140,6 +140,13 @@ object Propagate {
     * [[HeteroGraph.sizeHints]] when known (zero jobs); missing types fall
     * back to one max(id) aggregation each, submitted concurrently so the
     * independent jobs overlap instead of serialising. */
+  /** The session's configured shuffle parallelism — the target partition
+    * count for flat-layout frames (unions must not multiply it). */
+  private def numShufflePartitions(g: HeteroGraph): Int =
+    g.nodes.headOption.orElse(g.edges.headOption.map { case (k, d) => (k.src, d) })
+      .map(_._2.sparkSession.sessionState.conf.numShufflePartitions)
+      .getOrElse(32)
+
   private def flatSizes(g: HeteroGraph, types: Seq[String]): Seq[(String, Long)] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -178,11 +185,19 @@ object Propagate {
           lit(tag).as("tag"))
       }
       .reduce(_ unionByName _)
+      // coalesce before the barrier: a T-type union multiplies partition
+      // count by T, and at fixture scale each task costs a fixed ~30-100ms
+      // (scheduler + shuffle-writer setup) regardless of rows — every round
+      // re-scans this frame, so pay for shuffle.partitions tasks, not T×.
+      .coalesce(numShufflePartitions(g))
       .localCheckpoint() // eager (see barrier); one edge frame reused per round
 
     var h: DataFrame = types.map { t =>
       init(t).select((col("id") + offsets(t)).as("gid"), col("vec"))
     }.reduce(_ unionByName _)
+      // same union-width argument; the barrier also truncates the cached
+      // node-frame lineage so round plans serialise small task binaries
+      .coalesce(numShufflePartitions(g)).localCheckpoint()
 
     for (_ <- 1 to rounds) {
       val perTypeMean = flatEdges
@@ -237,13 +252,15 @@ object Propagate {
           lit(tag).as("tag"))
       }
       .reduce(_ unionByName _)
-    // eager (see barrier); one edge frame reused per round
-    val flatEdgesCk = flatEdges0.localCheckpoint()
+    // eager (see barrier); one edge frame reused per round. Coalesced first:
+    // see meanRoundsFlat — union width × 32 tasks of fixed per-task cost.
+    val flatEdgesCk = flatEdges0.coalesce(numShufflePartitions(g)).localCheckpoint()
 
     var h: DataFrame = types.map { t =>
       init(t).select((col("id") + offsets(t)).as("gid"),
         element_at(col("vec"), 1).as("h"))
     }.reduce(_ unionByName _)
+      .coalesce(numShufflePartitions(g)).localCheckpoint()
 
     for (_ <- 1 to rounds) {
       val perTypeMean = flatEdgesCk
