@@ -339,6 +339,25 @@ r2o AS (
         .unionByName(emb("orders")
           .select(lit("orders").as("node_type"), col("id"), col("h")))
     }),
+    // G12 attention-path oracle witness: one round of fixed-point LINEAR
+    // attention (edge weight ∝ source salience h_u, exactly normalised in
+    // integer arithmetic) — the same score→normalise→weighted-sum shape as
+    // q27's softmax attention, but hash-exact against DuckDB. Restricted
+    // to {customer, nation}: a nation aggregates its MANY diverse-h
+    // customers, so the salience weighting is non-degenerate (≠ mean).
+    "q46_attention_fixed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
+        .withReverseEdges
+        .restrictTo(Set("customer", "nation"), hops = 1)
+        .addDegree
+      val emb = graft.learn.Propagate.attentionRoundsFixed(
+        g, graft.learn.Propagate.degreeInitFixed(g, scale = 1000L), rounds = 1)
+      emb("customer")
+        .select(lit("customer").as("node_type"), col("id"), col("h"))
+        .unionByName(emb("nation")
+          .select(lit("nation").as("node_type"), col("id"), col("h")))
+    }),
     // Trained-head serving (the missing reference flow: checkpoint-loaded
     // weights scoring candidates, `inference.py:30-41`): recommend orders
     // to customer 0 by `sigmoid(w·[h_s ∥ h_d ∥ h_s∘h_d] + b)` with a FROZEN
@@ -661,6 +680,82 @@ r2o AS (
         |UNION ALL
         |SELECT 'orders', om.id, CAST(r2o.h AS BIGINT)
         |FROM r2o JOIN om ON om.pk = r2o.pk""".stripMargin,
+    // One round of fixed-point linear attention over the {customer,nation}
+    // 1-hop graph (edge types: orders→customer, events→customer,
+    // customer→nation, nation→customer). Per type the message into v is
+    // (Σ h_u²) // (Σ h_u) — α(u,v) = h_u / Σ h_u' exactly; init is
+    // (degree+1)·1000 per degreeInitFixed. All arithmetic in BIGINT
+    // (DuckDB promotes SUM to HUGEINT; values stay ≤ ~4e13), floor `//`
+    // matches Spark's `div` on positives.
+    "q46_attention_fixed" ->
+      s"""WITH cm AS ($cmSql),
+        |nm AS (SELECT n_nationkey AS pk, row_number() OVER (ORDER BY n_nationkey) - 1 AS id FROM nation),
+        |nco AS (SELECT o_custkey AS pk, COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |nce AS (SELECT user_id AS pk, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ncn AS (SELECT c_nationkey AS pk, COUNT(*) AS n FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+        |nsn AS (SELECT s_nationkey AS pk, COUNT(*) AS n FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1),
+        |nnr AS (SELECT n_regionkey AS pk, COUNT(*) AS n FROM nation WHERE n_regionkey IS NOT NULL GROUP BY 1),
+        |a0c AS (
+        |  SELECT c_custkey AS pk, c_nationkey,
+        |    CAST(1 + COALESCE(nco.n,0) + COALESCE(nce.n,0)
+        |       + 2*(CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000 AS h,
+        |    COALESCE(nco.n,0) > 0 AS has_o,
+        |    COALESCE(nce.n,0) > 0 AS has_e,
+        |    c_nationkey IS NOT NULL AS has_n
+        |  FROM customer LEFT JOIN nco ON c_custkey = nco.pk LEFT JOIN nce ON c_custkey = nce.pk),
+        |a0n AS (SELECT n_nationkey AS pk, n_regionkey,
+        |    CAST(1 + 2*COALESCE(ncn.n,0) + COALESCE(nsn.n,0)
+        |       + (CASE WHEN n_regionkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000 AS h,
+        |    COALESCE(ncn.n,0) > 0 AS has_c,
+        |    COALESCE(nsn.n,0) > 0 AS has_s,
+        |    n_regionkey IS NOT NULL AS has_r
+        |  FROM nation LEFT JOIN ncn ON n_nationkey = ncn.pk LEFT JOIN nsn ON n_nationkey = nsn.pk),
+        |a0o AS (SELECT o_custkey,
+        |    CAST(1 + (CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000 AS h
+        |  FROM orders),
+        |a0e AS (SELECT user_id, CAST(2 AS BIGINT) * 1000 AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |a0s AS (SELECT s_nationkey,
+        |    CAST(1 + (CASE WHEN s_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000 AS h
+        |  FROM supplier),
+        |a0r AS (SELECT r_regionkey AS pk,
+        |    CAST(1 + COALESCE(nnr.n,0) AS BIGINT) * 1000 AS h
+        |  FROM region LEFT JOIN nnr ON r_regionkey = nnr.pk),
+        |amo AS (SELECT o_custkey AS pk, CAST(SUM(h*h) // SUM(h) AS BIGINT) AS m
+        |        FROM a0o WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |ame AS (SELECT user_id AS pk, CAST(SUM(h*h) // SUM(h) AS BIGINT) AS m
+        |        FROM a0e GROUP BY 1),
+        |amn AS (SELECT c.c_custkey AS pk, CAST(SUM(a0n.h*a0n.h) // SUM(a0n.h) AS BIGINT) AS m
+        |        FROM customer c JOIN a0n ON a0n.pk = c.c_nationkey GROUP BY 1),
+        |amc AS (SELECT c_nationkey AS pk, CAST(SUM(h*h) // SUM(h) AS BIGINT) AS m
+        |        FROM a0c WHERE c_nationkey IS NOT NULL GROUP BY 1),
+        |ams AS (SELECT s_nationkey AS pk, CAST(SUM(h*h) // SUM(h) AS BIGINT) AS m
+        |        FROM a0s WHERE s_nationkey IS NOT NULL GROUP BY 1),
+        |amr AS (SELECT n.n_nationkey AS pk, CAST(SUM(a0r.h*a0r.h) // SUM(a0r.h) AS BIGINT) AS m
+        |        FROM nation n JOIN a0r ON a0r.pk = n.n_regionkey GROUP BY 1),
+        |r1ac AS (
+        |  SELECT a0c.pk,
+        |    CASE WHEN NOT (has_o OR has_e OR has_n) THEN a0c.h
+        |    ELSE (a0c.h + COALESCE(amo.m,0) + COALESCE(ame.m,0) + COALESCE(amn.m,0))
+        |      // (1 + CASE WHEN has_o THEN 1 ELSE 0 END + CASE WHEN has_e THEN 1 ELSE 0 END
+        |         + CASE WHEN has_n THEN 1 ELSE 0 END)
+        |    END AS h
+        |  FROM a0c LEFT JOIN amo ON a0c.pk = amo.pk LEFT JOIN ame ON a0c.pk = ame.pk
+        |    LEFT JOIN amn ON a0c.pk = amn.pk),
+        |r1an AS (
+        |  SELECT a0n.pk,
+        |    CASE WHEN NOT (has_c OR has_s OR has_r) THEN a0n.h
+        |    ELSE (a0n.h + COALESCE(amc.m,0) + COALESCE(ams.m,0) + COALESCE(amr.m,0))
+        |      // (1 + CASE WHEN has_c THEN 1 ELSE 0 END + CASE WHEN has_s THEN 1 ELSE 0 END
+        |         + CASE WHEN has_r THEN 1 ELSE 0 END)
+        |    END AS h
+        |  FROM a0n LEFT JOIN amc ON a0n.pk = amc.pk LEFT JOIN ams ON a0n.pk = ams.pk
+        |    LEFT JOIN amr ON a0n.pk = amr.pk)
+        |SELECT 'customer' AS node_type, cm.id AS id, CAST(r1ac.h AS BIGINT) AS h
+        |FROM r1ac JOIN cm ON cm.pk = r1ac.pk
+        |UNION ALL
+        |SELECT 'nation', nm.id, CAST(r1an.h AS BIGINT)
+        |FROM r1an JOIN nm ON nm.pk = r1an.pk""".stripMargin,
     // Trained-head serving over the fixed-point embeddings: logit =
     // w·[h_s, h_d, h_s*h_d] + b with frozen weights — pure per-row IEEE
     // +/×/÷ (no exp), so the unrounded doubles hash-match. All double

@@ -345,6 +345,64 @@ object Propagate {
     h
   }
 
+  /** Fixed-point twin of [[attentionRounds]]: the same score → normalise →
+    * weighted-sum shape, but with the edge score taken as the SOURCE
+    * salience `h_u` itself (linear attention) instead of
+    * `exp(leaky_relu(dot))` — so the per-type message is
+    * {{{ m(v) = (Σ_{u∈N_r(v)} h_u²) div (Σ_{u∈N_r(v)} h_u) }}}
+    * i.e. α(u,v) = h_u / Σ h_{u'} exactly, in integer arithmetic
+    * (`degreeInitFixed` keeps every h > 0, so the denominator never
+    * vanishes). Long sums are exact and order-independent, which makes
+    * this the ANSI-expressible, hash-exact oracle witness for the
+    * attention aggregation path — softmax exp sums are float-order
+    * dependent and can never be (SURVEY.md §7.4 hard part 2). Cross-type
+    * combine and barrier policy are [[meanRoundsFixed]]'s.
+    *
+    * Scale shape per round and edge type: ONE shuffle join (edges ⨝ src
+    * embeddings) + one partial-aggregated groupBy carrying both Σh² and
+    * Σh — cheaper than the softmax pattern's two aggregations, because
+    * linear weights need no per-destination max/exp pass. */
+  def attentionRoundsFixed(
+      g: HeteroGraph,
+      init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
+      rounds: Int,
+      checkpoint: Boolean = false): Map[String, DataFrame] = {
+    var h = init
+    for (r <- 1 to rounds) {
+      val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
+        case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
+          val src = h(k.src).select(col("id").as("src"), col("h"))
+          k.dst -> edges.join(src, Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(expr("sum(h * h) div sum(h)").as("msg")) // salience-weighted
+      }
+      val byDst = perType.groupBy(_._1)
+      h = h.map { case (t, cur) =>
+        val updated = byDst.get(t) match {
+          case None => cur
+          case Some(parts) =>
+            val msgs = parts.map(_._2).reduce(_ unionByName _)
+              .groupBy("id")
+              .agg(sum("msg").as("msg_sum"), count(lit(1)).as("n_types"))
+            cur.join(msgs, Seq("id"), "left")
+              .select(col("id"),
+                when(col("msg_sum").isNull, col("h"))
+                  .otherwise(expr("(h + msg_sum) div (1 + n_types)"))
+                  .as("h"))
+        }
+        t -> updated
+      }
+      if (checkpoint && r < rounds) {
+        if (r == 1) h = barrier(h)
+        else {
+          val (upd, same) = h.partition { case (t, _) => byDst.contains(t) }
+          h = barrier(upd) ++ same
+        }
+      }
+    }
+    h
+  }
+
   /** Scaled-long degree init for [[meanRoundsFixed]]: `h = degree × scale`
     * where degree is the last feature after [[HeteroGraph.addDegree]].
     * Degrees are integers well below 2^24, so the float→long cast is

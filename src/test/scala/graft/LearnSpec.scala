@@ -95,6 +95,31 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("attentionRoundsFixed: hand-checked salience weighting, != mean") {
+    import spark.implicits._
+    import graft.graph.HeteroGraph
+    import graft.topology.EdgeKey
+    // two customers (h=2000, 6000) feed one nation; one isolated nation
+    val nodes = Map(
+      "customer" -> Seq((0L, 2000L), (1L, 6000L)).toDF("id", "h"),
+      "nation" -> Seq((0L, 1000L), (1L, 1000L)).toDF("id", "h"))
+    val edges = Map(
+      EdgeKey("customer", "ofNation", "nation") ->
+        Seq((0L, 0L), (1L, 0L)).toDF("src", "dst"))
+    val hg = HeteroGraph(
+      nodes.map { case (t, d) => t -> d.select(col("id"), array(col("h").cast("float")).as("features")) },
+      edges)
+    val out = Propagate.attentionRoundsFixed(hg, nodes.map { case (t, d) => t -> d }, rounds = 1)
+    val got = out("nation").orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // msg = (2000^2 + 6000^2) div (2000 + 6000) = 40e6 div 8000 = 5000
+    // (the MEAN would be 4000 — the salience weighting must differ);
+    // combine = (1000 + 5000) div 2 = 3000. Isolated nation untouched.
+    assert(got.toSeq === Seq((0L, 3000L), (1L, 1000L)))
+    val meanOut = Propagate.meanRoundsFixed(hg, nodes.map { case (t, d) => t -> d }, rounds = 1)
+    val meanGot = meanOut("nation").orderBy("id").collect().map(_.getLong(1))
+    assert(meanGot.toSeq === Seq((1000L + 4000L) / 2, 1000L)) // 2500 != 3000
+  }
+
   test("scoreEdges computes sigmoid(dot)") {
     import spark.implicits._
     val emb = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0, -1.0)))
