@@ -420,15 +420,22 @@ object Propagate {
     * sums combine across types (`to_hetero(aggr='sum')`) and average with
     * the self embedding like [[meanRounds]].
     *
-    * The softmax is the classic three-step DataFrame pattern: score join →
-    * `groupBy(dst).agg(max, sum(exp(score−max)))` → join-divide. Numeric
-    * stability via the per-dst max subtraction; determinism caveat: exp
-    * sums are float-order dependent, so attention outputs are for scoring,
-    * not for hash-exact oracles (SURVEY.md §7.4 hard part 2).
+    * The softmax runs as TWO window passes over ONE `dst`-keyed exchange:
+    * `max(s) over (partition by dst)`, then `sum(exp(s−max)) over (same)`,
+    * then the weighted message aggregation reuses that partitioning — so
+    * the whole per-type round is a single shuffle, versus the classic
+    * three-step groupBy→join→groupBy pattern's three (and its lineage
+    * barrier: the scored frame here is consumed exactly once, so no eager
+    * checkpoint). Numeric stability via the per-dst max subtraction;
+    * determinism caveat: exp sums are float-order dependent, so attention
+    * outputs are for scoring, not for hash-exact oracles (SURVEY.md §7.4
+    * hard part 2) — [[attentionRoundsFixed]] is the oracle-grade witness.
     *
-    * Scale shape per round and edge type: two shuffles (score agg, message
-    * agg), both keyed on dst; GraphX `aggregateMessages` is the drop-in
-    * alternative if edges outgrow DataFrame joins.
+    * Scale notes: the window sorts within partitions where the agg pattern
+    * hashed — for very hot destinations the sort is O(d log d) per key vs
+    * O(d), bought back by two fewer shuffles of the full edge frame;
+    * GraphX `aggregateMessages` is the drop-in alternative if edges
+    * outgrow DataFrame windows.
     */
   def attentionRounds(
       g: HeteroGraph,
@@ -443,22 +450,14 @@ object Propagate {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
           val src = h(k.src).select(col("id").as("src"), col("vec").as("src_vec"))
           val dst = h(k.dst).select(col("id").as("dst"), col("vec").as("dst_vec"))
-          // barrier: the softmax pattern references this frame four times
-          // (max stats, exp, denominator, weighted agg) — without it the
-          // edge join + dot replays per reference
-          val scored = edges.join(src, Seq("src")).join(dst, Seq("dst"))
+          val byDstW = org.apache.spark.sql.expressions.Window.partitionBy("dst")
+          val agg = edges.join(src, Seq("src")).join(dst, Seq("dst"))
             .withColumn("s", {
               val d = ArrayOps.dot(col("src_vec"), col("dst_vec"))
               when(d > 0, d).otherwise(d * leakySlope) // leaky_relu
             })
-            .localCheckpoint(eager = true)
-          val stats = scored.groupBy(col("dst"))
-            .agg(max(col("s")).as("s_max"))
-          val withExp = scored.join(stats, Seq("dst"))
-            .withColumn("e", exp(col("s") - col("s_max")))
-          val denom = withExp.groupBy(col("dst")).agg(sum(col("e")).as("z"))
-          val agg = withExp.join(denom, Seq("dst"))
-            .withColumn("w", col("e") / col("z"))
+            .withColumn("e", exp(col("s") - max(col("s")).over(byDstW)))
+            .withColumn("w", col("e") / sum(col("e")).over(byDstW))
             .withColumn("msg_part", ArrayOps.vecScale(col("src_vec"), col("w")))
             .groupBy(col("dst").as("id"))
             .agg(sumVec("msg_part", dim, "m").head, sumVec("msg_part", dim, "m").tail: _*)
