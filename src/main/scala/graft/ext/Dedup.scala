@@ -478,13 +478,25 @@ object Dedup {
           .as(Seq("band", "key")))
 
   /** Shared prep: `(doc_id, sh, hs)` behind a checkpoint barrier. */
+  /** Memoised per (canonicalised docs plan, id, text, n): MinHash, SimHash
+    * and prefix-filter dedup all shingle the SAME corpus the same way, and
+    * the eager checkpoint is per-DataFrame — without the memo each query
+    * re-runs the tokenize→shingle→hash kernel over the whole corpus.
+    * Source data is immutable for a session (same contract as the
+    * dense-PK probe memo in GraphBuilder). */
+  private val prepCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+           DataFrame]
+
   private def prep(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        prepUdf(n)(col(textCol)).as("p"))
-      .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = true)
+    prepCache.getOrElseUpdate(
+      (docs.queryExecution.analyzed.canonicalized, idCol, textCol, n),
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          prepUdf(n)(col(textCol)).as("p"))
+        .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(eager = true))
 
   /** Bucket self-join: distinct `(doc_a < doc_b)` pairs sharing any
     * (band, key). */
