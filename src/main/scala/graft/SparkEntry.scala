@@ -498,6 +498,25 @@ r2o AS (
     "q45_ann_ivf_kmeans" -> ((s, dir) =>
       graft.ext.Similarity.ivfTopKKMeans(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // point-in-time (as-of) join: attach each event to the user's most
+    // recent STRICTLY-prior purchase event (attribution) — union + one
+    // window pass, one shuffle on the key, no range join (ext.AsOf).
+    "q47_asof_attrib" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("prior_purchase_id"),
+          col("value").as("prior_purchase_value"))
+      graft.ext.AsOf.joinAsOf(
+        e.select("event_id", "user_id", "ts"), purchases,
+        key = "user_id", time = "ts", tiebreak = "prior_purchase_id",
+        payload = Seq("prior_purchase_id", "prior_purchase_value"),
+        strict = true)
+        .select(col("event_id"), col("user_id"),
+          col("prior_purchase_id"), col("prior_purchase_value"))
+    }),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -808,6 +827,20 @@ r2o AS (
         |      i -> CAST(ascii(substr(regexp_replace(text, '\s+', ' ', 'g'), i, 1)) AS BIGINT))),
         |  (a, c) -> (a * 31 + c) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+    // As-of attribution: the fixture has no duplicate (user_id, ts) —
+    // verified at every SF — so "strictly earlier ts" (the operator's
+    // strict mode) equals "earlier in (ts, event_id) order", and the
+    // oracle can run one IGNORE NULLS window ending at 1 PRECEDING over
+    // the raw event stream. value is a pure passthrough double.
+    "q47_asof_attrib" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |    OVER w AS prior_purchase_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER w AS prior_purchase_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
     "q35_sim_topk" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
