@@ -517,6 +517,34 @@ r2o AS (
         .select(col("event_id"), col("user_id"),
           col("prior_purchase_id"), col("prior_purchase_value"))
     }),
+    // deterministic stratified sampling: ≤100 events per type, selected
+    // by the partition-independent DetRandom ranking (ext.Sampling) —
+    // plans as WindowGroupLimit, so hot strata never materialise
+    "q48_stratified_sample" -> ((s, dir) =>
+      graft.ext.Sampling.stratified(
+        t(s, dir, "events").select(col("event_id"), col("event_type")),
+        stratumCol = "event_type", idCol = "event_id", k = 100, seed = 77L)),
+    // integer-scaled TF-IDF: top-3 terms per document by
+    // tf × ((N×1e6) div df) — the idf in exact integer arithmetic, so the
+    // whole feature is hash-comparable (a float ln() idf would be
+    // libm-dependent across engines); rank ties break lexicographically
+    "q49_tfidf_topterms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val scored = tf.join(dfreq, Seq("term"))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * expr(s"(${n}L * 1000000L) div df")).as("score"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk").cast("long").as("rk"))
+    }),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -841,6 +869,27 @@ r2o AS (
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "q48_stratified_sample" ->
+      s"""SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ${DetRandom.mixSql("event_id", "event_id", 77L)}, event_id) AS rk
+        |  FROM events) WHERE rk <= 100""".stripMargin,
+    "q49_tfidf_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ((n.n * 1000000) // dfreq.df) AS score
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n)
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
     "q35_sim_topk" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
