@@ -90,6 +90,46 @@ object EventStream {
     * across micro-batches. Emits the updated running totals each batch. */
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)
 
+  /** Streaming twin of the batch as-of join (ext.AsOf / q47): attach each
+    * event to the user's latest STRICTLY-prior purchase, carrying one
+    * state row per user — (ts, id, value) of the best purchase so far —
+    * across micro-batches instead of re-scanning history. Within a batch
+    * the group's rows sort by (ts, event_id); each row is emitted against
+    * the state BEFORE any same-row purchase updates it, which reproduces
+    * the batch operator's strict semantics exactly.
+    *
+    * Correctness contract: per-user event-time order must hold ACROSS
+    * micro-batches (state only moves forward) — true for replayed logs
+    * and time-ordered sources; out-of-order arrivals need the watermarked
+    * buffering variant, which this fixture doesn't require. */
+  final case class Attribution(
+      event_id: Long, user_id: Long,
+      prior_purchase_id: Option[Long], prior_purchase_value: Option[Double])
+
+  def purchaseAttribution(
+      events: DataFrame)(implicit spark: SparkSession): Dataset[Attribution] = {
+    import spark.implicits._
+    events
+      .select(col("event_id").cast("long"), col("ts").cast("long"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long, Double), Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Double)]) =>
+          var cur = state.getOption // (ts, event_id, value) of latest purchase
+          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map {
+            case (eid, ts, _, typ, v) =>
+              val a = Attribution(eid, uid, cur.map(_._2), cur.map(_._3))
+              if (typ == "purchase") cur = Some((ts, eid, v))
+              a
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def runningUserTotals(
       events: DataFrame)(implicit spark: SparkSession): Dataset[UserTotals] = {
     import spark.implicits._

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttribution stream equals the batch as-of join (q47)") {
+    val batch = SparkEntry.queries("q47_asof_attrib")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.purchaseAttribution(streamDf)(spark)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // feed in three chunks in event-time order (the operator's contract)
+      val rows = Tables.load(spark, sf(), "events")
+        .orderBy("ts", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+      for (chunk <- rows.grouped((rows.length + 2) / 3)) {
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dedupStream drops cross-batch duplicate ids within the watermark") {
     val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
     val streamDf = EventStream.withEventTime(
