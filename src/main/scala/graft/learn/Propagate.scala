@@ -297,11 +297,38 @@ object Propagate {
     * core (G12); the double/attention variants remain the production
     * scorers. Same scale shape as [[meanRounds]]: one join + two
     * aggregations per edge type per round, all map-side combinable. */
+  /** Memoised per (canonical edge plans, canonical init plans, rounds,
+    * checkpoint): the fixed-point recurrence is a deterministic pure
+    * function of its integer inputs, and source data is immutable for a
+    * session (same contract as the dense-PK probe and shingle-prep
+    * memos) — so two queries propagating the same graph (e.g. the
+    * propagation oracle and trained-head serving) share one set of round
+    * barriers instead of re-running the rounds. */
+  private val fixedCache = scala.collection.concurrent.TrieMap
+    .empty[(Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+            Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+            Int, Boolean),
+           Map[String, DataFrame]]
+
   def meanRoundsFixed(
       g: HeteroGraph,
       init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
       rounds: Int,
       checkpoint: Boolean = false): Map[String, DataFrame] = {
+    val memoKey = (
+      g.edges.toSeq.map { case (k, d) =>
+        k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
+      init.toSeq.map { case (t, d) =>
+        t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
+      rounds, checkpoint)
+    fixedCache.getOrElseUpdate(memoKey, meanRoundsFixedImpl(g, init, rounds, checkpoint))
+  }
+
+  private def meanRoundsFixedImpl(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int,
+      checkpoint: Boolean): Map[String, DataFrame] = {
     var h = init
     for (r <- 1 to rounds) {
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
