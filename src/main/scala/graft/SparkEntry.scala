@@ -545,6 +545,15 @@ r2o AS (
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rk").cast("long").as("rk"))
     }),
+    // exact discrete quantiles per group (ext.Stats): median and p90 of
+    // event value per type — rank ⌈q·n⌉ in integer arithmetic selects an
+    // actual data value, so the result hash-verifies where approx or
+    // interpolated percentiles never could
+    "q50_quantiles" -> ((s, dir) =>
+      graft.ext.Stats.quantilesDisc(
+        t(s, dir, "events").select(col("event_type"), col("value"), col("event_id")),
+        groupCol = "event_type", valueCol = "value", tiebreakCol = "event_id",
+        quantiles = Seq((1, 2), (9, 10)))),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -890,6 +899,17 @@ r2o AS (
         |  SELECT doc_id, term, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
+    "q50_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(1 AS DOUBLE) / 2 AS q, value
+        |FROM ranked WHERE rk = (1 * n + 1) // 2
+        |UNION ALL
+        |SELECT event_type, CAST(9 AS DOUBLE) / 10 AS q, value
+        |FROM ranked WHERE rk = (9 * n + 9) // 10""".stripMargin,
     "q35_sim_topk" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
