@@ -72,12 +72,18 @@ object TrainLR {
     def negs(pos: DataFrame, s: Long) =
       NegativeSampling.sample(pos, allPos, nDst, s)
 
-    // cache: L-BFGS runs ~50 jobs over this frame; without the cache each
-    // iteration replays the propagation + feature-join lineage
+    // cache: L-BFGS runs one job per iteration over this frame; without
+    // the cache each iteration replays the propagation + feature-join
+    // lineage. coalesce(8): each iteration's treeAggregate pays a fixed
+    // per-task cost that dwarfs the 3-feature gradient arithmetic, so
+    // fewer, larger partitions cut the per-iteration wall time (at
+    // cluster scale the caller's partitioning wins — 8 is a floor, not a
+    // cap, because coalesce never shuffles).
     val trainDf =
       edgeFeatures(trainPos, emb, target, 1)
         .unionByName(edgeFeatures(negs(trainPos, seed + 1), emb, target, 0))
         .select(array_to_vector(col("f")).as("features"), col("label"))
+        .coalesce(8)
         .cache()
     val lr = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
