@@ -554,6 +554,25 @@ r2o AS (
         t(s, dir, "events").select(col("event_type"), col("value"), col("event_id")),
         groupCol = "event_type", valueCol = "value", tiebreakCol = "event_id",
         quantiles = Seq((1, 2), (9, 10)))),
+    // measured ANN recall: |IVF top-k ∩ brute-force top-k| as an exact
+    // integer — both rankings are rank-stable (deterministic tiebreaks),
+    // so the recall COUNT hash-verifies even though the scores are float.
+    // Recall is measured, not assumed.
+    "q51_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ivf = graft.ext.Similarity.ivfTopK(
+        e, "vec_id", "embedding", queryId = 0L, k = 10)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val bf = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.ArrayOps.cosine(col("embedding"), col("qe")))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(10)
+        .select(col("vec_id").as("id"))
+      ivf.join(bf, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"))
+    }),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -954,5 +973,28 @@ r2o AS (
         |SELECT id FROM asg JOIN probes USING (cid)
         |WHERE id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
+    "q51_ann_recall" ->
+      s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM (
+        |  SELECT id, v, row_number() OVER (ORDER BY ${DetRandom.uniformSql("id", "id", 42L)}, id) AS rn FROM s)
+        |  WHERE rn <= 16),
+        |asg AS (SELECT id, v, cid FROM (
+        |  SELECT s.id, s.v, c.cid,
+        |    row_number() OVER (PARTITION BY s.id ORDER BY list_dot_product(s.v, c.cv) DESC, c.cid) AS rk
+        |  FROM s CROSS JOIN c) WHERE rk = 1),
+        |qv AS (SELECT v FROM s WHERE id = 0),
+        |probes AS (SELECT cid FROM (
+        |  SELECT c.cid, row_number() OVER (ORDER BY list_dot_product(c.cv, (SELECT v FROM qv)) DESC, c.cid) AS rk
+        |  FROM c) WHERE rk <= 4),
+        |ivf AS (
+        |  SELECT id FROM asg JOIN probes USING (cid)
+        |  WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10),
+        |bf AS (
+        |  SELECT id FROM s
+        |  WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM ivf JOIN bf USING (id)) AS n_overlap""".stripMargin,
   )
 }
