@@ -328,12 +328,12 @@ r2o AS (
         .withReverseEdges
         .restrictTo(Set("customer", "orders"), hops = 1)
         .addDegree
-      // checkpoint: the union below reads BOTH type frames, and each
-      // final-round frame references every type's previous round — without
-      // the per-round barrier the propagation tree re-executes per consumer
-      val emb = graft.learn.Propagate.meanRoundsFixed(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2,
-        checkpoint = true)
+      // flat layout: one join + two aggregations per round TOTAL (vs per
+      // edge type), bit-identical to the per-type loop because integer
+      // arithmetic is order-independent (LearnSpec parity); barriers per
+      // round so multi-consumer reads execute the propagation once
+      val emb = graft.learn.Propagate.meanRoundsFixedFlat(
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))
         .unionByName(emb("orders")
@@ -370,12 +370,10 @@ r2o AS (
         .withReverseEdges
         .restrictTo(Set("customer", "orders"), hops = 1)
         .addDegree
-      // checkpoint: scoring joins customer AND orders embeddings, and the
-      // candidate anti-join re-reads the graph — barrier per round so the
-      // propagation executes once, not once per consumer
-      val emb = graft.learn.Propagate.meanRoundsFixed(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2,
-        checkpoint = true)
+      // flat layout, memo-shared with q29 (identical graph + init + rounds
+      // → the propagation runs once per session across both queries)
+      val emb = graft.learn.Propagate.meanRoundsFixedFlat(
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
       // descale the fixed-point channel into width-1 double vecs
       def vecs(tn: String) = emb(tn).select(col("id"),
         array(col("h") / lit(1000000.0)).as("vec"))

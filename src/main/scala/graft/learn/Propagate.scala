@@ -430,6 +430,70 @@ object Propagate {
     h
   }
 
+  /** [[meanRoundsFixed]] over the FLAT layout (same shape as
+    * [[meanRoundsFlat]]): node types offset into one global id space, all
+    * edge types in one tagged frame — one join + two aggregations + one
+    * combine per round TOTAL instead of per edge type. Because the
+    * arithmetic is integer (exact, order-independent), the flat layout
+    * produces BIT-IDENTICAL results to the per-type loop — asserted in
+    * LearnSpec — so callers can pick the layout purely on plan shape; the
+    * per-type loop remains the readable semantic reference. Memoised like
+    * [[meanRoundsFixed]] (same key space, so either entry point shares). */
+  def meanRoundsFixedFlat(
+      g: HeteroGraph,
+      init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
+      rounds: Int): Map[String, DataFrame] = {
+    val memoKey = (
+      g.edges.toSeq.map { case (k, d) =>
+        k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
+      init.toSeq.map { case (t, d) =>
+        t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
+      rounds, true)
+    fixedCache.getOrElseUpdate(memoKey, {
+      val types = init.keys.toSeq.sorted
+      val sizes = flatSizes(g, types)
+      val offsets = sizes.scanLeft(("", 0L)) {
+        case ((_, acc), (t, n)) => (t, acc + n)
+      }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
+      val flatEdgesCk = g.edges.toSeq
+        .filter { case (k, _) => offsets.contains(k.src) && offsets.contains(k.dst) }
+        .sortBy(_._1.name)
+        .zipWithIndex.map { case ((k, df), tag) =>
+          df.select(
+            (col("src") + offsets(k.src)).as("src"),
+            (col("dst") + offsets(k.dst)).as("dst"),
+            lit(tag).as("tag"))
+        }
+        .reduce(_ unionByName _)
+        .coalesce(numShufflePartitions(g)).localCheckpoint()
+      var h: DataFrame = types.map { t =>
+        init(t).select((col("id") + offsets(t)).as("gid"), col("h"))
+      }.reduce(_ unionByName _)
+        .coalesce(numShufflePartitions(g)).localCheckpoint()
+      for (r <- 1 to rounds) {
+        val perTypeMean = flatEdgesCk
+          .join(h.select(col("gid").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst"), col("tag"))
+          .agg(expr("sum(h) div count(1)").as("msg")) // floor-mean, exact
+        val msgs = perTypeMean
+          .groupBy(col("dst").as("gid"))
+          .agg(sum("msg").as("msg_sum"), count(lit(1)).as("n_types"))
+        val next = h.join(msgs, Seq("gid"), "left")
+          .select(col("gid"),
+            when(col("msg_sum").isNull, col("h"))
+              .otherwise(expr("(h + msg_sum) div (1 + n_types)"))
+              .as("h"))
+        h = if (r < rounds) next.localCheckpoint() else next
+      }
+      types.map { t =>
+        val lo = offsets(t)
+        val hi = lo + sizes.toMap.apply(t)
+        t -> h.filter(col("gid") >= lo && col("gid") < hi)
+          .select((col("gid") - lo).as("id"), col("h"))
+      }.toMap
+    })
+  }
+
   /** Scaled-long degree init for [[meanRoundsFixed]]: `h = degree × scale`
     * where degree is the last feature after [[HeteroGraph.addDegree]].
     * Degrees are integers well below 2^24, so the float→long cast is

@@ -95,6 +95,25 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("meanRoundsFixedFlat is bit-identical to the per-type loop") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val g2 = graft.graph.GraphBuilder
+      .build(graft.catalog.Catalogs.tpch, n => Tables.load(spark, sf(), n))
+      .withReverseEdges
+      .restrictTo(Set("customer", "orders"), 2)
+      .addDegree
+    val init = Propagate.degreeInitFixed(g2)
+    val loop = Propagate.meanRoundsFixed(g2, init, rounds = 2)
+    val flat = Propagate.meanRoundsFixedFlat(g2, init, rounds = 2)
+    for (t <- Seq("customer", "orders")) {
+      import org.apache.spark.sql.functions._
+      val j = flat(t).withColumnRenamed("h", "a")
+        .join(loop(t).withColumnRenamed("h", "b"), Seq("id"), "full")
+      assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .count() === 0, t)
+    }
+  }
+
   test("attentionRoundsFixed: hand-checked salience weighting, != mean") {
     import spark.implicits._
     import graft.graph.HeteroGraph
