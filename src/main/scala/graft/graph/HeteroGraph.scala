@@ -118,6 +118,27 @@ final case class HeteroGraph(
     }
   }
 
+  /** Persist bucketed for co-located propagation (the 100 TB layout):
+    * node frames bucket+sort by `id`, edge frames by `src`, all with the
+    * same bucket count — so each propagation round's big join
+    * (edges ⨝ src embeddings) reads bucket i against bucket i with NO
+    * exchange on either side after reload (Spark's alias-aware output
+    * partitioning carries the node bucketing through the `id AS src`
+    * rename). Bucketing by `src` kills the edge-frame shuffle — the
+    * frame that is ~|E| and dominates the round; the per-dst aggregation
+    * still exchanges, but only map-side-combined message rows (~|V|).
+    * Bucket metadata needs the session catalog, hence `saveAsTable`
+    * (table names derive from the prefix; [[HeteroGraph.loadBucketed]]
+    * reverses them). */
+  def saveBucketed(prefix: String, buckets: Int): Unit = {
+    nodes.foreach { case (t, df) =>
+      graft.sources.BucketedStore.writeBucketed(df, s"${prefix}_n_$t", "id", buckets)
+    }
+    edges.foreach { case (k, df) =>
+      graft.sources.BucketedStore.writeBucketed(df, s"${prefix}_e_${k.name}", "src", buckets)
+    }
+  }
+
   def cached(): HeteroGraph =
     copy(
       nodes = nodes.map { case (t, d) => t -> graft.functions.Caching.ensureCached(d) },
@@ -135,6 +156,23 @@ final case class HeteroGraph(
 }
 
 object HeteroGraph {
+  /** Reload a graph saved by [[HeteroGraph.saveBucketed]] from the
+    * session catalog. */
+  def loadBucketed(spark: SparkSession, prefix: String): HeteroGraph = {
+    import graft.topology.EdgeKey
+    val all = spark.catalog.listTables().collect().map(_.name)
+    val nodes = all.collect {
+      case n if n.startsWith(s"${prefix}_n_") =>
+        n.stripPrefix(s"${prefix}_n_") -> spark.table(n)
+    }.toMap
+    val edges = all.collect {
+      case n if n.startsWith(s"${prefix}_e_") =>
+        val Array(s, r, d) = n.stripPrefix(s"${prefix}_e_").split("__", 3)
+        EdgeKey(s, r, d) -> spark.table(n)
+    }.toMap
+    HeteroGraph(nodes, edges)
+  }
+
   /** Reload a graph saved by [[HeteroGraph.save]] (S8 — `torch.load`,
     * `train.py:16`). */
   def load(spark: SparkSession, path: String): HeteroGraph = {

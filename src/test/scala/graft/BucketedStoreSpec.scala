@@ -39,6 +39,34 @@ class BucketedStoreSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("bucketed graph store: the propagation-round join is exchange-free after reload") {
+    import graft.catalog.Catalogs
+    import graft.graph.{GraphBuilder, HeteroGraph}
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("bg_")).foreach(t => dropTable(t.name))
+    val g = GraphBuilder
+      .build(Catalogs.tpch, n => Tables.load(spark, sf(), n), probeDense = true)
+      .restrictTo(Set("customer"), hops = 1)
+      .addDegree(spark)
+    g.saveBucketed("bg", buckets = 4)
+    val r = HeteroGraph.loadBucketed(spark, "bg")
+    assert(r.nodes.keySet === g.nodes.keySet)
+    assert(r.edges.keySet === g.edges.keySet)
+    // one propagation round's big join: edges ⨝ src embeddings. Both
+    // sides bucketed on the join key (src / id-aliased-to-src), so the
+    // sort-merge join must read bucket i against bucket i directly.
+    val k = r.edges.keys.find(_.src == "orders").get
+    val h = r.nodes("customer") // not the src side; just assert src side co-location
+    val src = r.nodes(k.src).select(col("id").as("src"),
+      element_at(col("features"), -1).as("h"))
+    val joined = r.edges(k).hint("merge").join(src, Seq("src"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected exchange-free co-located propagation join, got:\n$plan")
+    assert(joined.count() === g.edges(k).count())
+    val _ = h
+  }
+
   test("non-bucketed baseline DOES shuffle (sanity of the assertion)") {
     val orders = Tables.load(spark, sf(), "orders")
     val customer = Tables.load(spark, sf(), "customer")
