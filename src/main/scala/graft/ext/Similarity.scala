@@ -68,6 +68,11 @@ object Similarity {
       col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"),
       explode(bucketKeys(col(vecCol), planes, tables, bits)).as("key"))
+      // barrier: the self-join reads this twice, and the signature plan
+      // embeds tables×bits 64-double hyperplane literals — checkpointing
+      // computes the dots once and keeps the literal-heavy tree out of
+      // every downstream optimisation pass
+      .localCheckpoint(eager = true)
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.key") === col("y.key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
