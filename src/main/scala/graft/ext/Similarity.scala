@@ -166,9 +166,14 @@ object Similarity {
     // ranking is exact cosine, which normalisation leaves unchanged
     val s = emb.select(col(idCol).cast("long").as("id"),
       ArrayOps.l2normalize(col(vecCol).cast("array<double>")).as("v"))
+    // barrier: each k-means iteration re-reads its input, and an uncached
+    // plan would replay the scan + normalise + vector conversion per
+    // iteration (Spark ML even warns about it)
+    val feats = s.select(array_to_vector(col("v")).as("features"))
+      .localCheckpoint(eager = true)
     val model = new KMeans()
       .setK(nCentroids).setSeed(seed).setMaxIter(20)
-      .fit(s.select(array_to_vector(col("v")).as("features")))
+      .fit(feats)
     val centroids = model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
       .toDF("cid", "cv")
