@@ -42,8 +42,15 @@ class BucketedStoreSpec extends SparkSpec {
   test("bucketed graph store: the propagation-round join is exchange-free after reload") {
     import graft.catalog.Catalogs
     import graft.graph.{GraphBuilder, HeteroGraph}
-    spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("bg_")).foreach(t => dropTable(t.name))
+    // clean BOTH catalog entries and orphaned warehouse dirs: the
+    // in-memory catalog forgets tables across JVMs but their managed
+    // locations persist, and saveAsTable refuses to overwrite those
+    val wh = new java.io.File("spark-warehouse")
+    val stale = Option(wh.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("bg_"))
+    val known = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("bg_"))
+    (stale ++ known).distinct.foreach(dropTable)
     val g = GraphBuilder
       .build(Catalogs.tpch, n => Tables.load(spark, sf(), n), probeDense = true)
       .restrictTo(Set("customer"), hops = 1)
