@@ -571,6 +571,27 @@ r2o AS (
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10L).as("k"), col("n_overlap"))
     }),
+    // windowed interval join (ext.Interval): errors in the 10 minutes up
+    // to each purchase, per user — bucketized equi-join (2× replication,
+    // one shuffle), not a per-key nested-loop range join. Times compare
+    // as integer MICROseconds on both sides: the raw nanos carry
+    // sub-microsecond digits that DuckDB's TIMESTAMP truncates, so a
+    // nanos-precision window could disagree at the boundary.
+    "q52_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tsu"),
+          col("user_id"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("tsu"), col("user_id"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("tsu"), col("event_id").as("err_id"))
+      val w = 600L * 1000000L // 10 min in micros
+      graft.ext.Interval.joinWithin(
+          purchases, errors, key = "user_id", time = "tsu",
+          window = w, payload = Seq("err_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_errors_10m"))
+    }),
     // brute-force cosine top-k similarity search (ids only: rank-stable)
     "q35_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -895,6 +916,15 @@ r2o AS (
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "q52_interval_join" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS tsu, user_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, COUNT(*) AS n_errors_10m
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e.tsu > p.tsu - 600000000 AND e.tsu <= p.tsu
+        |GROUP BY 1""".stripMargin,
     "q48_stratified_sample" ->
       s"""SELECT event_id, event_type FROM (
         |  SELECT event_id, event_type,
