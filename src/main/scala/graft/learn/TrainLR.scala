@@ -57,11 +57,14 @@ object TrainLR {
     val split = LinkSplit.split(g, target, valFrac, seed)
     // propagate only the sub-graph that can reach the target's endpoint
     // types within `rounds` hops — the rest of the hetero graph cannot
-    // influence the features and would cost a shuffle per type per round —
-    // and materialise it once: the round loop re-reads every edge type
+    // influence the features and would cost a shuffle per type per round.
+    // NOT cached: the flat layout consumes each node and edge frame
+    // exactly once (one init union, one edge union, both checkpointed),
+    // so caching them would materialise every frame a second time for no
+    // later reader. (The per-type round loop, which re-reads each edge
+    // type per round, is the caller that wants cached() — see LearnSpec.)
     val msgGraph = split.messageGraph
       .restrictTo(Set(target.src, target.dst), rounds)
-      .cached()
     val trainPos = graft.functions.Caching.ensureCached(split.trainPos)
     val valPos = graft.functions.Caching.ensureCached(split.valPos)
     val emb = Propagate.meanRoundsFlat(
