@@ -408,6 +408,40 @@ r2o AS (
           .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get)
       m.valMetrics.toSeq.sortBy(_._1).toDF("metric", "value")
     }),
+    // A5/A6 hash-exact witness — the EVAL half of q28 with a FROZEN head
+    // (q43's weights), so every float is a deterministic per-row function:
+    // val positives by the q24 split predicate, q25-style deterministic
+    // negatives, q43's logit arithmetic over the fixed-point embeddings
+    // (memo-shared with q29/q43), then integer confusion counts (logit
+    // sign test — no exp) + decimal-summed clamped BCE. q28 now carries
+    // only the L-BFGS fit itself, which is legitimately unoracleable.
+    "q53_eval_frozen" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
+        .withReverseEdges
+        .restrictTo(Set("customer", "orders"), hops = 1)
+        .addDegree
+      val emb = graft.learn.Propagate.meanRoundsFixedFlat(
+        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+      val edges = edgesOrdersCustomer(s, dir)
+      val valPos = edges.filter(
+        DetRandom.uniform(col("src"), col("dst"), 42L) < 0.15)
+      val nCust = t(s, dir, "customer").count()
+      val negs = graft.learn.NegativeSampling.sample(valPos, edges, nCust, 44L)
+      val labeled = valPos.withColumn("label", lit(1))
+        .unionByName(negs.withColumn("label", lit(0)))
+      // descale the fixed-point channel; logit mirrors q43's oracle form
+      // term-for-term: ((w0·hs + w1·hd) + w2·(hs·hd)) + b
+      val hs = emb("orders").select(
+        col("id").as("src"), (col("h") / lit(1000000.0)).as("hs"))
+      val hd = emb("customer").select(
+        col("id").as("dst"), (col("h") / lit(1000000.0)).as("hd"))
+      val scored = labeled.join(hs, Seq("src")).join(hd, Seq("dst"))
+        .select(col("label"),
+          ((((lit(0.5) * col("hs")) + (lit(-0.25) * col("hd"))) +
+            (lit(0.001) * (col("hs") * col("hd")))) + lit(-1.0)).as("logit"))
+      graft.learn.Scoring.confusionBce(scored)
+    }),
 
     // ---- LLM-pipeline extension operators -------------------------
     // exact dedup: canonical doc per distinct text (hash-groupBy)
@@ -872,6 +906,47 @@ r2o AS (
         |    + CAST(-1 AS DOUBLE) AS logit
         |FROM cand, seedc
         |ORDER BY logit DESC, id ASC LIMIT 10""".stripMargin,
+    // Frozen-head evaluation (A5/A6): q24's split predicate selects the
+    // val positives, q25's mix-mod draw makes the negatives (seed 44),
+    // q43's double-literal logit arithmetic scores them. Confusion counts
+    // test only the logit sign (exp-free); BCE terms are cast to
+    // DECIMAL(20,6) per row so the SUM is exact and order-independent,
+    // then the exact decimal goes to DOUBLE (float-parity policy).
+    // DuckDB `ln` is natural log (`log` is base-10 there).
+    "q53_eval_frozen" ->
+      s"""WITH cm AS ($cmSql), om AS ($omSql),
+        |$fixedPropCtes,
+        |e AS (SELECT om.id AS src, cm.id AS dst FROM orders o
+        |  JOIN om ON o.o_orderkey = om.pk JOIN cm ON o.o_custkey = cm.pk),
+        |vp AS (SELECT src, dst FROM e
+        |  WHERE ${DetRandom.uniformSql("src", "dst", 42L)} < 0.15),
+        |ng AS (SELECT n.src, n.dst FROM (
+        |    SELECT src, ${DetRandom.mixSql("src", "dst", 44L)}
+        |      % (SELECT COUNT(*) FROM customer) AS dst FROM vp) n
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = n.src AND e.dst = n.dst)),
+        |lab AS (SELECT src, dst, 1 AS label FROM vp
+        |  UNION ALL SELECT src, dst, 0 FROM ng),
+        |sc AS (
+        |  SELECT lab.label,
+        |    (((CAST(5 AS DOUBLE)/10 * (ho.h / 1e6))
+        |      + (CAST(-25 AS DOUBLE)/100 * (hc.h / 1e6)))
+        |      + (CAST(1 AS DOUBLE)/1000 * ((ho.h / 1e6) * (hc.h / 1e6))))
+        |      + CAST(-1 AS DOUBLE) AS logit
+        |  FROM lab
+        |  JOIN om ON om.id = lab.src JOIN r2o ho ON ho.pk = om.pk
+        |  JOIN cm ON cm.id = lab.dst JOIN r2c hc ON hc.pk = cm.pk),
+        |sb AS (SELECT label, logit,
+        |  CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-logit)) AS sigma FROM sc)
+        |SELECT
+        |  CAST(SUM(CASE WHEN logit >= 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN logit >= 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN logit < 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN logit < 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(-(label * ln(greatest(sigma, 1e-12))
+        |    + (1 - label) * ln(greatest(CAST(1 AS DOUBLE) - sigma, 1e-12)))
+        |    AS DECIMAL(20,6))) AS DOUBLE) AS bce_sum
+        |FROM sb""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
         |COUNT(*) AS n_dupes FROM documents GROUP BY md5(text)""".stripMargin,

@@ -64,9 +64,40 @@ object Scoring {
       .select(col("src"), col("dst"), col("logit"), col("score"))
   }
 
+  /** Hash-exact evaluation frame over `(logit, label)` rows (A5/A6,
+    * `model.py:100-102,118,126-140`): one row of integer confusion counts
+    * plus an order-independent clamped BCE.
+    *
+    * Oracle-exactness design:
+    *  - threshold `score >= 0.5` ⟺ `logit >= 0` (sigmoid is monotone with
+    *    σ(0) = 0.5 exactly), so the confusion counts never touch `exp` —
+    *    they are pure integer sums over an IEEE sign test;
+    *  - BCE needs libm (`exp`/`ln`), whose last-ulp may differ between
+    *    engines, so each per-row term is cast to DECIMAL(20,6) BEFORE the
+    *    sum: decimal addition is exact and order-independent, and a 1-ulp
+    *    double difference (~4e-15 at these magnitudes) flips a 1e-6-grid
+    *    rounding only with probability ~4e-9 per row. The final exact
+    *    decimal is cast to DOUBLE per the repo float-parity policy.
+    * Distributed shape: single partial-aggregable `agg` — map-side combine,
+    * one exchange of one row per partition, at any scale. */
+  def confusionBce(scored: DataFrame): DataFrame = {
+    val sigma = lit(1.0) / (lit(1.0) + exp(-col("logit")))
+    val bce = -(col("label") * log(greatest(sigma, lit(1e-12))) +
+      (lit(1) - col("label")) * log(greatest(lit(1.0) - sigma, lit(1e-12))))
+    scored.agg(
+      sum(when(col("logit") >= 0 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("logit") >= 0 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("logit") < 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("logit") < 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"),
+      count(lit(1)).as("n"),
+      sum(bce.cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+        .cast("double").as("bce_sum"))
+  }
+
   /** Binary-classification metrics over scored edges (A5, `model.py:100-102`,
     * `:126-140`): confusion-matrix counts in one aggregation pass, metrics
-    * derived driver-side. `label` ∈ {0,1}, threshold 0.5. */
+    * derived driver-side. `label` ∈ {0,1}, threshold 0.5. The hash-exact
+    * query witness for this surface is [[confusionBce]] (q53). */
   def metrics(scored: DataFrame): Map[String, Double] = {
     val row = scored.agg(
       sum(when(col("score") >= 0.5 && col("label") === 1, 1).otherwise(0)).as("tp"),
