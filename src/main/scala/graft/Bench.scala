@@ -32,7 +32,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       SparkEntry.queries("q30_dedup_exact")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      // a systematically failing warm-up would silently shift its cost
+      // into the first timed query — log it, don't hide it
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
     var failures = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -38,9 +38,12 @@ object SparkEntry {
     * (`inference.py:44-76`) on the fixture schema: graph build → degree →
     * reverse → self-loops → seed-node mutation → 2-round frozen propagation
     * → dot-score → top-k. */
-  def entry(spark: SparkSession): DataFrame = {
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, "/root/testdata/sf0.001") // driver contract: fixed SF
+
+  /** The same flagship flow at a caller-chosen scale factor. */
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val dir = "/root/testdata/sf0.001"
     val g = GraphBuilder
       .build(Catalogs.tpch, n => t(spark, dir, n), extraEdges = Seq(ordersPartEdge),
         probeDense = true)

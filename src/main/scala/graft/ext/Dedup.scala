@@ -484,14 +484,18 @@ object Dedup {
     * re-runs the tokenize→shingle→hash kernel over the whole corpus.
     * Source data is immutable for a session (same contract as the
     * dense-PK probe memo in GraphBuilder). */
+  // Session identity leads the key (like Tables.load): equal canonical
+  // plans from a second session in the same JVM must not resolve to
+  // checkpointed frames of a stopped SparkContext.
   private val prepCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
            DataFrame]
 
   private def prep(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     prepCache.getOrElseUpdate(
-      (docs.queryExecution.analyzed.canonicalized, idCol, textCol, n),
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.canonicalized, idCol, textCol, n),
       docs.select(col(idCol).cast("long").as("doc_id"),
           prepUdf(n)(col(textCol)).as("p"))
         .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Windowed interval join — the "all right rows within the last W" sibling
@@ -39,14 +39,21 @@ object Interval {
       payload: Seq[String]): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val leftCols = left.columns.toSeq
+    // Bucket by FLOOR DIVISION IN LONG ARITHMETIC: `floor(t / w)` would
+    // divide as DOUBLE, and beyond 2^53 (e.g. nanosecond epochs) the
+    // rounded quotient can land left and right rows in buckets differing
+    // by 2 — a silently dropped true match, unrecoverable by the residual
+    // range filter. `t - pmod(t, w)` is an exact multiple of w, so the
+    // integral `div` equals floor for negative times too.
+    def bucket(t: Column): Column =
+      call_function("div", t - pmod(t, lit(window)), lit(window))
     val l = left
-      .withColumn("__b", floor(col(time) / window))
+      .withColumn("__b", bucket(col(time)))
     val r = right.select(
         col(key).as("__rk"), col(time).as("__rt"),
         struct(payload.map(col): _*).as("__p"))
       .withColumn("__b",
-        explode(array(floor(col("__rt") / window),
-                      floor(col("__rt") / window) + 1)))
+        explode(array(bucket(col("__rt")), bucket(col("__rt")) + 1)))
     l.join(r,
         col(key) === col("__rk") && l("__b") === r("__b") &&
           col("__rt") > col(time) - window && col("__rt") <= col(time))

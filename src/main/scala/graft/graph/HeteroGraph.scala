@@ -131,12 +131,31 @@ final case class HeteroGraph(
     * (table names derive from the prefix; [[HeteroGraph.loadBucketed]]
     * reverses them). */
   def saveBucketed(prefix: String, buckets: Int): Unit = {
-    nodes.foreach { case (t, df) =>
-      graft.sources.BucketedStore.writeBucketed(df, s"${prefix}_n_$t", "id", buckets)
+    // Catalog table names are index-based (`<prefix>_n_0`, `<prefix>_e_1`,
+    // …) with the TRUE type/relation names in a `<prefix>_meta` table:
+    // encoding names into identifiers would not survive saveAsTable's
+    // lowercasing (REVERSE_*/SELF_LOOP relations) or a type containing
+    // the `__` separator. Only the prefix itself must be identifier-safe.
+    require(prefix.matches("[a-z][a-z0-9_]*") && !prefix.contains("__"),
+      s"saveBucketed: prefix '$prefix' must be a lowercase identifier " +
+        "without '__' (it becomes a catalog table-name prefix)")
+    val spark = nodes.head._2.sparkSession
+    val nodeList = nodes.toSeq.sortBy(_._1)
+    val edgeList = edges.toSeq.sortBy(_._1.name)
+    nodeList.zipWithIndex.foreach { case ((_, df), i) =>
+      graft.sources.BucketedStore.writeBucketed(df, s"${prefix}_n_$i", "id", buckets)
     }
-    edges.foreach { case (k, df) =>
-      graft.sources.BucketedStore.writeBucketed(df, s"${prefix}_e_${k.name}", "src", buckets)
+    edgeList.zipWithIndex.foreach { case ((_, df), i) =>
+      graft.sources.BucketedStore.writeBucketed(df, s"${prefix}_e_$i", "src", buckets)
     }
+    import spark.implicits._
+    (nodeList.zipWithIndex.map { case ((t, _), i) =>
+      (s"${prefix}_n_$i", "node", t, "", "")
+    } ++ edgeList.zipWithIndex.map { case ((k, _), i) =>
+      (s"${prefix}_e_$i", "edge", k.src, k.rel, k.dst)
+    }).toDF("tbl", "kind", "src_or_type", "rel", "dst")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
   def cached(): HeteroGraph =
@@ -157,18 +176,18 @@ final case class HeteroGraph(
 
 object HeteroGraph {
   /** Reload a graph saved by [[HeteroGraph.saveBucketed]] from the
-    * session catalog. */
+    * session catalog: the `<prefix>_meta` table carries the true
+    * type/relation names, so arbitrary names (REVERSE_*, `__`, mixed
+    * case) round-trip exactly. */
   def loadBucketed(spark: SparkSession, prefix: String): HeteroGraph = {
     import graft.topology.EdgeKey
-    val all = spark.catalog.listTables().collect().map(_.name)
-    val nodes = all.collect {
-      case n if n.startsWith(s"${prefix}_n_") =>
-        n.stripPrefix(s"${prefix}_n_") -> spark.table(n)
+    val meta = spark.table(s"${prefix}_meta").collect()
+    val nodes = meta.filter(_.getString(1) == "node").map { r =>
+      r.getString(2) -> spark.table(r.getString(0))
     }.toMap
-    val edges = all.collect {
-      case n if n.startsWith(s"${prefix}_e_") =>
-        val Array(s, r, d) = n.stripPrefix(s"${prefix}_e_").split("__", 3)
-        EdgeKey(s, r, d) -> spark.table(n)
+    val edges = meta.filter(_.getString(1) == "edge").map { r =>
+      EdgeKey(r.getString(2), r.getString(3), r.getString(4)) ->
+        spark.table(r.getString(0))
     }.toMap
     HeteroGraph(nodes, edges)
   }

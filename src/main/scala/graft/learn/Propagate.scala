@@ -304,8 +304,13 @@ object Propagate {
     * memos) — so two queries propagating the same graph (e.g. the
     * propagation oracle and trained-head serving) share one set of round
     * barriers instead of re-running the rounds. */
+  // Keyed by session identity FIRST (like Tables.load): canonicalised
+  // plans can be equal across two sessions in one JVM, and a memo hit
+  // from a stopped session would hand out frames bound to a dead
+  // SparkContext (and pin their checkpoint blocks forever).
   private val fixedCache = scala.collection.concurrent.TrieMap
-    .empty[(Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+    .empty[(Int,
+            Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
             Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
             Int, Boolean),
            Map[String, DataFrame]]
@@ -316,6 +321,7 @@ object Propagate {
       rounds: Int,
       checkpoint: Boolean = false): Map[String, DataFrame] = {
     val memoKey = (
+      System.identityHashCode(init.head._2.sparkSession),
       g.edges.toSeq.map { case (k, d) =>
         k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
       init.toSeq.map { case (t, d) =>
@@ -444,6 +450,7 @@ object Propagate {
       init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
       rounds: Int): Map[String, DataFrame] = {
     val memoKey = (
+      System.identityHashCode(init.head._2.sparkSession),
       g.edges.toSeq.map { case (k, d) =>
         k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
       init.toSeq.map { case (t, d) =>

@@ -28,6 +28,14 @@ final case class TrainedModel(
 
 object TrainLR {
 
+  /** Coalesce target for the L-BFGS training frame: one task per ~4 cores
+    * of the session's parallelism, floored at `minPartitions`. Monotone in
+    * `defaultParallelism`, so the gradient aggregation widens with the
+    * cluster instead of being capped at a fixture-scale constant
+    * (LearnSpec asserts both the floor and the growth). */
+  def trainPartitionTarget(defaultParallelism: Int, minPartitions: Int = 8): Int =
+    math.max(minPartitions, defaultParallelism / 4)
+
   /** Edge feature `[h_src ∥ h_dst ∥ h_src∘h_dst]`, labelled — the Hadamard
     * term is the decoder-shaped interaction (`model.py:76`), the raw
     * endpoint embeddings let the head learn endpoint-degree effects the
@@ -77,16 +85,20 @@ object TrainLR {
 
     // cache: L-BFGS runs one job per iteration over this frame; without
     // the cache each iteration replays the propagation + feature-join
-    // lineage. coalesce(8): each iteration's treeAggregate pays a fixed
-    // per-task cost that dwarfs the 3-feature gradient arithmetic, so
-    // fewer, larger partitions cut the per-iteration wall time (at
-    // cluster scale the caller's partitioning wins — 8 is a floor, not a
-    // cap, because coalesce never shuffles).
+    // lineage. coalesce CAPS the partition count (it only ever merges,
+    // never splits), trading per-task fixed cost against gradient
+    // parallelism: each iteration's treeAggregate pays a fixed per-task
+    // overhead that dwarfs the 3-feature arithmetic at fixture scale, so
+    // few large partitions win there — but a hard-coded 8 would cap every
+    // L-BFGS iteration at 8 tasks on a 1000-executor cluster. Scale the
+    // cap with the session's parallelism instead (8 at local[32], ~1 task
+    // per 4 cores beyond that) so gradient computation grows with the
+    // cluster while small fixtures keep the low-task fast path.
     val trainDf =
       edgeFeatures(trainPos, emb, target, 1)
         .unionByName(edgeFeatures(negs(trainPos, seed + 1), emb, target, 0))
         .select(array_to_vector(col("f")).as("features"), col("label"))
-        .coalesce(8)
+        .coalesce(trainPartitionTarget(spark.sparkContext.defaultParallelism))
         .cache()
     val lr = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)

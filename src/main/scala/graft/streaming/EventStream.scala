@@ -94,17 +94,48 @@ object EventStream {
     * event to the user's latest STRICTLY-prior purchase, carrying one
     * state row per user — (ts, id, value) of the best purchase so far —
     * across micro-batches instead of re-scanning history. Within a batch
-    * the group's rows sort by (ts, event_id); each row is emitted against
-    * the state BEFORE any same-row purchase updates it, which reproduces
-    * the batch operator's strict semantics exactly.
+    * the group's rows sort by (ts, event_id) and purchases fold into the
+    * state only after every row AT THE SAME ts has been emitted, so a
+    * same-timestamp purchase never attaches (the batch operator's strict
+    * semantics, including duplicate (user_id, ts) rows).
     *
     * Correctness contract: per-user event-time order must hold ACROSS
     * micro-batches (state only moves forward) — true for replayed logs
-    * and time-ordered sources; out-of-order arrivals need the watermarked
-    * buffering variant, which this fixture doesn't require. */
+    * and time-ordered sources; out-of-order arrivals need
+    * [[purchaseAttributionLate]], the watermark-buffered variant. */
   final case class Attribution(
       event_id: Long, user_id: Long,
       prior_purchase_id: Option[Long], prior_purchase_value: Option[Double])
+
+  /** Emit `rows` (sorted by (ts, event_id)) against `best0`, the latest
+    * strictly-prior purchase from earlier batches. Purchases at timestamp
+    * T become visible only to rows with ts > T (strict as-of); among
+    * same-ts purchases the highest event_id wins (max (ts, event_id)
+    * order, matching the batch window's last_value). The `p.ts < row.ts`
+    * guard keeps a beyond-watermark straggler from being attributed to a
+    * purchase that happened AFTER it — such rows degrade to a missing
+    * attribution, never a wrong one.
+    * @return (attributions, updated best purchase) */
+  private def emitOrdered(
+      uid: Long,
+      rows: Seq[(Long, Long, String, Double)], // (eid, ts, typ, value) sorted
+      best0: Option[(Long, Long, Double)]): // (ts, eid, value)
+      (Seq[Attribution], Option[(Long, Long, Double)]) = {
+    var best = best0
+    var pending: Option[(Long, Long, Double)] = None // latest purchase at curTs
+    var curTs = Long.MinValue
+    val out = rows.map { case (eid, ts, typ, v) =>
+      if (ts != curTs) {
+        pending.foreach(p => best = Some(p)); pending = None; curTs = ts
+      }
+      val b = best.filter(_._1 < ts)
+      val a = Attribution(eid, uid, b.map(_._2), b.map(_._3))
+      if (typ == "purchase") pending = Some((ts, eid, v))
+      a
+    }
+    pending.foreach(p => best = Some(p))
+    (out, best)
+  }
 
   def purchaseAttribution(
       events: DataFrame)(implicit spark: SparkSession): Dataset[Attribution] = {
@@ -118,14 +149,67 @@ object EventStream {
       .flatMapGroupsWithState[(Long, Long, Double), Attribution](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[(Long, Long, Double)]) =>
-          var cur = state.getOption // (ts, event_id, value) of latest purchase
-          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map {
-            case (eid, ts, _, typ, v) =>
-              val a = Attribution(eid, uid, cur.map(_._2), cur.map(_._3))
-              if (typ == "purchase") cur = Some((ts, eid, v))
-              a
-          }
-          cur.foreach(state.update)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+            .map(r => (r._1, r._2, r._4, r._5))
+          val (out, best) = emitOrdered(uid, sorted, state.getOption)
+          best.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Per-user buffered state for [[purchaseAttributionLate]]. */
+  final case class AsOfBuffer(
+      buffer: Seq[(Long, Long, String, Double)], // (eid, ts nanos, typ, value)
+      purchase: Option[(Long, Long, Double)])    // (ts, eid, value)
+
+  /** Out-of-order-tolerant streaming as-of: rows buffer in per-user state
+    * and emit only once the event-time watermark passes them — any
+    * arrival order within the watermark delay yields EXACTLY the batch
+    * result (StreamingSpec shuffles rows across micro-batches to prove
+    * it). The flush trigger is twofold: new rows for the user, or an
+    * event-time timeout parked at the earliest buffered row, so a user
+    * whose stream goes quiet still drains as the global watermark moves.
+    *
+    * Emission rule: a buffered row is final when `floor(ts/1e6) <
+    * watermarkMs` — later arrivals all carry event time ≥ the watermark,
+    * which is strictly later in micros and therefore in (ts, event_id)
+    * order. State per user is O(rows inside the watermark window), the
+    * price of reordering; the in-order variant keeps O(1).
+    *
+    * Scale shape: one hash exchange on user_id (inherent to per-user
+    * state), state-store-backed like every flatMapGroupsWithState — no
+    * driver involvement, partitions independent. */
+  def purchaseAttributionLate(
+      events: DataFrame, watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[Attribution] = {
+    import spark.implicits._
+    withEventTime(events)
+      .withWatermark("ts_utc", watermark)
+      // ts_utc must survive the projection: the watermark-tagged
+      // attribute has to reach the stateful operator or the planner
+      // rejects the event-time timeout
+      .select(col("event_id").cast("long"), col("ts").cast("long"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"), col("ts_utc"))
+      .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[AsOfBuffer, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[AsOfBuffer]) =>
+          val st = state.getOption.getOrElse(AsOfBuffer(Nil, None))
+          val buf = st.buffer ++
+            rows.map(r => (r._1, r._2, r._4, r._5))
+          // (r._6, the watermark carrier ts_utc, is otherwise unused)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, keep) = buf.partition(_._2 / 1000000L < wmMs)
+          val (out, best) =
+            emitOrdered(uid, ready.sortBy(r => (r._2, r._1)), st.purchase)
+          state.update(AsOfBuffer(keep, best))
+          if (keep.nonEmpty)
+            // park the timeout at the earliest unemitted row (must sit
+            // strictly past the current watermark or Spark rejects it)
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_._2 / 1000000L).min, wmMs + 1))
           out.iterator
       }
   }

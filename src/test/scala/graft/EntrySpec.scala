@@ -13,6 +13,21 @@ class EntrySpec extends SparkSpec {
     assert(r1.map(_.getLong(0)).toSeq === r2.map(_.getLong(0)).toSeq)
   }
 
+  test("entry(dir) respects the caller's scale factor") {
+    val small = SparkEntry.entry(spark, "/root/testdata/sf0.001").collect()
+    val mid = SparkEntry.entry(spark, "/root/testdata/sf0.01").collect()
+    assert(small.length === 10 && mid.length === 10)
+    // the no-arg driver contract is exactly the sf0.001 flow
+    assert(SparkEntry.entry(spark).collect().map(_.getLong(0)).toSeq ===
+      small.map(_.getLong(0)).toSeq)
+    // and the two SFs see different candidate universes (10× part table)
+    def pks(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Number]("pk").longValue).toSet
+    assert(pks(small) != pks(mid) || small.map(_.getDouble(2)).toSeq !=
+      mid.map(_.getDouble(2)).toSeq,
+      "entry(dir) produced identical results at sf0.001 and sf0.01")
+  }
+
   test("every queries entry runs and yields rows at sf0.001") {
     // q06 (customers with no orders) is legitimately empty at this SF —
     // empty-vs-empty still hash-matches the oracle.

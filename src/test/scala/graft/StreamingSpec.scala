@@ -99,6 +99,123 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttributionLate: shuffled cross-batch arrival equals batch as-of") {
+    val batch = SparkEntry.queries("q47_asof_attrib")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.purchaseAttributionLate(streamDf, watermark = "3650 days")(spark)
+      .writeStream.format("memory").queryName("attrib_late")
+      .outputMode("append").start()
+    try {
+      // deterministically SHUFFLE the fixture rows across three chunks —
+      // the in-order operator's contract is violated on purpose; the
+      // huge watermark keeps every arrival inside the reorder window
+      val rows = Tables.load(spark, sf(), "events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+        .sortBy(r => r._1 * 2654435761L % 1000003)
+      val maxTs = rows.map(_._2).max
+      for (chunk <- rows.grouped((rows.length + 2) / 3)) {
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // two far-future sentinels: the first advances the watermark past
+      // every real row, the second runs a batch in which every user's
+      // event-time timeout fires and drains its buffer
+      val year = 365L * 24 * 3600 * 1000000000L
+      input.addData(Seq((-1L, maxTs + 20 * year, 10000000L, "noise", 0.0, "")))
+      q.processAllAvailable()
+      input.addData(Seq((-2L, maxTs + 21 * year, 10000000L, "noise", 0.0, "")))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_late")
+        .filter(col("event_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("purchaseAttributionLate: incremental drain + strict same-ts semantics") {
+    // user 1 timeline (seconds): purchase@0, view@60, purchase@120,
+    // [purchase eid33 + view eid34 BOTH @180 — strict: the view must NOT
+    // see the same-ts purchase], view@240, view@400. Offset +1h: a row AT
+    // the initial watermark (epoch 0) is dropped as late before the
+    // operator ever sees it.
+    def ev(eid: Long, sec: Long, typ: String, v: Double) =
+      (eid, (3600L + sec) * 1000000000L, 1L, typ, v, "")
+    val all = Seq(ev(30, 0, "purchase", 10.0), ev(31, 60, "view", 0.0),
+      ev(32, 120, "purchase", 20.0), ev(33, 180, "purchase", 30.0),
+      ev(34, 180, "view", 0.0), ev(35, 240, "view", 0.0),
+      ev(36, 400, "view", 0.0))
+    val batchDf = all.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val purchases = batchDf.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("prior_purchase_id"),
+        col("value").as("prior_purchase_value"))
+    val want = graft.ext.AsOf.joinAsOf(
+      batchDf.select("event_id", "user_id", "ts"), purchases,
+      key = "user_id", time = "ts", tiebreak = "prior_purchase_id",
+      payload = Seq("prior_purchase_id", "prior_purchase_value"), strict = true)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // pin the strict case explicitly: eid34 attaches eid32, not eid33
+    assert(want(34L) == Some(32L))
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.purchaseAttributionLate(streamDf, watermark = "2 minutes")(spark)
+      .writeStream.format("memory").queryName("attrib_inc")
+      .outputMode("append").start()
+    try {
+      // out-of-order WITHIN each chunk; lateness stays inside 2 minutes
+      input.addData(Seq(ev(31, 60, "view", 0.0), ev(30, 0, "purchase", 10.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(34, 180, "view", 0.0), ev(32, 120, "purchase", 20.0),
+        ev(33, 180, "purchase", 30.0), ev(35, 240, "view", 0.0)))
+      q.processAllAvailable() // wm → 240s-120s = 120s
+      input.addData(Seq(ev(36, 400, "view", 0.0)))
+      q.processAllAvailable()
+      // incremental: rows below the 120s watermark drained BEFORE any
+      // sentinel — but rows at/after it are still buffered
+      val mid = spark.table("attrib_inc").count()
+      assert(mid >= 2 && mid < all.size, s"expected partial drain, got $mid")
+      input.addData(Seq(ev(98, 100000, "noise", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(99, 100100, "noise", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_inc").filter(col("event_id") < 90)
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("purchaseAttribution (in-order): same-ts purchase never attaches") {
+    def ev(eid: Long, sec: Long, typ: String, v: Double) =
+      (eid, sec * 1000000000L, 1L, typ, v, "")
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.purchaseAttribution(streamDf)(spark)
+      .writeStream.format("memory").queryName("attrib_samets")
+      .outputMode("append").start()
+    try {
+      // purchase eid10 and view eid11 share ts=100s (purchase sorts
+      // first) — strict as-of: eid11 sees only the earlier purchase eid9
+      input.addData(Seq(ev(9, 50, "purchase", 5.0), ev(10, 100, "purchase", 7.0),
+        ev(11, 100, "view", 0.0), ev(12, 150, "view", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_samets")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+      assert(got(11L) == Some(9L), s"same-ts purchase leaked: $got")
+      assert(got(12L) == Some(10L))
+      assert(got(9L) == None)
+    } finally q.stop()
+  }
+
   test("dedupStream drops cross-batch duplicate ids within the watermark") {
     val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
     val streamDf = EventStream.withEventTime(

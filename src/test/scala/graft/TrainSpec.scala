@@ -87,6 +87,39 @@ class TrainSpec extends SparkSpec {
     assert(r.valMetrics == m1.valMetrics)
   }
 
+  test("trainPartitionTarget: floored at fixture scale, grows with cluster") {
+    // the L-BFGS frame's coalesce target must be a FUNCTION of the
+    // session's parallelism, not a constant cap (coalesce only merges)
+    assert(TrainLR.trainPartitionTarget(1) == 8)
+    assert(TrainLR.trainPartitionTarget(32) == 8)
+    assert(TrainLR.trainPartitionTarget(256) == 64)
+    assert(TrainLR.trainPartitionTarget(4000) == 1000)
+    // monotone: more cores never fewer gradient tasks
+    val xs = Seq(1, 8, 32, 64, 512, 4096).map(TrainLR.trainPartitionTarget(_))
+    assert(xs == xs.sorted)
+    // and the floor is honoured for custom minPartitions
+    assert(TrainLR.trainPartitionTarget(32, minPartitions = 16) == 16)
+  }
+
+  test("Scoring.confusionBce: exact counts + clamped BCE on known rows") {
+    // logit >= 0 ⟺ score >= 0.5: (+,1)=tp (+,0)=fp (-,1)=fn (-,0)=tn
+    val scored = Seq(
+      (2.0, 1), (0.0, 1), (3.0, 0), (-1.0, 1), (-2.0, 0), (-0.5, 0))
+      .toDF("logit", "label")
+    val r = graft.learn.Scoring.confusionBce(scored).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getLong(4) == 6L)
+    // bce_sum = Σ round_6(ln(1+e^-z) + (1-y)·z) over the six rows, exactly
+    def term(z: Double, y: Int): BigDecimal =
+      BigDecimal(-(y * math.log(math.max(1.0 / (1 + math.exp(-z)), 1e-12)) +
+        (1 - y) * math.log(math.max(1 - 1.0 / (1 + math.exp(-z)), 1e-12))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = Seq((2.0, 1), (0.0, 1), (3.0, 0), (-1.0, 1), (-2.0, 0), (-0.5, 0))
+      .map { case (z, y) => term(z, y) }.sum.toDouble
+    assert(math.abs(r.getDouble(5) - want) < 1e-9, s"bce ${r.getDouble(5)} vs $want")
+  }
+
   test("train → save → load → recommend serves with the trained head") {
     val g = graph()
     val trained = TrainLR.train(g, targetKey, rounds = 1, seed = 42L)
