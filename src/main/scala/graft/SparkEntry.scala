@@ -608,6 +608,26 @@ r2o AS (
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10L).as("k"), col("n_overlap"))
     }),
+    // measured recall for the k-means IVF tier (q45's missing evidence):
+    // |kmeans-IVF top-10 ∩ brute-force top-10| as an integer. Rows-only —
+    // the k-means fit's float reductions aren't oracle-expressible — but
+    // the OVERLAP is still a hard measured number per run, and
+    // SimilaritySpec pins kmeans ≥ sampled on a clustered corpus.
+    "q54_ann_recall_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ivf = graft.ext.Similarity.ivfTopKKMeans(
+        e, "vec_id", "embedding", queryId = 0L, k = 10)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val bf = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.ArrayOps.cosine(col("embedding"), col("qe")))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(10)
+        .select(col("vec_id").as("id"))
+      ivf.join(bf, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"))
+    }),
     // windowed interval join (ext.Interval): errors in the 10 minutes up
     // to each purchase, per user — bucketized equi-join (2× replication,
     // one shuffle), not a per-key nested-loop range join. Times compare

@@ -110,6 +110,58 @@ class SimilaritySpec extends SparkSpec {
     assert(kmRecall >= 4, s"k-means IVF recall@10 collapsed: $kmRecall")
   }
 
+  test("clustered corpus: k-means IVF recall ≥ sampled-centroid IVF recall") {
+    // the quality tier's selling point needs data with structure: 16
+    // diffuse Gaussian clusters in 64-d. Fitted centroids ≈ cluster
+    // means keep each neighbourhood in ONE inverted list; sampled-vector
+    // centroids carve the diffuse cloud arbitrarily and scatter it.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(16)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 16)
+      // per-dim σ=0.18 → noise NORM ≈ 1.44 vs unit centers: clusters
+      // k-means can still fit, but diffuse enough that a random-vector
+      // Voronoi partition scatters neighbourhoods across lists (σ=0.12
+      // is so tight ANY partition keeps clusters whole; σ≥0.25 swamps
+      // k-means itself — both measured)
+      val noise = Array.fill(64)(rnd.nextGaussian() * 0.18)
+      (i.toLong, c.zip(noise).map { case (a, b) => a + b }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        col("embedding").cast("array<float>")).cache()
+    // one query per cluster (ids 0..7 land in clusters 0..7): a single
+    // query point is high-variance at the regime boundary — whether ITS
+    // cluster survives the sampled partition is a coin flip — so compare
+    // SUMMED recall across 8 neighbourhoods
+    val queries = (0L to 7L)
+    def brute(qid: Long): Set[Long] = corpus
+      .crossJoin(corpus.filter($"vec_id" === qid).select($"embedding".as("q")))
+      .filter($"vec_id" =!= qid)
+      .select($"vec_id", ArrayOps.cosine($"embedding", $"q").as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame, want: Set[Long]): Int =
+      df.collect().map(_.getLong(0)).toSet.intersect(want).size
+    val perQuery = queries.map { qid =>
+      val want = brute(qid)
+      (recall(Similarity.ivfTopKKMeans(corpus, "vec_id", "embedding",
+          queryId = qid, k = 10, nCentroids = 16, nProbe = 1), want),
+        recall(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          queryId = qid, k = 10, nCentroids = 16, nProbe = 1), want))
+    }
+    val km = perQuery.map(_._1).sum
+    val sampled = perQuery.map(_._2).sum
+    info(s"clustered recall@10 over 8 queries — kmeans: $km/80, sampled: $sampled/80")
+    assert(km > sampled,
+      s"k-means IVF ($km/80) must beat sampled centroids ($sampled/80) on clustered data")
+    assert(km >= 48, s"k-means IVF recall collapsed: $km/80")
+  }
+
   test("annTopK candidates are ranked by exact cosine and bounded by k") {
     val out = Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5)
       .collect().map(_.getLong(0))
