@@ -80,6 +80,29 @@ object PropProbe {
       r
     }
 
+    // fused-vs-HOF combine micro-measure (PROP_COMBINE=1): the dim>1 round
+    // update `(vec[i]+msg[i])/(1+n_types)` as codegen VecCombine vs the
+    // interpreted zip_with lambda, over 2M rows × dim 64.
+    if (sys.env.contains("PROP_COMBINE")) {
+      import graft.functions.ArrayOps
+      val dim = 64
+      val base = spark.range(2L * 1000 * 1000).select(
+        expr(s"transform(sequence(1, $dim), i -> cast(id * i as double))").as("vec"),
+        expr(s"transform(sequence(1, $dim), i -> cast(id + i as double))").as("msg"),
+        (col("id") % 3 + 1).as("n_types"))
+        .localCheckpoint(eager = true)
+      for (r <- 1 to 3) {
+        time(s"combine fused rep$r")(
+          base.select(ArrayOps.combineMean(col("vec"), col("msg"), col("n_types")))
+            .write.format("noop").mode("overwrite").save())
+        time(s"combine HOF   rep$r")(
+          base.select(ArrayOps.combineMeanHof(col("vec"), col("msg"), col("n_types")))
+            .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop()
+      return
+    }
+
     for (rep <- 1 to 2) {
       println(s"== rep $rep")
       implicit val sp: SparkSession = spark

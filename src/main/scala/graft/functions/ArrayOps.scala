@@ -83,6 +83,23 @@ object ArrayOps {
   /** Scale an array column by a scalar column. */
   def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)
 
+  /** Fused propagation combine `(a[i] + b[i]) / (1 + nTypes)` — the
+    * cross-type round update (A7/G12) as a codegen primitive loop instead
+    * of an interpreted `zip_with` lambda. Dense-array contract; see
+    * [[graft.functions.expressions.VecCombine]]. */
+  def combineMean(a: Column, b: Column, nTypes: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(expressions.VecCombine(
+      GraftExpressionBridge.expression(a.cast("array<double>")),
+      GraftExpressionBridge.expression(b.cast("array<double>")),
+      GraftExpressionBridge.expression(nTypes.cast("long"))))
+  }
+
+  /** The pure-builtin formulation of [[combineMean]] (semantic reference;
+    * ArrayOpsSpec asserts equivalence on dense arrays). */
+  def combineMeanHof(a: Column, b: Column, nTypes: Column): Column =
+    zip_with(a, b, (x, y) => (x + y) / (lit(1L) + nTypes))
+
   private implicit val vecEnc: Encoder[Array[Double]] =
     ExpressionEncoder[Array[Double]]()
 

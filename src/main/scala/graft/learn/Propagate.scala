@@ -37,6 +37,12 @@ object Propagate {
   private def assembled(as: String, dim: Int): Column =
     array((0 until dim).map(i => col(s"${as}_$i")): _*)
 
+  /** Assemble the `dim` partial-sum columns divided by `n` — the per-type
+    * mean as static per-column arithmetic (fully codegen; a
+    * `transform(…, x => x / n)` lambda would evaluate interpreted). */
+  private def assembledDiv(as: String, dim: Int, n: Column): Column =
+    array((0 until dim).map(i => col(s"${as}_$i") / n): _*)
+
   /** Materialise one round's outputs behind lineage barriers, CONCURRENTLY:
     * under AQE, `localCheckpoint` executes its query stages at call time,
     * so checkpointing the node types one by one serialises otherwise
@@ -85,7 +91,7 @@ object Propagate {
             .agg(sumVec("vec", dim, "s").head,
                  sumVec("vec", dim, "s").tail :+ count(lit(1)).as("n"): _*)
             .select(col("id"),
-              transform(assembled("s", dim), x => x / col("n")).as("msg"))
+              assembledDiv("s", dim, col("n")).as("msg"))
           k.dst -> agg
       }
       val byDst = perType.groupBy(_._1)
@@ -101,8 +107,9 @@ object Propagate {
             cur.join(msgs, Seq("id"), "left")
               .select(col("id"),
                 when(col("msg_sum").isNull, col("vec"))
-                  .otherwise(expr(
-                    "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
+                  // fused codegen combine — zip_with lambdas are interpreted
+                  .otherwise(ArrayOps.combineMean(
+                    col("vec"), col("msg_sum"), col("n_types")))
                   .as("vec"))
         }
         t -> updated
@@ -206,7 +213,7 @@ object Propagate {
         .agg(sumVec("vec", dim, "s").head,
              sumVec("vec", dim, "s").tail :+ count(lit(1)).as("n"): _*)
         .select(col("dst"),
-          transform(assembled("s", dim), x => x / col("n")).as("msg"))
+          assembledDiv("s", dim, col("n")).as("msg"))
       val msgs = perTypeMean
         .groupBy(col("dst").as("gid"))
         .agg(sumVec("msg", dim, "m").head,
@@ -215,8 +222,9 @@ object Propagate {
       h = h.join(msgs, Seq("gid"), "left")
         .select(col("gid"),
           when(col("msg_sum").isNull, col("vec"))
-            .otherwise(expr(
-              "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
+            // fused codegen combine — zip_with lambdas are interpreted
+            .otherwise(ArrayOps.combineMean(
+              col("vec"), col("msg_sum"), col("n_types")))
             .as("vec"))
         .localCheckpoint() // eager — see barrier scaladoc
     }
@@ -575,8 +583,9 @@ object Propagate {
             cur.join(msgs, Seq("id"), "left")
               .select(col("id"),
                 when(col("msg_sum").isNull, col("vec"))
-                  .otherwise(expr(
-                    "zip_with(vec, msg_sum, (a, b) -> (a + b) / (1 + n_types))"))
+                  // fused codegen combine — zip_with lambdas are interpreted
+                  .otherwise(ArrayOps.combineMean(
+                    col("vec"), col("msg_sum"), col("n_types")))
                   .as("vec"))
         }
         t -> updated
@@ -614,6 +623,7 @@ object Propagate {
   def featureInit(g: HeteroGraph, types: Seq[String]): Map[String, DataFrame] =
     types.map { t =>
       t -> g.nodes(t).select(col("id"),
-        expr("transform(features, x -> cast(x as double))").as("vec"))
+        // plain Cast, not a transform lambda — stays in codegen
+        col("features").cast("array<double>").as("vec"))
     }.toMap
 }

@@ -47,6 +47,29 @@ class ArrayOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("codegen VecCombine matches the HOF zip_with reference formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0), 2L),
+      (Array(0.0, -0.5), Array(1.0, 1.0), 1L),
+      (Array(-1.5, 2.5, 0.25, 7.0), Array(2.0, 4.0, -8.0, 0.125), 3L),
+      (Array(1e-7, 2e7), Array(4.4, -5e-6), 0L)
+    ).toDF("a", "b", "n")
+    val rows = df.select(
+      ArrayOps.combineMean(col("a"), col("b"), col("n")).as("fast"),
+      ArrayOps.combineMeanHof(col("a"), col("b"), col("n")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1)) // bit-identical
+    }
+    // null top-level input -> null, like the HOF form
+    val n = Seq((Option.empty[Array[Double]], Some(Array(1.0)), 1L))
+      .toDF("a", "b", "n")
+      .select(ArrayOps.combineMean(col("a"), col("b"), col("n")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   private def one(c: org.apache.spark.sql.Column): Double = {
     import spark.implicits._
     Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 0.5f, -1.0f)))
