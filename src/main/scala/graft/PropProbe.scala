@@ -113,12 +113,10 @@ object PropProbe {
         .find(e => e.srcTable == "orders" && e.dstTable == "customer")
         .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get
       val split = time("split")(LinkSplit.split(g0, target, 0.15, 42L))
-      val msg = time("restrict+cache")(
-        split.messageGraph.restrictTo(Set(target.src, target.dst), 2).cached())
-      time("materialize node caches")(
-        msg.nodes.values.foreach(_.count()))
-      time("materialize edge caches")(
-        msg.edges.values.foreach(_.count()))
+      // mirrors TrainLR.train: NOT cached — the flat layout consumes each
+      // frame exactly once
+      val msg = time("restrict")(
+        split.messageGraph.restrictTo(Set(target.src, target.dst), 2))
       val init = Propagate.degreeInit(msg)
       val types = init.keys.toSeq.sorted
       println(s"PROP types=${types.mkString(",")} edgeTypes=${msg.edges.size} hints=${msg.sizeHints.size}")

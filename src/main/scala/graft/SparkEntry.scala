@@ -336,7 +336,7 @@ r2o AS (
       // arithmetic is order-independent (LearnSpec parity); barriers per
       // round so multi-consumer reads execute the propagation once
       val emb = graft.learn.Propagate.meanRoundsFixedFlat(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+        g, graft.learn.Propagate.degreeInitFixedStructural(g), rounds = 2)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))
         .unionByName(emb("orders")
@@ -355,7 +355,7 @@ r2o AS (
         .restrictTo(Set("customer", "nation"), hops = 1)
         .addDegree
       val emb = graft.learn.Propagate.attentionRoundsFixed(
-        g, graft.learn.Propagate.degreeInitFixed(g, scale = 1000L), rounds = 1)
+        g, graft.learn.Propagate.degreeInitFixedStructural(g, scale = 1000L), rounds = 1)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))
         .unionByName(emb("nation")
@@ -376,7 +376,7 @@ r2o AS (
       // flat layout, memo-shared with q29 (identical graph + init + rounds
       // → the propagation runs once per session across both queries)
       val emb = graft.learn.Propagate.meanRoundsFixedFlat(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+        g, graft.learn.Propagate.degreeInitFixedStructural(g), rounds = 2)
       // descale the fixed-point channel into width-1 double vecs
       def vecs(tn: String) = emb(tn).select(col("id"),
         array(col("h") / lit(1000000.0)).as("vec"))
@@ -425,7 +425,7 @@ r2o AS (
         .restrictTo(Set("customer", "orders"), hops = 1)
         .addDegree
       val emb = graft.learn.Propagate.meanRoundsFixedFlat(
-        g, graft.learn.Propagate.degreeInitFixed(g), rounds = 2)
+        g, graft.learn.Propagate.degreeInitFixedStructural(g), rounds = 2)
       val edges = edgesOrdersCustomer(s, dir)
       val valPos = edges.filter(
         DetRandom.uniform(col("src"), col("dst"), 42L) < 0.15)

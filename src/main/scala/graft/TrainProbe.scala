@@ -27,6 +27,26 @@ object TrainProbe {
 
     def t(n: String) = Tables.load(spark, sfDir, n)
 
+    if (sys.env.contains("NOBC"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // TRAIN_REAL=1: time the actual TrainLR.train call (the q28 body)
+    if (sys.env.contains("TRAIN_REAL")) {
+      for (rep <- 1 to 3) {
+        val g = phase(s"rep$rep build+aug") {
+          GraphBuilder.build(Catalogs.tpch, n => t(n), probeDense = true)
+            .addDegree.withReverseEdges.withSelfLoops
+        }
+        val target = Topology.classify(Catalogs.tpch).edges
+          .find(e => e.srcTable == "orders" && e.dstTable == "customer")
+          .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get
+        val m = phase(s"rep$rep TrainLR.train")(
+          graft.learn.TrainLR.train(g, target))
+        println(s"PROBE rep$rep metrics ${m.valMetrics.toSeq.sortBy(_._1)}")
+      }
+      spark.stop()
+      return
+    }
+
     for (rep <- 1 to 2) {
       println(s"=== rep $rep ===")
       val g = phase("build+aug") {
@@ -38,8 +58,10 @@ object TrainProbe {
         .map(e => EdgeKey(e.srcTable, e.relation, e.dstTable)).get
 
       val split = phase("split")(graft.learn.LinkSplit.split(g, target, 0.15, 42L))
-      val msgGraph = phase("restrict+cache") {
-        split.messageGraph.restrictTo(Set(target.src, target.dst), 2).cached()
+      // mirrors TrainLR.train: NOT cached — the flat layout consumes each
+      // frame exactly once
+      val msgGraph = phase("restrict") {
+        split.messageGraph.restrictTo(Set(target.src, target.dst), 2)
       }
       val trainPos = graft.functions.Caching.ensureCached(split.trainPos)
       val valPos = graft.functions.Caching.ensureCached(split.valPos)
@@ -63,12 +85,15 @@ object TrainProbe {
       val trainDf = edgeFeatures(trainPos, 1)
         .unionByName(edgeFeatures(negs(trainPos, 43L), 0))
         .select(array_to_vector(col("f")).as("features"), col("label"))
+        .coalesce(graft.learn.TrainLR.trainPartitionTarget(
+          spark.sparkContext.defaultParallelism))
         .cache()
       val n = phase("trainDf materialize")(trainDf.count())
       println(s"PROBE trainDf rows=$n partitions=${trainDf.rdd.getNumPartitions}")
       val lr = new LogisticRegression()
         .setMaxIter(50).setRegParam(0.01).setStandardization(true)
       val model = phase("lr.fit")(try lr.fit(trainDf) finally trainDf.unpersist())
+      println(s"PROBE lbfgs totalIterations=${model.summary.totalIterations}")
       val valDf = edgeFeatures(valPos, 1).unionByName(edgeFeatures(negs(valPos, 44L), 0))
       val wCol = typedlit(model.coefficients.toArray.toSeq)
       val scored = valDf.select(

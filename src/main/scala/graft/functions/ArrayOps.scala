@@ -77,8 +77,21 @@ object ArrayOps {
   def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
   /** Elementwise (Hadamard) product — the link-prediction edge feature
-    * (SURVEY.md §7.4: LR over Hadamard of endpoint embeddings). */
-  def hadamard(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x * y)
+    * (SURVEY.md §7.4: LR over Hadamard of endpoint embeddings). Codegen
+    * primitive loop; per-element values are the same IEEE multiplies as
+    * the HOF form on dense arrays (ArrayOpsSpec), so hash-exact consumers
+    * (q43) are unaffected. */
+  def hadamard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(expressions.Hadamard(
+      GraftExpressionBridge.expression(a.cast("array<double>")),
+      GraftExpressionBridge.expression(b.cast("array<double>"))))
+  }
+
+  /** The pure-builtin formulation of [[hadamard]] (semantic reference;
+    * ArrayOpsSpec asserts parity on dense arrays). */
+  def hadamardHof(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x * y)
 
   /** Scale an array column by a scalar column. */
   def vecScale(a: Column, s: Column): Column = transform(a, x => x * s)

@@ -2,7 +2,7 @@ package graft.learn
 
 import graft.functions.ArrayOps
 import graft.graph.HeteroGraph
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** L-round heterogeneous message passing as a DataFrame-join loop (G12 —
@@ -68,6 +68,25 @@ object Propagate {
     fs.map(f => Await.result(f, Duration.Inf)).toMap
   }
 
+  /** Run independent eager materialisations concurrently (same rationale
+    * as [[barrier]]: serial `localCheckpoint`s leave cores idle). */
+  private def concurrently(thunks: Seq[() => DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    thunks.map(t => Future(t())).map(f => Await.result(f, Duration.Inf))
+  }
+
+  /** Dev phase timing, enabled by SPARK_GRAFT_TRAIN_PHASES=1 (stderr). */
+  private def phase[A](name: String)(f: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_TRAIN_PHASES")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"PROPPHASE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** @param init per node type `(id: bigint, vec: array<double>)`, all of
     *             width `dim`
     * @param dim  embedding width — lets the per-dst aggregation run as
@@ -132,16 +151,21 @@ object Propagate {
 
   /** [[meanRounds]] semantics over a FLATTENED graph: node types offset
     * into one global Long id space (same layout as the GraphX bridge), all
-    * edge types in one tagged frame, all embeddings in one frame. Per
-    * round: one shuffle join (edges ⨝ src embeddings), one two-level
-    * aggregation ((dst,tag) mean → dst sum + type count), one join back to
-    * the self embedding — **~3 shuffles per round TOTAL**, versus
-    * 2·|edge types| for the per-type loop, and a single plan per round for
-    * the scheduler instead of a job fan-out. On local[32] at fixture scale
-    * the two measure the same (~6s for 2 rounds over 12 types at sf0.1 —
-    * small shuffles are cheap locally); the flat shape is for the cluster
-    * regime, where stage count and per-stage skew dominate. The per-type
-    * loop remains the readable reference implementation.
+    * edge types in one tagged frame, all embeddings in one frame. At dim=1
+    * the scalar twin fuses the per-type mean and the cross-type combine
+    * into a SINGLE per-tag `groupBy(dst)` (tags are plan-time constants),
+    * so a round is one join + ONE aggregation exchange + one combine join
+    * — versus 2·|edge types| shuffles for the per-type loop — and a single
+    * plan per round for the scheduler instead of a job fan-out. (The dim>1
+    * path keeps the two-level aggregation: per-tag-per-dim columns would
+    * explode the aggregate width.) The flat shape is for the cluster
+    * regime, where stage count, shuffle volume and per-stage skew
+    * dominate. The per-type loop remains the readable reference
+    * implementation. For co-located zero-exchange rounds over a PERSISTED
+    * graph, see the bucketed store ([[HeteroGraph.saveBucketed]]) — an
+    * in-session `localCheckpoint` cannot carry hash partitioning under
+    * AQE, so the rounds pay the message-join exchange (or a broadcast of
+    * `h`) each round.
     */
   /** Per-type dense id-space sizes for the flat layouts: served from
     * [[HeteroGraph.sizeHints]] when known (zero jobs); missing types fall
@@ -166,13 +190,14 @@ object Propagate {
       g: HeteroGraph,
       init: Map[String, DataFrame],
       rounds: Int,
-      dim: Int = 1): Map[String, DataFrame] = {
+      dim: Int = 1,
+      finalTargets: Set[String] = Set.empty): Map[String, DataFrame] = {
     // dim=1 (the degree-init path TrainLR uses) runs as a plain double
     // column: `transform`/`zip_with` lambdas are interpreted expressions
     // (not codegen), and at ~millions of node rows × rounds they dominate
     // the propagation wall-clock. The scalar twin keeps every round inside
     // whole-stage codegen and re-wraps `array(h)` only at the boundary.
-    if (dim == 1) return meanRoundsFlatScalar(g, init, rounds)
+    if (dim == 1) return meanRoundsFlatScalar(g, init, rounds, finalTargets)
     val types = init.keys.toSeq.sorted
     // id-space sizes: free when the builder probe left hints, otherwise a
     // max(id) agg per type — run those CONCURRENTLY (they are independent
@@ -196,6 +221,8 @@ object Propagate {
       // count by T, and at fixture scale each task costs a fixed ~30-100ms
       // (scheduler + shuffle-writer setup) regardless of rows — every round
       // re-scans this frame, so pay for shuffle.partitions tasks, not T×.
+      // (localCheckpoint does NOT preserve hash partitioning under AQE, so
+      // repartitioning on the join key here would be a wasted exchange.)
       .coalesce(numShufflePartitions(g))
       .localCheckpoint() // eager (see barrier); one edge frame reused per round
 
@@ -239,46 +266,150 @@ object Propagate {
   /** [[meanRoundsFlat]] specialised to embedding width 1: the channel is a
     * bare `double` column, so the per-round mean/combine arithmetic is
     * native SUM/COUNT/division inside whole-stage codegen — no interpreted
-    * array lambdas. Same recurrence, same float-order caveats. */
+    * array lambdas. Same recurrence, same float-order caveats.
+    *
+    * ONE exchange per round: the edge frame is hash-partitioned by `src`
+    * and the embedding frame by `gid` ONCE at prep (`localCheckpoint`
+    * captures the physical partitioning in its `LogicalRDD`, and alias-
+    * aware output partitioning carries `gid AS src` through the rename),
+    * so the per-round join and the combine join both read co-partitioned
+    * inputs; only the message aggregation's `groupBy(dst)` shuffles. The
+    * per-type mean and the cross-type combine fuse into that ONE
+    * aggregation as per-tag conditional sums (the tag set is known at plan
+    * time), where the naive shape pays two aggregations plus two join-side
+    * exchanges per round — a 5-exchange round collapsed to 1, which at
+    * cluster scale is the difference between shuffling |E| once and three
+    * times per round.
+    *
+    * @param finalTargets when non-empty, the LAST round only updates these
+    *   node types (messages into other types are skipped — their returned
+    *   embeddings keep the previous round's value). Sound whenever the
+    *   caller only reads the target types: round-(r−1) values of all
+    *   neighbors are already computed. The training path reads exactly
+    *   {src, dst} of the supervision edge type, so it skips the final-round
+    *   message work for every other type.
+    */
   private def meanRoundsFlatScalar(
       g: HeteroGraph,
       init: Map[String, DataFrame],
-      rounds: Int): Map[String, DataFrame] = {
+      rounds: Int,
+      finalTargets: Set[String]): Map[String, DataFrame] = {
     val types = init.keys.toSeq.sorted
+    runFlatScalar(g, types, rounds, finalTargets, (offsets, _) =>
+      types.map { t =>
+        init(t).select((col("id") + offsets(t)).as("gid"),
+          element_at(col("vec"), 1).as("h"))
+      }.reduce(_ unionByName _))
+  }
+
+  /** [[meanRoundsFlat]] with [[degreeInitStructural]] FUSED into the flat
+    * prep: the degree init is built directly in the global id space — one
+    * endpoint-count aggregation over the original edge types of
+    * `degreesFrom` plus one left join against `spark.range(totalIds)`
+    * (dense ids are 0..n−1 by construction) — instead of one aggregation
+    * and one join per node type that the per-type init API forces. Values
+    * are identical; this is the training hot path's entry. */
+  def meanRoundsFlatDegree(
+      msgGraph: HeteroGraph,
+      degreesFrom: HeteroGraph,
+      types: Set[String],
+      rounds: Int,
+      finalTargets: Set[String])(
+      implicit spark: SparkSession): Map[String, DataFrame] =
+    runFlatScalar(msgGraph, types.toSeq.sorted, rounds, finalTargets,
+      (offsets, total) => {
+        val orig = degreesFrom.edges.toSeq.collect {
+          case (k, df) if !k.rel.startsWith("REVERSE_") && k.rel != "SELF_LOOP" =>
+            (k, df)
+        }
+        val ends = orig.flatMap { case (k, df) =>
+          (if (offsets.contains(k.src))
+            Seq(df.select((col("src") + offsets(k.src)).as("gid"))) else Nil) ++
+          (if (offsets.contains(k.dst))
+            Seq(df.select((col("dst") + offsets(k.dst)).as("gid"))) else Nil)
+        }
+        val base = spark.range(total).select(col("id").as("gid"))
+        ends match {
+          case Nil => base.select(col("gid"), lit(1.0).as("h"))
+          case dfs =>
+            val cnt = dfs.reduce(_ unionByName _)
+              .groupBy("gid").agg(count(lit(1)).as("d"))
+            base.join(cnt, Seq("gid"), "left")
+              .select(col("gid"),
+                (coalesce(col("d"), lit(0L)) + 1L).cast("double").as("h"))
+        }
+      })
+
+  /** The shared flat scalar round loop. `mkInit` receives the type offsets
+    * and the total id-space size and returns the flat `(gid, h)` frame. */
+  private def runFlatScalar(
+      g: HeteroGraph,
+      types: Seq[String],
+      rounds: Int,
+      finalTargets: Set[String],
+      mkInit: (Map[String, Long], Long) => DataFrame): Map[String, DataFrame] = {
     val sizes = flatSizes(g, types)
+    val sizeOf = sizes.toMap
     val offsets = sizes.scanLeft(("", 0L)) {
       case ((_, acc), (t, n)) => (t, acc + n)
     }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
+    val total = sizes.map(_._2).sum
+    val p = numShufflePartitions(g)
 
-    val flatEdges0 = g.edges.toSeq
+    val tagged = g.edges.toSeq
       .filter { case (k, _) => offsets.contains(k.src) && offsets.contains(k.dst) }
       .sortBy(_._1.name)
-      .zipWithIndex.map { case ((k, df), tag) =>
-        df.select(
-          (col("src") + offsets(k.src)).as("src"),
-          (col("dst") + offsets(k.dst)).as("dst"),
-          lit(tag).as("tag"))
-      }
-      .reduce(_ unionByName _)
-    // eager (see barrier); one edge frame reused per round. Coalesced first:
-    // see meanRoundsFlat — union width × 32 tasks of fixed per-task cost.
-    val flatEdgesCk = flatEdges0.coalesce(numShufflePartitions(g)).localCheckpoint()
+      .zipWithIndex
+    val nTags = tagged.size
+    // coalesce before the barrier (a T-type union multiplies partition
+    // count by T; localCheckpoint does NOT preserve hash partitioning
+    // under AQE, so repartitioning on the join key here would be a wasted
+    // full exchange); the two prep frames are independent — materialise
+    // them CONCURRENTLY (barrier()'s policy) instead of serially.
+    val Seq(flatEdgesCk, h0) = phase("scalar prep")(concurrently(Seq(
+      () => tagged.map { case ((k, df), tag) =>
+          df.select(
+            (col("src") + offsets(k.src)).as("src"),
+            (col("dst") + offsets(k.dst)).as("dst"),
+            lit(tag).as("tag"))
+        }
+        .reduce(_ unionByName _)
+        .coalesce(p).localCheckpoint(),
+      () => mkInit(offsets, total)
+        .coalesce(p).localCheckpoint())))
+    var h: DataFrame = h0
 
-    var h: DataFrame = types.map { t =>
-      init(t).select((col("id") + offsets(t)).as("gid"),
-        element_at(col("vec"), 1).as("h"))
-    }.reduce(_ unionByName _)
-      .coalesce(numShufflePartitions(g)).localCheckpoint()
-
-    for (_ <- 1 to rounds) {
-      val perTypeMean = flatEdgesCk
-        .join(h.select(col("gid").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst"), col("tag"))
-        .agg((sum(col("h")) / count(lit(1))).as("msg"))
-      val msgs = perTypeMean
+    for (r <- 1 to rounds) phase(s"scalar round $r") {
+      val edges =
+        if (r == rounds && finalTargets.nonEmpty) {
+          val ranges = types.filter(finalTargets).map(t =>
+            (offsets(t), offsets(t) + sizeOf(t)))
+          require(ranges.nonEmpty, s"finalTargets $finalTargets not in $types")
+          flatEdgesCk.filter(ranges.map { case (lo, hi) =>
+            col("dst") >= lo && col("dst") < hi }.reduce(_ || _))
+        } else flatEdgesCk
+      // fused per-tag aggregation: mean per edge type AND the cross-type
+      // sum/count in ONE groupBy(dst) (tags are plan-time constants)
+      val aggs = (0 until nTags).flatMap { tg => Seq(
+        sum(when(col("tag") === tg, col("h"))).as(s"s_$tg"),
+        count(when(col("tag") === tg, lit(1))).as(s"c_$tg")) }
+      val msgSum = (0 until nTags).map(tg =>
+        when(col(s"c_$tg") > 0, col(s"s_$tg") / col(s"c_$tg")).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      val nTypes = (0 until nTags).map(tg =>
+        when(col(s"c_$tg") > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+      // shuffle_hash hints: at fixture scale AQE prefers broadcasting h
+      // (~MBs), but the per-round broadcast pays a serial driver-side
+      // collect + HashedRelation build per round — measured slower than
+      // the shuffled hash join here, and at cluster scale h outgrows
+      // broadcast anyway, so the hint pins the plan both regimes want.
+      val msgs = edges
+        .join(h.select(col("gid").as("src"), col("h")).hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst").as("gid"))
-        .agg(sum(col("msg")).as("msg_sum"), count(lit(1)).as("n_types"))
-      h = h.join(msgs, Seq("gid"), "left")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("gid"), msgSum.as("msg_sum"), nTypes.as("n_types"))
+      h = h.join(msgs.hint("shuffle_hash"), Seq("gid"), "left")
         .select(col("gid"),
           when(col("msg_sum").isNull, col("h"))
             .otherwise((col("h") + col("msg_sum")) / (lit(1) + col("n_types")))
@@ -287,7 +418,7 @@ object Propagate {
     }
     types.map { t =>
       val lo = offsets(t)
-      val hi = lo + sizes.toMap.apply(t)
+      val hi = lo + sizeOf(t)
       t -> h.filter(col("gid") >= lo && col("gid") < hi)
         .select((col("gid") - lo).as("id"), array(col("h")).as("vec"))
     }.toMap
@@ -467,32 +598,50 @@ object Propagate {
     fixedCache.getOrElseUpdate(memoKey, {
       val types = init.keys.toSeq.sorted
       val sizes = flatSizes(g, types)
+      val sizeOf = sizes.toMap
       val offsets = sizes.scanLeft(("", 0L)) {
         case ((_, acc), (t, n)) => (t, acc + n)
       }.sliding(2).map { case Seq((_, off), (t, _)) => t -> off }.toMap
-      val flatEdgesCk = g.edges.toSeq
+      val p = numShufflePartitions(g)
+      val tagged = g.edges.toSeq
         .filter { case (k, _) => offsets.contains(k.src) && offsets.contains(k.dst) }
         .sortBy(_._1.name)
-        .zipWithIndex.map { case ((k, df), tag) =>
-          df.select(
-            (col("src") + offsets(k.src)).as("src"),
-            (col("dst") + offsets(k.dst)).as("dst"),
-            lit(tag).as("tag"))
-        }
-        .reduce(_ unionByName _)
-        .coalesce(numShufflePartitions(g)).localCheckpoint()
-      var h: DataFrame = types.map { t =>
-        init(t).select((col("id") + offsets(t)).as("gid"), col("h"))
-      }.reduce(_ unionByName _)
-        .coalesce(numShufflePartitions(g)).localCheckpoint()
+        .zipWithIndex
+      val nTags = tagged.size
+      // per-type floor-mean and cross-type combine fused into one per-tag
+      // groupBy — one aggregation exchange per round instead of two
+      // (same shape as meanRoundsFlatScalar, see its scaladoc). Integer
+      // arithmetic, so the fusion is bit-identical to the two-level form
+      // for any partitioning (LearnSpec). Prep frames materialise
+      // concurrently.
+      val Seq(flatEdgesCk, h0) = concurrently(Seq(
+        () => tagged.map { case ((k, df), tag) =>
+            df.select(
+              (col("src") + offsets(k.src)).as("src"),
+              (col("dst") + offsets(k.dst)).as("dst"),
+              lit(tag).as("tag"))
+          }
+          .reduce(_ unionByName _)
+          .coalesce(p).localCheckpoint(),
+        () => types.map { t =>
+            init(t).select((col("id") + offsets(t)).as("gid"), col("h"))
+          }.reduce(_ unionByName _)
+          .coalesce(p).localCheckpoint()))
+      var h: DataFrame = h0
       for (r <- 1 to rounds) {
-        val perTypeMean = flatEdgesCk
+        val aggs = (0 until nTags).flatMap { tg => Seq(
+          sum(when(col("tag") === tg, col("h"))).as(s"s_$tg"),
+          count(when(col("tag") === tg, lit(1))).as(s"c_$tg")) }
+        val msgSum = (0 until nTags).map(tg =>
+          when(col(s"c_$tg") > 0, expr(s"s_$tg div c_$tg")) // floor-mean, exact
+            .otherwise(lit(0L))).reduce(_ + _)
+        val nTypes = (0 until nTags).map(tg =>
+          when(col(s"c_$tg") > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+        val msgs = flatEdgesCk
           .join(h.select(col("gid").as("src"), col("h")), Seq("src"))
-          .groupBy(col("dst"), col("tag"))
-          .agg(expr("sum(h) div count(1)").as("msg")) // floor-mean, exact
-        val msgs = perTypeMean
           .groupBy(col("dst").as("gid"))
-          .agg(sum("msg").as("msg_sum"), count(lit(1)).as("n_types"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("gid"), msgSum.as("msg_sum"), nTypes.as("n_types"))
         val next = h.join(msgs, Seq("gid"), "left")
           .select(col("gid"),
             when(col("msg_sum").isNull, col("h"))
@@ -502,7 +651,7 @@ object Propagate {
       }
       types.map { t =>
         val lo = offsets(t)
-        val hi = lo + sizes.toMap.apply(t)
+        val hi = lo + sizeOf(t)
         t -> h.filter(col("gid") >= lo && col("gid") < hi)
           .select((col("gid") - lo).as("id"), col("h"))
       }.toMap
@@ -518,6 +667,42 @@ object Propagate {
       t -> df.select(col("id"),
         (element_at(col("features"), -1).cast("long") * scale).as("h"))
     }
+
+  /** STRUCTURAL twin of `addDegree` + [[degreeInitFixed]] for a graph
+    * whose degree feature was (or would be) computed over its OWN edge
+    * set: `h = (1 + incident endpoint count over ALL of g's edge types)
+    * × scale` — exactly the value `element_at(features, -1)` holds after
+    * `g.addDegree`, but computed as one endpoint-count aggregation per
+    * type instead of dragging the whole node FEATURE lineage (numeric
+    * projection, one-hot, the degree join) into the propagation plan.
+    * Integer counts ⇒ bit-identical to the feature path, so hash-exact
+    * oracles are unaffected. With a builder size hint the id column is
+    * synthesized via `spark.range` and no node table is read at all. */
+  def degreeInitFixedStructural(
+      g: HeteroGraph, scale: Long = 1000000L)(
+      implicit spark: SparkSession): Map[String, DataFrame] = {
+    val parts = g.edges.toSeq // ALL edge types — matches addDegree-on-g
+    g.nodes.map { case (t, nodeDf) =>
+      val ends = parts.flatMap { case (k, df) =>
+        (if (k.src == t) Seq(df.select(col("src").as("id"))) else Nil) ++
+          (if (k.dst == t) Seq(df.select(col("dst").as("id"))) else Nil)
+      }
+      val ids = g.sizeHints.get(t) match {
+        case Some(n) => spark.range(n).select(col("id"))
+        case None    => nodeDf.select(col("id"))
+      }
+      val init = ends match {
+        case Nil => ids.select(col("id"), lit(scale).as("h"))
+        case dfs =>
+          val cnt = dfs.reduce(_ unionByName _)
+            .groupBy("id").agg(count(lit(1)).as("d"))
+          ids.join(cnt, Seq("id"), "left")
+            .select(col("id"),
+              ((coalesce(col("d"), lit(0L)) + 1L) * scale).as("h"))
+      }
+      t -> init
+    }
+  }
 
   /** Attention-weighted rounds — the frozen-parameter analogue of the
     * reference's GATv2 layer (`model.py:92-94`): per edge type, edge
@@ -615,6 +800,47 @@ object Propagate {
       t -> df.select(col("id"),
         expr("array(cast(element_at(features, -1) as double))").as("vec"))
     }
+
+  /** [[degreeInit]] computed STRUCTURALLY: `h = 1 + incident endpoint
+    * count over the ORIGINAL (non-`REVERSE_*`, non-`SELF_LOOP`) edge
+    * types` — numerically identical to `degreeInit` after the canonical
+    * `addDegree.withReverseEdges.withSelfLoops` build order (degrees are
+    * integers < 2²⁴, so the float feature round-trip is exact), but
+    * without touching the node tables' FEATURE lineage at all: reading
+    * `element_at(features, -1)` drags the whole feature pipeline (numeric
+    * projection, one-hot, the degree join itself) into the init plan,
+    * where this needs one endpoint-count aggregation per type — and when
+    * the builder's dense probe left a size hint, the id column is
+    * synthesized with `spark.range` (dense ids are 0..n−1 by
+    * construction), so init reads no node table whatsoever. */
+  def degreeInitStructural(
+      g: HeteroGraph, types: Set[String])(
+      implicit spark: SparkSession): Map[String, DataFrame] = {
+    val orig = g.edges.toSeq.collect {
+      case (k, df) if !k.rel.startsWith("REVERSE_") && k.rel != "SELF_LOOP" =>
+        (k, df)
+    }
+    types.map { t =>
+      val ends = orig.flatMap { case (k, df) =>
+        (if (k.src == t) Seq(df.select(col("src").as("id"))) else Nil) ++
+          (if (k.dst == t) Seq(df.select(col("dst").as("id"))) else Nil)
+      }
+      val ids = g.sizeHints.get(t) match {
+        case Some(n) => spark.range(n).select(col("id"))
+        case None    => g.nodes(t).select(col("id"))
+      }
+      val init = ends match {
+        case Nil => ids.select(col("id"), array(lit(1.0)).as("vec"))
+        case dfs =>
+          val cnt = dfs.reduce(_ unionByName _)
+            .groupBy("id").agg(count(lit(1)).as("d"))
+          ids.join(cnt, Seq("id"), "left")
+            .select(col("id"),
+              array((coalesce(col("d"), lit(0L)) + 1L).cast("double")).as("vec"))
+      }
+      t -> init
+    }.toMap
+  }
 
   /** Full-width initial embeddings: the node feature vector as double —
     * what the trainable head (§7.4.1) propagates. Only meaningful per

@@ -56,6 +56,16 @@ object TrainLR {
     *
     * @param rounds frozen propagation rounds over the degree feature
     */
+  /** Dev phase timing, enabled by SPARK_GRAFT_TRAIN_PHASES=1 (stderr). */
+  private def phase[A](name: String)(f: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_TRAIN_PHASES")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"TRAINPHASE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def train(
       g: HeteroGraph,
       target: EdgeKey,
@@ -75,10 +85,18 @@ object TrainLR {
       .restrictTo(Set(target.src, target.dst), rounds)
     val trainPos = graft.functions.Caching.ensureCached(split.trainPos)
     val valPos = graft.functions.Caching.ensureCached(split.valPos)
-    val emb = Propagate.meanRoundsFlat(
-      msgGraph, Propagate.degreeInit(msgGraph), rounds)
+    // Structural degree init (identical values to degreeInit under the
+    // canonical addDegree-before-augmentation build order — see its
+    // scaladoc) keeps the node-feature lineage out of the init plan;
+    // finalTargets skips last-round message work for every type the
+    // feature join below never reads.
+    val emb = phase("propagate")(Propagate.meanRoundsFlatDegree(
+      msgGraph, degreesFrom = g, types = msgGraph.nodes.keySet, rounds = rounds,
+      finalTargets = Set(target.src, target.dst)))
 
-    val nDst = g.nodes(target.dst).count()
+    // dense ids ⇒ |dst nodes| = id-space size: served from the builder's
+    // size hint (zero jobs) instead of a count over the node table
+    val nDst = phase("nDst")(g.idSpaceSize(target.dst))
     val allPos = graft.functions.Caching.ensureCached(g.edges(target))
     def negs(pos: DataFrame, s: Long) =
       NegativeSampling.sample(pos, allPos, nDst, s)
@@ -102,7 +120,7 @@ object TrainLR {
         .cache()
     val lr = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-    val model = try lr.fit(trainDf) finally trainDf.unpersist()
+    val model = phase("fit")(try lr.fit(trainDf) finally trainDf.unpersist())
 
     val w = model.coefficients.toArray
     val b = model.intercept
@@ -115,6 +133,6 @@ object TrainLR {
       ArrayOps.sigmoid(
         ArrayOps.dot(col("f"), wCol) + lit(b)).as("score"),
       col("label"))
-    TrainedModel(w, b, Scoring.metrics(scored))
+    TrainedModel(w, b, phase("valMetrics")(Scoring.metrics(scored)))
   }
 }

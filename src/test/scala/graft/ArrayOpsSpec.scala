@@ -70,6 +70,22 @@ class ArrayOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("codegen Hadamard matches the HOF zip_with reference formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, -0.5), Array(1.0, 1.0)),
+      (Array(1e-7, 2e7, -3.25), Array(4.4, -5e-6, 0.125))
+    ).toDF("a", "b")
+    val rows = df.select(
+      ArrayOps.hadamard(col("a"), col("b")).as("fast"),
+      ArrayOps.hadamardHof(col("a"), col("b")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1)) // bit-identical
+    }
+  }
+
   private def one(c: org.apache.spark.sql.Column): Double = {
     import spark.implicits._
     Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 0.5f, -1.0f)))

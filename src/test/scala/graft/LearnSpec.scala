@@ -114,6 +114,46 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("degreeInitFixedStructural is bit-identical to addDegree + degreeInitFixed") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val g2 = graft.graph.GraphBuilder
+      .build(graft.catalog.Catalogs.tpch, n => Tables.load(spark, sf(), n),
+        probeDense = true)
+      .withReverseEdges
+      .restrictTo(Set("customer", "orders"), 1)
+      .addDegree
+    val viaFeatures = Propagate.degreeInitFixed(g2)
+    val structural = Propagate.degreeInitFixedStructural(g2)
+    assert(structural.keySet === viaFeatures.keySet)
+    for (t <- viaFeatures.keys) {
+      import org.apache.spark.sql.functions._
+      val j = structural(t).withColumnRenamed("h", "a")
+        .join(viaFeatures(t).withColumnRenamed("h", "b"), Seq("id"), "full")
+      assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .count() === 0, t)
+    }
+  }
+
+  test("structural degree init (originals-only) matches the feature path for TrainLR's build order") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val g3 = graft.graph.GraphBuilder
+      .build(graft.catalog.Catalogs.tpch, n => Tables.load(spark, sf(), n),
+        probeDense = true)
+      .addDegree.withReverseEdges.withSelfLoops
+    val types = Set("customer", "orders", "events")
+    val viaFeatures = Propagate.degreeInit(g3).view.filterKeys(types).toMap
+    val structural = Propagate.degreeInitStructural(g3, types)
+    for (t <- types) {
+      import org.apache.spark.sql.functions._
+      val j = structural(t)
+        .select(col("id"), element_at(col("vec"), 1).as("a"))
+        .join(viaFeatures(t)
+          .select(col("id"), element_at(col("vec"), 1).as("b")), Seq("id"), "full")
+      assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .count() === 0, t)
+    }
+  }
+
   test("attentionRoundsFixed: hand-checked salience weighting, != mean") {
     import spark.implicits._
     import graft.graph.HeteroGraph
