@@ -35,20 +35,23 @@ object DedupProbe {
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("p"))))
         .filter(col("rk") <= prefLen)
-        .select(col("doc_id"), col("nsh"), col("rk"), col("p"))
+        .join(hashed.select(col("doc_id"),
+          array_distinct(array_sort(col("hs"))).as("hset")), Seq("doc_id"))
+        .select(col("doc_id"), col("nsh"), col("rk"), col("p"), col("hset"))
         .localCheckpoint(eager = true))
       println("DEDUP pref rows=" + pref.count())
       val alpha = expr(
         s"($tauNum * (x.nsh + y.nsh) + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}")
-      val cand = time("cand")(
-        pref.as("x").join(pref.as("y"),
+      // mirrors nearDupJaccardExact's in-join positional filter (hash test
+      // elided here so the probe reports the raw prefix-join volume)
+      val cand = time("cand (no hash test)")(pref.as("x").join(pref.as("y"),
           col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id") &&
             col("y.nsh") * tauNum <= col("x.nsh") * tauDen &&
             col("x.nsh") * tauNum <= col("y.nsh") * tauDen &&
             alpha <= lit(1) + least(
               col("x.nsh") - col("x.rk"), col("y.nsh") - col("y.rk")))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct().localCheckpoint(eager = true))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().localCheckpoint(eager = true))
       println("DEDUP cand rows=" + cand.count())
       time("verify+sink")(
         graft.ext.Dedup.nearDupJaccardExact(docs, "doc_id", "text")

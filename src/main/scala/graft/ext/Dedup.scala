@@ -327,20 +327,40 @@ object Dedup {
     // prefix length |s| − ⌈τ|s|⌉ + 1, exact integer arithmetic (`div`)
     val prefLen = (col("nsh") - expr(
       s"(nsh * $tauNum + ${tauDen - 1}) div $tauDen").cast("int") + 1)
+    // The prefix frame carries each doc's SORTED DISTINCT hash set along
+    // with (nsh, rk, p): the lossless hash-Jaccard test then runs as a
+    // RESIDUAL PREDICATE of the candidate join itself — junk pairs die in
+    // the join stage after a (suffix-filter-grade, early-exiting) merge
+    // walk, and never reach an exchange. The old shape aggregated 667k
+    // candidate pairs (distinct → two broadcast joins → hash filter);
+    // this one ships ~|prefix rows| × ~KB once and emits only true-ish
+    // pairs. At corpus scales where duplicating the hash set per prefix
+    // row outweighs the saved exchanges, split the hash test back out to
+    // the per-pair tier — both orders are complete.
+    val hsets = hashed.select(col("doc_id"),
+      array_distinct(array_sort(col("hs"))).as("hset"))
     val pref = exploded.join(dfreq, Seq("p"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("p"))))
       .filter(col("rk") <= prefLen)
-      .select(col("doc_id"), col("nsh"), col("rk"), col("p"))
+      .join(hsets, Seq("doc_id"))
+      .select(col("doc_id"), col("nsh"), col("rk"), col("p"), col("hset"))
       .localCheckpoint(eager = true) // self-join reads it twice
     // PPJoin candidate join: besides the shared prefix element, apply the
-    // LENGTH filter (J ≥ τ forces τ·|b| ≤ |a| ≤ |b|/τ) and the POSITIONAL
+    // LENGTH filter (J ≥ τ forces τ·|b| ≤ |a| ≤ |b|/τ), the POSITIONAL
     // filter — the first shared element at ranks (i, j) bounds achievable
     // overlap by 1 + min(|a|−i, |b|−j), which must reach the equivalent
-    // overlap threshold α = ⌈τ/(1+τ)·(|a|+|b|)⌉. Both are completeness-
-    // preserving (the first shared element always sits in both prefixes
-    // once the length filter holds) and prune the quadratic bucket work a
-    // degenerate small-vocabulary corpus would otherwise produce.
+    // overlap threshold α = ⌈τ/(1+τ)·(|a|+|b|)⌉ — and the LOSSLESS hash
+    // pre-verify: Jaccard over the 64-bit hash SETS dominates Jaccard
+    // over the shingle sets (true intersection elements always share
+    // hashes; collisions only merge set elements, so J_hash ≥ J_true),
+    // which makes `J_hash ≥ τ` a necessary condition. All three are
+    // completeness-preserving (the first shared element always sits in
+    // both prefixes once the length filter holds) and prune the quadratic
+    // bucket work a degenerate small-vocabulary corpus would otherwise
+    // produce: on the sf0.1 fixture the prefix join alone emits 784k rows
+    // (667k distinct pairs) for 25 true pairs — the in-join hash test
+    // leaves only the true pairs to reach the distinct.
     val alpha = expr(
       s"($tauNum * (x.nsh + y.nsh) + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}")
     val cand = pref.as("x")
@@ -349,7 +369,8 @@ object Dedup {
           col("y.nsh") * tauNum <= col("x.nsh") * tauDen &&
           col("x.nsh") * tauNum <= col("y.nsh") * tauDen &&
           alpha <= lit(1) + least(
-            col("x.nsh") - col("x.rk"), col("y.nsh") - col("y.rk")))
+            col("x.nsh") - col("x.rk"), col("y.nsh") - col("y.rk")) &&
+          jaccardHashesGeUdf(tauNum, tauDen)(col("x.hset"), col("y.hset")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // verify over PACKED sorted shingle sets: one ShingleSep-joined string
@@ -358,61 +379,52 @@ object Dedup {
     // decodes/pair), which dominated verification; the packed form decodes
     // two strings per pair and merge-walks the segments. ShingleSep cannot
     // occur in shingles ([a-z0-9 ] alphabet), and segment order under the
-    // walk equals array_sort's binary string order for ASCII.
-    // LOSSLESS hash pre-filter before the string verify: on a degenerate-
-    // vocabulary corpus the prefix join can emit ~5% of all pairs (667k
-    // candidates at 5k docs for 25 true pairs). Jaccard over the 64-bit
-    // hash SETS dominates Jaccard over the shingle sets — true
-    // intersection elements always share hashes and collisions only merge
-    // set elements, so J_hash ≥ J_true always — which makes
-    // `J_hash ≥ τ` a necessary condition: it keeps every true pair while
-    // rejecting almost all junk with an 8-byte-compare merge walk instead
-    // of a character walk. The exactness contract is untouched: survivors
-    // (≈ true pairs + rare collision flukes) still pass the full
-    // shingle-string verification.
+    // walk equals array_sort's binary string order for ASCII. Survivors of
+    // the in-join hash test (≈ true pairs + rare collision flukes) still
+    // pass the full shingle-string verification — the exactness contract
+    // is untouched. Broadcast: the per-doc packed side is |docs|×KB.
     val tau = tauNum.toDouble / tauDen
-    val hsets = hashed.select(col("doc_id"),
-      array_distinct(array_sort(col("hs"))).as("hset"))
-    // broadcast the per-doc sides of the verify joins: the candidate list
-    // already carries candidates×(~KB) once arrays attach, while each
-    // per-doc side is only |docs|×KB — sized just above the
-    // auto-broadcast threshold, hence the explicit hint; at corpus scales
-    // where the doc side outgrows broadcast, drop the hint and the same
-    // equi-joins shuffle on the id key.
-    val prefiltered = cand
-      .join(broadcast(hsets.select(col("doc_id").as("doc_a"), col("hset").as("ha"))), Seq("doc_a"))
-      .join(broadcast(hsets.select(col("doc_id").as("doc_b"), col("hset").as("hb"))), Seq("doc_b"))
-      .filter(jaccardHashesUdf(col("ha"), col("hb")) >= tau)
-      .select(col("doc_a"), col("doc_b"))
     val packed = hashed.select(col("doc_id"),
       concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
-    prefiltered
+    cand
       .join(broadcast(packed.select(col("doc_id").as("doc_a"), col("shp").as("pa"))), Seq("doc_a"))
       .join(broadcast(packed.select(col("doc_id").as("doc_b"), col("shp").as("pb"))), Seq("doc_b"))
       .filter(jaccardPackedUdf(col("pa"), col("pb")) >= tau)
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** Merge-intersection Jaccard over two SORTED DISTINCT long-hash arrays
+  /** `Jaccard ≥ tauNum/tauDen` over two SORTED DISTINCT long-hash arrays
     * — the cheap necessary-condition filter for [[nearDupJaccardExact]]'s
     * verify stage (8-byte compares, no string decode). Typed over
     * PRIMITIVE `Array[Long]`: the `Seq[Long]` signature boxes every
     * element at the UDF boundary (~10⁹ boxes across a 667k-candidate
     * verify — measured 2.5× slower than the packed-string walk it was
     * meant to beat), while the primitive signature converts with one bulk
-    * array copy. */
-  private val jaccardHashesUdf = udf { (a: Array[Long], b: Array[Long]) =>
-    val na = a.length; val nb = b.length
-    var i = 0; var j = 0; var inter = 0
-    while (i < na && j < nb) {
-      val x = a(i); val y = b(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    * array copy.
+    *
+    * The threshold test is EXACT integer arithmetic
+    * (`J ≥ n/d ⟺ inter·(n+d) ≥ n·(|a|+|b|)`), which enables the
+    * suffix-filter-grade EARLY EXIT: the merge walk bails the moment
+    * `inter + min(remaining_a, remaining_b)` can no longer reach the
+    * required overlap — junk pairs that diverge early cost a handful of
+    * compares instead of a full walk, with zero completeness loss (the
+    * bail condition certifies J < τ). */
+  private def jaccardHashesGeUdf(
+      tauNum: Int, tauDen: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Long], b: Array[Long]) =>
+      val na = a.length; val nb = b.length
+      val minInter = ((tauNum.toLong * (na + nb) + tauNum + tauDen - 1) /
+        (tauNum + tauDen)).toInt
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb &&
+          inter + math.min(na - i, nb - j) >= minInter) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter >= minInter
     }
-    val u = na + nb - inter
-    if (u == 0) 0.0 else inter.toDouble / u
-  }
 
   /** Packed-shingle delimiter. U+0001 cannot occur in shingles (the
     * `[a-z0-9 ]` alphabet) and sorts below every shingle character, so the
