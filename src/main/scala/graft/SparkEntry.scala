@@ -565,6 +565,45 @@ r2o AS (
     "q39_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.ext.Dedup.rollingFingerprint(col("text")).as("fp"))),
+    // vocabulary builder: top-100 BPE-ish tokens by corpus frequency — the
+    // tokenizer-training primitive of an LLM data pipeline. Deterministic
+    // total order (freq DESC, token ASC) makes the cut hash-exact; plans
+    // as explode → map-side-combined count → TakeOrderedAndProject (the
+    // top-k never materialises a global sort).
+    "q56_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.ext.Dedup.tokensBpeish(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(100)),
+    // quality filtering: keep documents whose length sits inside their
+    // LANGUAGE group's [p10, p90] — the length-outlier removal gate of a
+    // training-data pipeline, composed from the q32 language id and
+    // q50-style exact type-1 quantiles (integer ranks + integer lengths,
+    // so the boundary compare is engine-exact). Per-group windows: the
+    // partition key is the language, the scale knob of real corpora.
+    "q57_quality_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      val stats = t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        when(size(filter(toks, x => x === "the" || x === "a")).cast("double") /
+          size(toks) > 0.05, "en").otherwise("unk").as("lang_pred"))
+      val byLang = Window.partitionBy("lang_pred")
+      val ranked = stats
+        .withColumn("rk",
+          row_number().over(byLang.orderBy(col("len"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+      val bounds = ranked
+        .groupBy("lang_pred")
+        .agg(
+          min(when(col("rk") === expr("(n + 9) div 10"), col("len"))).as("lo"),
+          min(when(col("rk") === expr("(9 * n + 9) div 10"), col("len"))).as("hi"))
+      stats.join(bounds, Seq("lang_pred"))
+        .filter(col("len") >= col("lo") && col("len") <= col("hi"))
+        .select(col("doc_id"), col("lang_pred"), col("len"))
+    }),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1068,6 +1107,30 @@ r2o AS (
     "q38_token_bpeish" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents""".stripMargin,
+    "q56_vocab_topk" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 100""".stripMargin,
+    "q57_quality_filter" ->
+      """WITH langd AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |    CASE WHEN CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |      / len(regexp_extract_all(text, '[a-z0-9]+')) > 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang_pred ORDER BY len, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang_pred) AS n
+        |  FROM langd),
+        |bounds AS (
+        |  SELECT lang_pred,
+        |    MIN(CASE WHEN rk = (n + 9) // 10 THEN len END) AS lo,
+        |    MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN len END) AS hi
+        |  FROM ranked GROUP BY lang_pred)
+        |SELECT d.doc_id, d.lang_pred, d.len
+        |FROM langd d JOIN bounds b USING (lang_pred)
+        |WHERE d.len BETWEEN b.lo AND b.hi""".stripMargin,
     "q39_rolling_fp" ->
       """SELECT doc_id,
         |list_reduce(
