@@ -565,6 +565,20 @@ r2o AS (
     "q39_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.ext.Dedup.rollingFingerprint(col("text")).as("fp"))),
+    // entity-resolution tier of the dedup family: collapse near-dup PAIRS
+    // (q44's provably-complete prefix-filter join) into GROUPS via GraphX
+    // connectedComponents — Pregel min-label propagation, the scalable CC
+    // (O(diameter) rounds over a partitioned edge RDD; a DataFrame
+    // min-propagation loop would re-plan per round). Emits every doc's
+    // canonical id (min doc_id of its component; singletons stay their
+    // own canon) — filtering `doc_id = canon_id` IS the dedup. Oracle:
+    // the same pairs + a recursive-CTE transitive closure (tractable at
+    // oracle scale; the GraphX side is the 100 TB path).
+    "q58_dedup_groups" -> ((s, dir) =>
+      graft.ext.Dedup.dedupGroups(
+        t(s, dir, "documents").select(col("doc_id")),
+        graft.ext.Dedup.nearDupJaccardExact(
+          t(s, dir, "documents"), "doc_id", "text"))),
     // vocabulary builder: top-100 BPE-ish tokens by corpus frequency — the
     // tokenizer-training primitive of an LLM data pipeline. Deterministic
     // total order (freq DESC, token ASC) makes the cut hash-exact; plans
@@ -1103,6 +1117,27 @@ r2o AS (
       "SELECT doc_id, md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp FROM documents",
     "q34_dedup_minhash" -> jaccardPairsSql,
     "q36_dedup_simhash" -> jaccardPairsSql,
+    // transitive closure of the near-dup pairs (recursive CTE; UNION
+    // dedups, so the fixpoint terminates), canon = min over self + all
+    // reachable docs — the SQL twin of GraphX min-label propagation.
+    "q58_dedup_groups" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS canon_id
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
     "q44_dedup_jaccard" -> jaccardPairsSql,
     "q38_token_bpeish" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish

@@ -467,6 +467,34 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Canonical-id assignment over near-dup PAIRS — the entity-resolution
+    * step after any of the pair generators: connected components via
+    * GraphX (Pregel min-label propagation, O(diameter) rounds over a
+    * partitioned edge RDD — the scalable CC; a DataFrame min-propagation
+    * loop would re-plan and re-shuffle per round). Every id in `ids` gets
+    * `canon_id` = the minimum id of its component (singletons map to
+    * themselves); filtering `id = canon_id` keeps one canonical document
+    * per duplicate group.
+    *
+    * @param ids   one LONG id per document (column `doc_id`)
+    * @param pairs near-dup pairs (`doc_a`, `doc_b`), e.g. from
+    *              [[nearDupJaccardExact]] or [[nearDupMinhash]]
+    * @return (doc_id, canon_id)
+    */
+  def dedupGroups(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val vertices = ids.select(col("doc_id").cast("long")).as[Long]
+      .rdd.map(id => (id, ()))
+    val edges = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    org.apache.spark.graphx.Graph(vertices, edges)
+      .connectedComponents().vertices
+      .toDF("doc_id", "canon_id")
+  }
+
   /** Signature frame for incremental/streaming dedup: one row per
     * (doc, band) with the banded MinHash key, plus the shingle set for the
     * exact verify — the unit a streaming ingest appends to its signature

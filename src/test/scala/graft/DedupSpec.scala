@@ -123,4 +123,15 @@ class DedupSpec extends SparkSpec {
     // hello , world 4 2 ! -> 6
     assert(n == 6)
   }
+
+  test("dedupGroups: chains collapse to min id, singletons stay themselves") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 3-2, 2-1 (one component {1,2,3}); pair 5-4; 9 isolated
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupGroups(ids, pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (9L, 9L)))
+  }
 }
