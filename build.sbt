@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // enormous collections and triples wall-clock; storage eviction under
   // the small heap is cheaper than the GC pathology of the big one.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC for the batch workload: back-to-back sf0.1 benches
+  // measured G1 at 66.7/77.0s with random 3-8s spikes on individual
+  // queries (q45 2.4s -> 10.0s between runs) vs ParallelGC 64.5s with
+  // no spikes — G1's pause-time goal buys latency this batch pipeline
+  // never needs and pays it in mutator throughput. Override via
+  // SPARK_GRAFT_GC if a pause-sensitive consumer embeds the library.
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
 )
