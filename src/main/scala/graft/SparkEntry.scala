@@ -579,6 +579,19 @@ r2o AS (
         t(s, dir, "documents").select(col("doc_id")),
         graft.ext.Dedup.nearDupJaccardExact(
           t(s, dir, "documents"), "doc_id", "text"))),
+    // 100 TB profiling sketches (rows-only by design: sketch encodings
+    // are engine-specific): per event type, HLL++ approximate distinct
+    // users (rsd 1%), approximate p50/p95 of value, and the exact row
+    // count — ONE partial-aggregable pass with constant per-group state,
+    // where exact distinct/quantiles over 100 TB would shuffle the
+    // world. SketchSpec bounds both sketches against the exact answers
+    // on the fixture (HLL within 5%, percentile rank within ±1%).
+    "q59_sketch_profile" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        expr("approx_percentile(value, 0.5, 10000)").as("value_p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("value_p95"))),
     // vocabulary builder: top-100 BPE-ish tokens by corpus frequency — the
     // tokenizer-training primitive of an LLM data pipeline. Deterministic
     // total order (freq DESC, token ASC) makes the cut hash-exact; plans

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q59's sketch profile: approximate answers must sit within their
+  * advertised error of the exact ones — the sketches are rows-only in the
+  * driver compare (engine-specific encodings), so THIS is their
+  * correctness gate. */
+class SketchSpec extends SparkSpec {
+
+  test("HLL distinct and approx percentiles sit within advertised error of exact") {
+    val approx = SparkEntry.queries("q59_sketch_profile")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    val events = Tables.load(spark, sf(), "events")
+    val exact = events.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // exact rank neighbourhood for the percentile assert: the sketch
+    // guarantees RANK error <= 1/accuracy, so compare against the exact
+    // values at q +/- 0.01 instead of the point estimate
+    val bounds = events.groupBy("event_type").agg(
+        expr("percentile(value, 0.49)").as("p50lo"),
+        expr("percentile(value, 0.51)").as("p50hi"),
+        expr("percentile(value, 0.94)").as("p95lo"),
+        expr("percentile(value, 0.96)").as("p95hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    assert(approx.keySet === exact.keySet)
+    for ((t, (n, users, p50, p95)) <- approx) {
+      val (en, eu, _, _) = exact(t)
+      assert(n === en, s"$t exact count must be exact")
+      // rsd 0.01 -> assert a generous 5% envelope
+      assert(math.abs(users - eu).toDouble / eu <= 0.05,
+        s"$t approx_users=$users exact=$eu")
+      val (l50, h50, l95, h95) = bounds(t)
+      assert(p50 >= l50 && p50 <= h50, s"$t p50=$p50 not in [$l50,$h50]")
+      assert(p95 >= l95 && p95 <= h95, s"$t p95=$p95 not in [$l95,$h95]")
+    }
+  }
+}
