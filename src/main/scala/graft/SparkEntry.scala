@@ -351,12 +351,15 @@ r2o AS (
     // softmax sums are float-order dependent, so rows-only (no oracle).
     "q27_attention_embed" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // restrict BEFORE addDegree: degree then aggregates only the two
-      // customer-incident edge types instead of every edge in the graph
+      // restrict BEFORE the degree init: it then counts only the two
+      // customer-incident edge types instead of every edge in the graph;
+      // the STRUCTURAL init keeps the node-feature lineage out of the
+      // plan entirely (bit-identical to addDegree + degreeInit — integer
+      // counts are exact in double)
       val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
-        .restrictTo(Set("customer"), hops = 1).addDegree
+        .restrictTo(Set("customer"), hops = 1)
       val emb = graft.learn.Propagate.attentionRounds(
-        g, graft.learn.Propagate.degreeInit(g), rounds = 1)
+        g, graft.learn.Propagate.degreeInitStructuralAll(g), rounds = 1)
       emb("customer").select(col("id"),
         round(element_at(col("vec"), 1), 6).as("h"))
     }),
@@ -419,7 +422,9 @@ r2o AS (
         .withReverseEdges
         .restrictTo(Set("customer", "nation"), hops = 1)
         .addDegree
-      val emb = graft.learn.Propagate.attentionRoundsFixed(
+      // flat layout (one join + one fused per-tag aggregation per round),
+      // bit-identical to the per-type loop (integer arithmetic; LearnSpec)
+      val emb = graft.learn.Propagate.attentionRoundsFixedFlat(
         g, graft.learn.Propagate.degreeInitFixedStructural(g, scale = 1000L), rounds = 1)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))

@@ -306,13 +306,35 @@ object Dedup {
     * splits those buckets; DF-ascending global orders shrink prefixes
     * further if ever needed (a pure optimisation, completeness holds for
     * any order). */
+  /** Memoised like [[prep]]: the pair set is a deterministic pure
+    * function of (corpus, n, τ) and is consumed by several queries (the
+    * q44 witness, q58's group collapse) — the result is tiny (true pairs
+    * only), so one eager checkpoint per key serves every consumer. */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            String, String, Int, Int, Int), DataFrame]
+
   def nearDupJaccardExact(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 2,
       tauNum: Int = 4,
-      tauDen: Int = 5): DataFrame = {
+      tauDen: Int = 5): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.canonicalized, idCol, textCol, n,
+        tauNum, tauDen),
+      nearDupJaccardExactImpl(docs, idCol, textCol, n, tauNum, tauDen)
+        .localCheckpoint(eager = true))
+
+  private def nearDupJaccardExactImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = prep(docs, idCol, textCol, n)
     // Global order = (document frequency ASC, shingle) — the AllPairs

@@ -451,7 +451,7 @@ object Propagate {
     .empty[(Int,
             Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
             Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
-            Int, Boolean),
+            Int, String), // last: algorithm/layout discriminator
            Map[String, DataFrame]]
 
   def meanRoundsFixed(
@@ -465,7 +465,7 @@ object Propagate {
         k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
       init.toSeq.map { case (t, d) =>
         t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
-      rounds, checkpoint)
+      rounds, s"mean-pertype-$checkpoint")
     fixedCache.getOrElseUpdate(memoKey, meanRoundsFixedImpl(g, init, rounds, checkpoint))
   }
 
@@ -587,14 +587,54 @@ object Propagate {
   def meanRoundsFixedFlat(
       g: HeteroGraph,
       init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
-      rounds: Int): Map[String, DataFrame] = {
+      rounds: Int): Map[String, DataFrame] =
+    runFlatFixed(g, init, rounds, "mean",
+      aggsPerTag = tg => Seq(
+        sum(when(col("tag") === tg, col("h"))).as(s"s_$tg"),
+        count(when(col("tag") === tg, lit(1))).as(s"c_$tg")),
+      present = tg => col(s"c_$tg") > 0,
+      msgPerTag = tg => expr(s"s_$tg div c_$tg")) // floor-mean, exact
+
+  /** [[attentionRoundsFixed]] over the FLAT layout: per round ONE join +
+    * ONE per-tag fused groupBy carrying both Σh² and Σh per edge type —
+    * the linear-attention message `(Σh²) div (Σh)` and the cross-type
+    * combine in a single aggregation exchange. Integer arithmetic ⇒
+    * bit-identical to the per-type loop (LearnSpec asserts it); requires
+    * the [[degreeInitFixed]] contract `h > 0`, so a type is present at a
+    * destination iff its Σh > 0. Memoised alongside the mean variant
+    * (the algorithm tag keeps the keys distinct). */
+  def attentionRoundsFixedFlat(
+      g: HeteroGraph,
+      init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
+      rounds: Int): Map[String, DataFrame] =
+    runFlatFixed(g, init, rounds, "attention",
+      aggsPerTag = tg => Seq(
+        sum(when(col("tag") === tg, col("h") * col("h"))).as(s"q_$tg"),
+        sum(when(col("tag") === tg, col("h"))).as(s"s_$tg")),
+      present = tg => col(s"s_$tg").isNotNull && col(s"s_$tg") > 0,
+      msgPerTag = tg => expr(s"q_$tg div s_$tg")) // salience-weighted
+
+  /** Shared flat fixed-point round loop: per-type message and cross-type
+    * combine fused into one per-tag groupBy(dst) — one aggregation
+    * exchange per round instead of two (same shape as
+    * meanRoundsFlatScalar, see its scaladoc). Integer arithmetic, so the
+    * fusion is bit-identical to the two-level per-type form for any
+    * partitioning. Prep frames materialise concurrently. */
+  private def runFlatFixed(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int,
+      algo: String,
+      aggsPerTag: Int => Seq[Column],
+      present: Int => Column,
+      msgPerTag: Int => Column): Map[String, DataFrame] = {
     val memoKey = (
       System.identityHashCode(init.head._2.sparkSession),
       g.edges.toSeq.map { case (k, d) =>
         k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
       init.toSeq.map { case (t, d) =>
         t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
-      rounds, true)
+      rounds, algo)
     fixedCache.getOrElseUpdate(memoKey, {
       val types = init.keys.toSeq.sorted
       val sizes = flatSizes(g, types)
@@ -608,12 +648,6 @@ object Propagate {
         .sortBy(_._1.name)
         .zipWithIndex
       val nTags = tagged.size
-      // per-type floor-mean and cross-type combine fused into one per-tag
-      // groupBy — one aggregation exchange per round instead of two
-      // (same shape as meanRoundsFlatScalar, see its scaladoc). Integer
-      // arithmetic, so the fusion is bit-identical to the two-level form
-      // for any partitioning (LearnSpec). Prep frames materialise
-      // concurrently.
       val Seq(flatEdgesCk, h0) = concurrently(Seq(
         () => tagged.map { case ((k, df), tag) =>
             df.select(
@@ -629,14 +663,11 @@ object Propagate {
           .coalesce(p).localCheckpoint()))
       var h: DataFrame = h0
       for (r <- 1 to rounds) {
-        val aggs = (0 until nTags).flatMap { tg => Seq(
-          sum(when(col("tag") === tg, col("h"))).as(s"s_$tg"),
-          count(when(col("tag") === tg, lit(1))).as(s"c_$tg")) }
+        val aggs = (0 until nTags).flatMap(aggsPerTag)
         val msgSum = (0 until nTags).map(tg =>
-          when(col(s"c_$tg") > 0, expr(s"s_$tg div c_$tg")) // floor-mean, exact
-            .otherwise(lit(0L))).reduce(_ + _)
+          when(present(tg), msgPerTag(tg)).otherwise(lit(0L))).reduce(_ + _)
         val nTypes = (0 until nTags).map(tg =>
-          when(col(s"c_$tg") > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+          when(present(tg), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
         val msgs = flatEdgesCk
           .join(h.select(col("gid").as("src"), col("h")), Seq("src"))
           .groupBy(col("dst").as("gid"))
@@ -841,6 +872,17 @@ object Propagate {
       t -> init
     }.toMap
   }
+
+  /** Double-vec twin of [[degreeInitFixedStructural]] for the double
+    * propagation paths: `vec = [1 + incident endpoint count over ALL of
+    * g's edge types]` — identical values to `g.addDegree` +
+    * [[degreeInit]] (counts are integers, exact in double), without the
+    * node-feature lineage. */
+  def degreeInitStructuralAll(g: HeteroGraph)(
+      implicit spark: SparkSession): Map[String, DataFrame] =
+    degreeInitFixedStructural(g, scale = 1L).map { case (t, df) =>
+      t -> df.select(col("id"), array(col("h").cast("double")).as("vec"))
+    }
 
   /** Full-width initial embeddings: the node feature vector as double —
     * what the trainable head (§7.4.1) propagates. Only meaningful per

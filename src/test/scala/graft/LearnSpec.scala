@@ -132,6 +132,18 @@ class LearnSpec extends SparkSpec {
       assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
         .count() === 0, t)
     }
+    // the double-vec twin mirrors degreeInit (all-edges count, exact)
+    val viaFeaturesD = Propagate.degreeInit(g2)
+    val structuralD = Propagate.degreeInitStructuralAll(g2)
+    for (t <- viaFeaturesD.keys) {
+      import org.apache.spark.sql.functions._
+      val j = structuralD(t)
+        .select(col("id"), element_at(col("vec"), 1).as("a"))
+        .join(viaFeaturesD(t)
+          .select(col("id"), element_at(col("vec"), 1).as("b")), Seq("id"), "full")
+      assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .count() === 0, t)
+    }
   }
 
   test("structural degree init (originals-only) matches the feature path for TrainLR's build order") {
@@ -149,6 +161,25 @@ class LearnSpec extends SparkSpec {
         .select(col("id"), element_at(col("vec"), 1).as("a"))
         .join(viaFeatures(t)
           .select(col("id"), element_at(col("vec"), 1).as("b")), Seq("id"), "full")
+      assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .count() === 0, t)
+    }
+  }
+
+  test("attentionRoundsFixedFlat is bit-identical to the per-type loop") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val g2 = graft.graph.GraphBuilder
+      .build(graft.catalog.Catalogs.tpch, n => Tables.load(spark, sf(), n),
+        probeDense = true)
+      .withReverseEdges
+      .restrictTo(Set("customer", "nation"), 1)
+    val init = Propagate.degreeInitFixedStructural(g2, scale = 1000L)
+    val loop = Propagate.attentionRoundsFixed(g2, init, rounds = 1)
+    val flat = Propagate.attentionRoundsFixedFlat(g2, init, rounds = 1)
+    for (t <- Seq("customer", "nation")) {
+      import org.apache.spark.sql.functions._
+      val j = flat(t).withColumnRenamed("h", "a")
+        .join(loop(t).withColumnRenamed("h", "b"), Seq("id"), "full")
       assert(j.filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
         .count() === 0, t)
     }
