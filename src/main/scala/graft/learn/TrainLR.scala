@@ -85,6 +85,11 @@ object TrainLR {
       .restrictTo(Set(target.src, target.dst), rounds)
     val trainPos = graft.functions.Caching.ensureCached(split.trainPos)
     val valPos = graft.functions.Caching.ensureCached(split.valPos)
+    // Registered BEFORE the propagation: the structural degree init scans
+    // this exact frame (the full target edge list) for its endpoint
+    // counts, so the first touch fills the cache the negative sampler
+    // reads later — one remap evaluation instead of two.
+    val allPos = graft.functions.Caching.ensureCached(g.edges(target))
     // Structural degree init (identical values to degreeInit under the
     // canonical addDegree-before-augmentation build order — see its
     // scaladoc) keeps the node-feature lineage out of the init plan;
@@ -97,7 +102,6 @@ object TrainLR {
     // dense ids ⇒ |dst nodes| = id-space size: served from the builder's
     // size hint (zero jobs) instead of a count over the node table
     val nDst = phase("nDst")(g.idSpaceSize(target.dst))
-    val allPos = graft.functions.Caching.ensureCached(g.edges(target))
     def negs(pos: DataFrame, s: Long) =
       NegativeSampling.sample(pos, allPos, nDst, s)
 
