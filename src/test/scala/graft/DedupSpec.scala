@@ -77,6 +77,38 @@ class DedupSpec extends SparkSpec {
     assert(!brute.contains((10L, 11L)))
   }
 
+  test("prefix-filtered exact Jaccard == brute force on a seeded random corpus") {
+    // 60 docs over an 8-word vocabulary, lengths 2..13 (fixed seed):
+    // tiny vocab forces heavy shingle sharing, mid-τ J values, and
+    // length-filter boundaries — the regime where the in-join positional
+    // + hash filters and the early-exit merge walk would first lose a
+    // pair if any bound were off by one.
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (0 until 60).map { i =>
+      val len = 2 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant twins of the longer docs (exact, and one-word-appended) so
+    // true pairs exist at and near the τ boundary among the random junk
+    val twins = base.filter(_._2.split(" ").length >= 10).take(6)
+      .zipWithIndex.flatMap { case ((id, text), j) =>
+        Seq((100L + 2 * j, text), (101L + 2 * j, text + " " + vocab(j % vocab.length)))
+      }
+    val corpus = (base ++ twins).toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id",
+      Dedup.shingles(Dedup.tokens($"text"), 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(Dedup.jaccard($"a.sh", $"b.sh") >= 0.8)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.nearDupJaccardExact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref == brute)
+    assert(brute.nonEmpty) // the corpus must actually exercise the pass
+  }
+
   test("simhash blocks find exact+near dups with exact verify") {
     val out = Dedup.nearDupSimhash(docs, "doc_id", "text", tau = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
