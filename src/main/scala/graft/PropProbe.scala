@@ -80,6 +80,51 @@ object PropProbe {
       r
     }
 
+    // q46 layout A/B (PROP_AB=1): per-type vs flat fused fixed-point
+    // attention over q46's EXACT graph/init/rounds, warm session, with
+    // the propagation memo cleared before every call so each rep times
+    // the real work (bit-identical results per LearnSpec — this is a
+    // pure dispatch measurement). Rep 1 additionally pays the graph
+    // mapping cache fill; judge on reps 2+.
+    if (sys.env.contains("PROP_AB")) {
+      implicit val sp: SparkSession = spark
+      import org.apache.spark.sql.DataFrame
+      val g = GraphBuilder.build(Catalogs.tpch, n => Tables.load(spark, sfDir, n),
+          probeDense = true)
+        .withReverseEdges
+        .restrictTo(Set("customer", "nation"), hops = 1)
+        .addDegree
+      val init = Propagate.degreeInitFixedStructural(g, scale = 1000L)
+      def act(emb: Map[String, DataFrame]): Unit =
+        emb("customer").select(lit("customer").as("node_type"), col("id"), col("h"))
+          .unionByName(emb("nation")
+            .select(lit("nation").as("node_type"), col("id"), col("h")))
+          .write.format("noop").mode("overwrite").save()
+      for (r <- 1 to 5) {
+        graft.functions.Memos.clear(spark)
+        time(s"per-type rep$r")(
+          act(Propagate.attentionRoundsFixed(g, init, rounds = 1)))
+        graft.functions.Memos.clear(spark)
+        time(s"flat     rep$r")(
+          act(Propagate.attentionRoundsFixedFlat(g, init, rounds = 1)))
+        // the memo key canonicalises every edge/init plan — in-bench the
+        // frames are fresh objects per query, so this driver cost is paid
+        // inside the timed window; measure it on a FRESH build
+        val g2 = GraphBuilder.build(Catalogs.tpch,
+            n => Tables.load(spark, sfDir, n), probeDense = true)
+          .withReverseEdges
+          .restrictTo(Set("customer", "nation"), hops = 1)
+          .addDegree
+        val i2 = Propagate.degreeInitFixedStructural(g2, scale = 1000L)
+        time(s"memokey  rep$r") {
+          g2.edges.foreach(_._2.queryExecution.analyzed.canonicalized)
+          i2.foreach(_._2.queryExecution.analyzed.canonicalized)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // fused-vs-HOF combine micro-measure (PROP_COMBINE=1): the dim>1 round
     // update `(vec[i]+msg[i])/(1+n_types)` as codegen VecCombine vs the
     // interpreted zip_with lambda, over 2M rows × dim 64.

@@ -135,38 +135,45 @@ r2o AS (
     * previous JVMs are cleaned first — the in-memory catalog forgets
     * tables across runs but `saveAsTable` refuses to overwrite their
     * leftover directories. */
-  private val bucketedCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), graft.graph.HeteroGraph]
-
   private def phase[A](name: String)(f: => A): A =
-    if (!sys.env.contains("SPARK_GRAFT_TRAIN_PHASES")) f
-    else {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"ENTRYPHASE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.functions.Phases.time(name)(f)
+
+  /** Which session owns each bucketed-store prefix in this JVM: sessions
+    * share the warehouse directory (and, under one SparkContext, the
+    * external catalog), so the stale-directory cleanup below must not
+    * delete tables out from under a sibling LIVE session's cached graph.
+    * A prefix owned by a live sibling is reloaded from the shared catalog
+    * instead of being rebuilt. */
+  private val bucketedOwners = scala.collection.concurrent.TrieMap
+    .empty[String, java.lang.ref.WeakReference[SparkSession]]
 
   private def bucketedGraph(s: SparkSession, dir: String): graft.graph.HeteroGraph =
-    bucketedCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    graft.functions.Memos.getOrElseUpdate(s, ("bucketed-graph", dir)) {
       implicit val sp: SparkSession = s
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
-        .withReverseEdges
-        .restrictTo(Set("customer", "orders"), hops = 1)
       val prefix = "gbkt" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-      val wh = new java.io.File(
-        s.sessionState.conf.warehousePath.stripPrefix("file:"))
-      Option(wh.list()).getOrElse(Array.empty[String])
-        .filter(n => n == s"${prefix}_meta" ||
-          n.startsWith(s"${prefix}_n_") || n.startsWith(s"${prefix}_e_"))
-        .foreach { n =>
-          s.sql(s"DROP TABLE IF EXISTS $n")
-          scala.reflect.io.Directory(new java.io.File(wh, n)).deleteRecursively()
-        }
-      phase("q55 save")(g.saveBucketed(prefix,
-        buckets = s.sessionState.conf.numShufflePartitions))
+      val liveSibling = bucketedOwners.get(prefix).exists { ref =>
+        val owner = ref.get()
+        owner != null && (owner ne s) && !owner.sparkContext.isStopped
+      }
+      if (!liveSibling) {
+        val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
+          .withReverseEdges
+          .restrictTo(Set("customer", "orders"), hops = 1)
+        val wh = new java.io.File(
+          s.sessionState.conf.warehousePath.stripPrefix("file:"))
+        Option(wh.list()).getOrElse(Array.empty[String])
+          .filter(n => n == s"${prefix}_meta" ||
+            n.startsWith(s"${prefix}_n_") || n.startsWith(s"${prefix}_e_"))
+          .foreach { n =>
+            s.sql(s"DROP TABLE IF EXISTS $n")
+            scala.reflect.io.Directory(new java.io.File(wh, n)).deleteRecursively()
+          }
+        phase("q55 save")(g.saveBucketed(prefix,
+          buckets = s.sessionState.conf.numShufflePartitions))
+        bucketedOwners(prefix) = new java.lang.ref.WeakReference(s)
+      }
       phase("q55 load")(graft.graph.HeteroGraph.loadBucketed(s, prefix))
-    })
+    }
 
   /** Spark-side dense-id edge list for orders→customer (G2/G5/J5). */
   private def edgesOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
@@ -405,6 +412,10 @@ r2o AS (
       val emb = graft.learn.Propagate.meanRoundsFixed(
         g, graft.learn.Propagate.degreeInitFixedStructural(g), rounds = 2,
         checkpoint = false)
+      // the propagation is lazy — time it where it executes (the caller's
+      // action); save/load phases above already recorded eagerly. Bench
+      // attributes whatever remains of q55's wall clock to this lazy tail,
+      // so the JSON's save/load slices make the CTAS I/O share visible.
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))
         .unionByName(emb("orders")
@@ -422,9 +433,16 @@ r2o AS (
         .withReverseEdges
         .restrictTo(Set("customer", "nation"), hops = 1)
         .addDegree
-      // flat layout (one join + one fused per-tag aggregation per round),
-      // bit-identical to the per-type loop (integer arithmetic; LearnSpec)
-      val emb = graft.learn.Propagate.attentionRoundsFixedFlat(
+      // PER-TYPE loop: bit-identical to the flat fused layout (integer
+      // arithmetic; LearnSpec), so the dispatch is a pure plan-shape
+      // choice — and at one round over two edge types the flat path's
+      // eager prep (tagged-union/init checkpoints + size probes) costs
+      // more than the one fused aggregation saves (PROP_AB, r5: per-type
+      // ≈ flat at fixture scale with a prebuilt graph, but in-bench the
+      // per-type plan is a single lazy tree). Flat remains the dispatch
+      // for deep multi-type propagation (q29/q43/q53's 2-round, 3-type
+      // graphs, where one aggregation per round replaces 2·|types|).
+      val emb = graft.learn.Propagate.attentionRoundsFixed(
         g, graft.learn.Propagate.degreeInitFixedStructural(g, scale = 1000L), rounds = 1)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))

@@ -14,18 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Memoised per (session, dir, table): every `spark.read.parquet` call
-    * runs a one-task schema-inference job (footer read) plus file listing,
-    * and one graph build calls `load` ~40 times — a measured ~2.5 s of
-    * fixed driver cost per graph-shaped query. Reusing the DataFrame also
-    * makes the plans object-identical, so cache/memo lookups keyed on
-    * canonicalised plans never drift. Fixture data is immutable for a
-    * session. */
-  private val loaded = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), DataFrame]
-
+  /** Memoised per (session, dir, table) via [[graft.functions.Memos]]:
+    * every `spark.read.parquet` call runs a one-task schema-inference job
+    * (footer read) plus file listing, and one graph build calls `load`
+    * ~40 times — a measured ~2.5 s of fixed driver cost per graph-shaped
+    * query. Reusing the DataFrame also makes the plans object-identical,
+    * so cache/memo lookups keyed on canonicalised plans never drift.
+    * Fixture data is immutable for a session. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loaded.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
+    graft.functions.Memos.getOrElseUpdate(spark, ("tables", dir, name)) {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read it as raw nanos-since-epoch long (callers convert with
       // timestamp_micros). Runtime-settable legacy conf, so this works under
@@ -33,7 +30,7 @@ object Tables {
       if (name == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
-    })
+    }
 
   /** Register every fixture table as a temp view so `spark.sql` works over
     * the same names the DuckDB oracle uses (S6, `inference.py:85-92`). */

@@ -309,11 +309,10 @@ object Dedup {
   /** Memoised like [[prep]]: the pair set is a deterministic pure
     * function of (corpus, n, τ) and is consumed by several queries (the
     * q44 witness, q58's group collapse) — the result is tiny (true pairs
-    * only), so one eager checkpoint per key serves every consumer. */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-            String, String, Int, Int, Int), DataFrame]
-
+    * only), so one eager checkpoint per key serves every consumer.
+    * NOTE the memo side effect for plan audits: the returned frame is a
+    * checkpointed `Scan ExistingRDD`, so `.explain` on it shows nothing —
+    * dump [[nearDupJaccardExactLazy]] to see the real self-join shape. */
   def nearDupJaccardExact(
       docs: DataFrame,
       idCol: String,
@@ -321,12 +320,26 @@ object Dedup {
       n: Int = 2,
       tauNum: Int = 4,
       tauDen: Int = 5): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession),
+    graft.functions.Memos.getOrElseUpdate(
+      docs.sparkSession,
+      ("jaccard-pairs",
         docs.queryExecution.analyzed.canonicalized, idCol, textCol, n,
-        tauNum, tauDen),
+        tauNum, tauDen))(
       nearDupJaccardExactImpl(docs, idCol, textCol, n, tauNum, tauDen)
         .localCheckpoint(eager = true))
+
+  /** The un-memoised, un-checkpointed pipeline — for plan audits
+    * ([[graft.PlanDump]]) and anyone composing further relational work on
+    * top (the lazy plan keeps prefix/length/hash tests visible as join
+    * residuals for Catalyst instead of hiding them behind an RDD scan). */
+  private[graft] def nearDupJaccardExactLazy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame =
+    nearDupJaccardExactImpl(docs, idCol, textCol, n, tauNum, tauDen)
 
   private def nearDupJaccardExactImpl(
       docs: DataFrame,
@@ -546,18 +559,15 @@ object Dedup {
     * re-runs the tokenize→shingle→hash kernel over the whole corpus.
     * Source data is immutable for a session (same contract as the
     * dense-PK probe memo in GraphBuilder). */
-  // Session identity leads the key (like Tables.load): equal canonical
-  // plans from a second session in the same JVM must not resolve to
+  // Session-scoped via Memos (like Tables.load): equal canonical plans
+  // from a second session in the same JVM must not resolve to
   // checkpointed frames of a stopped SparkContext.
-  private val prepCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
-           DataFrame]
-
   private def prep(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    prepCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession),
-        docs.queryExecution.analyzed.canonicalized, idCol, textCol, n),
+    graft.functions.Memos.getOrElseUpdate(
+      docs.sparkSession,
+      ("shingle-prep",
+        docs.queryExecution.analyzed.canonicalized, idCol, textCol, n))(
       docs.select(col(idCol).cast("long").as("doc_id"),
           prepUdf(n)(col(textCol)).as("p"))
         .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("hs"))

@@ -153,12 +153,9 @@ object Similarity {
     * [[ivfTopKKMeans]] and is a pure function of its (session-immutable)
     * input — two queries probing the same index (q45 serving, q54 recall
     * measurement) must share one Lloyd's run, exactly as a real IVF index
-    * is built once and probed many times. Session identity leads the key
-    * (same contract as the propagation/shingle memos). */
-  private val kmeansCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-            String, String, Int, Long), DataFrame]
-
+    * is built once and probed many times. Session-scoped via
+    * [[graft.functions.Memos]] (same contract as the propagation/shingle
+    * memos). */
   def ivfTopKKMeans(
       emb: DataFrame,
       idCol: String,
@@ -173,10 +170,11 @@ object Similarity {
     // ranking is exact cosine, which normalisation leaves unchanged
     val s = emb.select(col(idCol).cast("long").as("id"),
       ArrayOps.l2normalize(col(vecCol).cast("array<double>")).as("v"))
-    val centroids = kmeansCache.getOrElseUpdate(
-      (System.identityHashCode(emb.sparkSession),
+    val centroids = graft.functions.Memos.getOrElseUpdate(
+      emb.sparkSession,
+      ("kmeans-centroids",
         emb.queryExecution.analyzed.canonicalized, idCol, vecCol,
-        nCentroids, seed), {
+        nCentroids, seed)) {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val spark = emb.sparkSession
@@ -192,7 +190,7 @@ object Similarity {
         model.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
           .toDF("cid", "cv")
-      })
+      }
     ivfSearch(s, centroids, queryId, k, nProbe)
   }
 

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Exact distribution statistics for corpus analysis.
   *
@@ -48,5 +49,148 @@ object Stats {
           (lit(num).cast("double") / den).as("q"),
           col(valueCol).as("value"))
     }.reduce(_ unionByName _)
+  }
+
+  /** [[quantilesDisc]] without the per-group sort — the 100 TB tier.
+    *
+    * `quantilesDisc`'s window funnels EVERY row of a group through one
+    * task's sort; with languages or event types as groups, a 100 TB
+    * corpus puts terabytes through a handful of tasks. This variant is
+    * the classic distributed selection: the value at rank k is the
+    * smallest v with |{x ≤ v}| ≥ k, found by iterative histogram
+    * refinement — each pass is ONE map-side-combinable aggregation
+    * (counts per (group, quantile, bucket), ≤ `fanout` buckets, constant
+    * state per task) and the driver narrows each quantile's value
+    * interval by the bucket its rank falls in. Buckets are explicit
+    * boundary lists compared with `<` (no float bucket arithmetic), so
+    * the narrowing is exact; passes ≈ log_fanout(value range) — 3-4 for
+    * realistic columns, ≤ ~11 even for the full 2⁶³ long range.
+    *
+    * Same result as [[quantilesDisc]] (the rank-k order statistic is
+    * tiebreak-independent), asserted in StatsSpec. Integral and
+    * float/double value columns are supported; floating values traverse
+    * the selection as their order-isomorphic long bit-image (exact, no
+    * rounding; −0.0 orders just below +0.0, NaN greatest — Spark's sort
+    * order). Null values are ignored, matching a SQL rank over a
+    * NOT NULL filter.
+    *
+    * The per-pass `collect()` moves only (groups × quantiles × fanout)
+    * counters — driver-side METADATA, like the dense-PK probe, never
+    * row data. */
+  def quantilesDiscSelect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      quantiles: Seq[(Int, Int)],
+      fanout: Int = 64): DataFrame = {
+    require(fanout >= 2, s"fanout $fanout must be >= 2")
+    quantiles.foreach { case (num, den) =>
+      require(num > 0 && num <= den, s"quantile $num/$den out of (0,1]") }
+    val spark = df.sparkSession
+    val floating = df.schema(valueCol).dataType match {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+    // order-isomorphic long image of the value column: identity for
+    // integrals; the sign-folded IEEE bit pattern for floats/doubles
+    // (codegen [[graft.functions.expressions.DoubleSortableBits]])
+    val vAsLong: Column =
+      if (!floating) col(valueCol).cast("long")
+      else org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.expressions.DoubleSortableBits(
+          org.apache.spark.sql.GraftExpressionBridge.expression(
+            col(valueCol).cast("double"))))
+    val mapped0 = df.select(col(groupCol).as("g"), vAsLong.as("v"))
+    val mapped = mapped0.filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 0: group sizes and value ranges — one aggregation
+      val base = mapped.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .collect()
+      // one selection target per (group, quantile): find smallest v in
+      // [lo, hi] whose cumulative count reaches k (k counted within the
+      // current interval — rows below lo are already accounted)
+      final case class Target(g: Any, qIdx: Int, var lo: Long, var hi: Long,
+          var k: Long, var done: Boolean)
+      val targets = (for {
+        row <- base
+        ((num, den), qi) <- quantiles.zipWithIndex
+      } yield {
+        val n = row.getLong(1)
+        val k = (num.toLong * n + den - 1) / den // ceil(num·n/den), exact
+        Target(row.get(0), qi, row.getLong(2), row.getLong(3), k,
+          done = row.getLong(2) == row.getLong(3))
+      }).toSeq
+      var pending = targets.filterNot(_.done)
+      while (pending.nonEmpty) {
+        // driver-chosen EXPLICIT boundaries per target (BigInt arithmetic:
+        // hi−lo may overflow a long for sign-folded doubles)
+        val cutsOf: Map[(String, Int), Seq[Long]] = pending.map { t =>
+          val loB = BigInt(t.lo); val hiB = BigInt(t.hi)
+          val span = hiB - loB + 1
+          val cuts =
+            if (span <= fanout) (t.lo until t.hi).toSeq // width-1 buckets
+            else (1 until fanout).map(i => (loB + span * i / fanout).toLong)
+              .distinct.filter(c => c >= t.lo && c < t.hi)
+          (t.g.toString, t.qIdx) -> cuts
+        }.toMap
+        import spark.implicits._
+        val stateDf = pending.map { t =>
+          (t.g.toString, t.qIdx, t.lo, t.hi, cutsOf((t.g.toString, t.qIdx)))
+        }.toDF("gs", "qi", "lo", "hi", "cuts")
+        // bucket(v) = #cuts strictly below v — pure comparisons, exact
+        val counts = mapped
+          .join(broadcast(stateDf), col("g").cast("string") === col("gs"))
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .groupBy(col("gs"), col("qi"),
+            size(filter(col("cuts"), c => c < col("v"))).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.map(r => r.getInt(2) -> r.getLong(3)).toMap }
+        pending.foreach { t =>
+          val key = (t.g.toString, t.qIdx)
+          val cuts = cutsOf(key)
+          val byBucket = counts.getOrElse(key, Map.empty)
+          // walk buckets; bucket b spans (cuts(b−1), cuts(b)] in value
+          // space with bucket 0 starting at lo and the last ending at hi
+          var cum = 0L
+          var b = 0
+          while (!t.done && b <= cuts.size) {
+            val c = byBucket.getOrElse(b, 0L)
+            if (cum + c >= t.k) {
+              val newLo = if (b == 0) t.lo else cuts(b - 1) + 1
+              val newHi = if (b == cuts.size) t.hi else cuts(b)
+              t.k -= cum
+              t.lo = newLo; t.hi = newHi
+              if (newLo == newHi) t.done = true
+              b = cuts.size + 1 // break
+            } else { cum += c; b += 1 }
+          }
+          assert(t.done || t.hi > t.lo,
+            s"quantile selection failed to narrow for group ${t.g}")
+        }
+        pending = pending.filterNot(_.done)
+      }
+      // assemble (group, q, value) — group values round-trip through the
+      // original frame (distinct g), so the group column keeps its type
+      import spark.implicits._
+      val sel = targets.map { t =>
+        val (num, den) = quantiles(t.qIdx)
+        (t.g.toString, num.toDouble / den,
+          if (floating) java.lang.Double.longBitsToDouble(
+            if (t.lo >= 0) t.lo else t.lo ^ Long.MaxValue)
+          else t.lo.toDouble)
+      }.toDF("gs", "q", "value_d")
+      val groups = df.select(col(groupCol)).distinct()
+      val out = groups.join(sel, col(groupCol).cast("string") === col("gs"))
+        .select(col(groupCol), col("q"),
+          (if (floating) col("value_d")
+           else col("value_d").cast("long")
+             .cast(df.schema(valueCol).dataType)).as("value"))
+      out
+    } finally mapped.unpersist()
   }
 }

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * CONTRACT (dense arrays — same scope as [[DotProduct]]): no null
   * elements; a null element contributes 0.0 here where zip_with would
-  * produce a null element. Lengths truncate to the shorter array; null
-  * top-level inputs → null.
+  * produce a null element. A LENGTH MISMATCH THROWS: this op is the
+  * default public interaction on the training/serving feature path, so a
+  * width bug upstream must surface as an error, not be silently truncated
+  * (zip_with would null-pad to the longer array — also a silent mask).
+  * Null top-level inputs → null.
   */
 case class Hadamard(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,7 +40,11 @@ case class Hadamard(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -58,7 +65,12 @@ case class Hadamard(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_hadamard: array length mismatch (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = $x.isNullAt($i) ? 0.0 : $x.getDouble($i);

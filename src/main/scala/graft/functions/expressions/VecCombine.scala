@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * CONTRACT (dense arrays — same scope as [[DotProduct]]): no null
   * elements; equivalence with the HOF form (asserted in ArrayOpsSpec)
   * holds on that domain. Outside it a null element contributes 0.0 here,
-  * where zip_with would produce a null element. Lengths truncate to the
-  * shorter array; any null top-level input → null.
+  * where zip_with would produce a null element. A LENGTH MISMATCH THROWS
+  * (same rationale as [[Hadamard]]: this sits on the propagation round
+  * update, where a width bug must fail loudly, not truncate). Any null
+  * top-level input → null.
   */
 case class VecCombine(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -42,7 +44,11 @@ case class VecCombine(first: Expression, second: Expression, third: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val div = 1.0 + c.asInstanceOf[Long]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -64,7 +70,12 @@ case class VecCombine(first: Expression, second: Expression, third: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_vec_combine: array length mismatch (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $div = 1.0 + $nt;
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {

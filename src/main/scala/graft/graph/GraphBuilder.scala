@@ -32,15 +32,12 @@ object GraphBuilder {
     * count `n` doubles as the node type's id-space size hint
     * ([[HeteroGraph.sizeHints]]) so flat propagation / GraphX layouts skip
     * their own eager per-type max-id aggregations. */
-  private val denseProbeCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
-           Option[(Long, Long)]]
-
-  /** The memoised probe (see [[denseProbeCache]]): `Some((lo, n))` if
-    * `df(pkCol)` holds exactly the dense integral range `lo..lo+n-1`. */
+  /** The memoised probe (session-scoped via [[graft.functions.Memos]]):
+    * `Some((lo, n))` if `df(pkCol)` holds exactly the dense integral
+    * range `lo..lo+n-1`. */
   private def denseProbe(df: DataFrame, pkCol: String): Option[(Long, Long)] = {
-    val key = (df.queryExecution.analyzed.canonicalized, pkCol)
-    denseProbeCache.getOrElseUpdate(key, {
+    val key = ("dense-probe", df.queryExecution.analyzed.canonicalized, pkCol)
+    graft.functions.Memos.getOrElseUpdate(df.sparkSession, key) {
       val r = df.agg(
         min(col(pkCol)), max(col(pkCol)), count(lit(1)),
         countDistinct(col(pkCol))).head()
@@ -51,7 +48,7 @@ object GraphBuilder {
             r.getLong(2), r.getLong(3))
         if (hi - lo + 1 == n && nd == n) Some((lo, n)) else None
       }
-    })
+    }
   }
 
   def denseIds(df: DataFrame, pkCol: String,
@@ -66,7 +63,7 @@ object GraphBuilder {
     // but EAGER (a blocking driver action) — direct callers default it on
     // (the mapping is queried immediately, so it amortises); [[build]]
     // defaults it OFF so constructing a graph runs zero Spark jobs. Probe
-    // results are memoised per (plan, pk) — see [[denseProbeCache]].
+    // results are memoised per (session, plan, pk) — see [[denseProbe]].
     val integral = df.schema(pkCol).dataType match {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
       case _ => false

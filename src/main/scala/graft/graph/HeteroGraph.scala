@@ -108,14 +108,29 @@ final case class HeteroGraph(
 
   /** Persist as a partitioned parquet directory (S7 — the reference's
     * `torch.save(graph,'data/graph.bin')`, `convert_to_graph.py:271`,
-    * re-expressed as columnar storage that scales past one machine). */
+    * re-expressed as columnar storage that scales past one machine).
+    *
+    * Edge directories are INDEX-named (`edges/e_0`, …) with the true
+    * `(src, rel, dst)` triples in `edges_meta` — encoding the triple into
+    * the directory name (`src__rel__dst`) cannot round-trip a relation
+    * that itself contains the separator (same fix as [[saveBucketed]]'s
+    * meta table). Node directories stay type-named: the name is read back
+    * verbatim, never parsed, so any filesystem-safe type round-trips. */
   def save(path: String): Unit = {
     nodes.foreach { case (t, df) =>
       df.write.mode("overwrite").parquet(s"$path/nodes/$t")
     }
-    edges.foreach { case (k, df) =>
-      df.write.mode("overwrite").parquet(s"$path/edges/${k.name}")
+    val edgeList = edges.toSeq.sortBy(_._1.name)
+    edgeList.zipWithIndex.foreach { case ((_, df), i) =>
+      df.write.mode("overwrite").parquet(s"$path/edges/e_$i")
     }
+    val spark = nodes.head._2.sparkSession
+    import spark.implicits._
+    edgeList.zipWithIndex
+      .map { case ((k, _), i) => (s"e_$i", k.src, k.rel, k.dst) }
+      .toDF("dir", "src", "rel", "dst")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/edges_meta")
   }
 
   /** Persist bucketed for co-located propagation (the 100 TB layout):
@@ -203,7 +218,9 @@ object HeteroGraph {
   }
 
   /** Reload a graph saved by [[HeteroGraph.save]] (S8 — `torch.load`,
-    * `train.py:16`). */
+    * `train.py:16`). Edge names come from the `edges_meta` file (so a
+    * relation containing `__` round-trips exactly); directories written
+    * by a pre-meta save fall back to the legacy `src__rel__dst` split. */
   def load(spark: SparkSession, path: String): HeteroGraph = {
     def subdirs(p: String): Seq[String] = {
       val f = new java.io.File(p)
@@ -212,10 +229,18 @@ object HeteroGraph {
     }
     val nodes = subdirs(s"$path/nodes")
       .map(t => t -> spark.read.parquet(s"$path/nodes/$t")).toMap
-    val edges = subdirs(s"$path/edges").map { n =>
-      val Array(s, r, d) = n.split("__", 3)
-      EdgeKey(s, r, d) -> spark.read.parquet(s"$path/edges/$n")
-    }.toMap
+    val edges =
+      if (new java.io.File(s"$path/edges_meta").isDirectory)
+        spark.read.parquet(s"$path/edges_meta").collect().map { r =>
+          EdgeKey(r.getAs[String]("src"), r.getAs[String]("rel"),
+              r.getAs[String]("dst")) ->
+            spark.read.parquet(s"$path/edges/${r.getAs[String]("dir")}")
+        }.toMap
+      else
+        subdirs(s"$path/edges").map { n =>
+          val Array(s, r, d) = n.split("__", 3)
+          EdgeKey(s, r, d) -> spark.read.parquet(s"$path/edges/$n")
+        }.toMap
     HeteroGraph(nodes, edges)
   }
 }

@@ -268,18 +268,18 @@ object Propagate {
     * native SUM/COUNT/division inside whole-stage codegen — no interpreted
     * array lambdas. Same recurrence, same float-order caveats.
     *
-    * ONE exchange per round: the edge frame is hash-partitioned by `src`
-    * and the embedding frame by `gid` ONCE at prep (`localCheckpoint`
-    * captures the physical partitioning in its `LogicalRDD`, and alias-
-    * aware output partitioning carries `gid AS src` through the rename),
-    * so the per-round join and the combine join both read co-partitioned
-    * inputs; only the message aggregation's `groupBy(dst)` shuffles. The
-    * per-type mean and the cross-type combine fuse into that ONE
-    * aggregation as per-tag conditional sums (the tag set is known at plan
-    * time), where the naive shape pays two aggregations plus two join-side
-    * exchanges per round — a 5-exchange round collapsed to 1, which at
-    * cluster scale is the difference between shuffling |E| once and three
-    * times per round.
+    * ONE aggregation exchange per round (not one exchange total): the
+    * per-type mean and the cross-type combine fuse into a single
+    * `groupBy(dst)` as per-tag conditional sums (the tag set is known at
+    * plan time), where the naive shape pays TWO aggregation exchanges per
+    * round. The round's joins still exchange their inputs each round —
+    * the prep only `coalesce`s, because `localCheckpoint` does NOT
+    * preserve hash partitioning under AQE (see the inline comment in
+    * [[runFlatScalar]]), and the pinned shuffle_hash joins re-shuffle
+    * both sides. Exchange-free rounds on the |E| side are available only
+    * over a PERSISTED bucketed graph ([[HeteroGraph.saveBucketed]]),
+    * where the bucketed scan carries the partitioning into every round's
+    * join.
     *
     * @param finalTargets when non-empty, the LAST round only updates these
     *   node types (messages into other types are skipped — their returned
@@ -443,31 +443,31 @@ object Propagate {
     * memos) — so two queries propagating the same graph (e.g. the
     * propagation oracle and trained-head serving) share one set of round
     * barriers instead of re-running the rounds. */
-  // Keyed by session identity FIRST (like Tables.load): canonicalised
-  // plans can be equal across two sessions in one JVM, and a memo hit
-  // from a stopped session would hand out frames bound to a dead
-  // SparkContext (and pin their checkpoint blocks forever).
-  private val fixedCache = scala.collection.concurrent.TrieMap
-    .empty[(Int,
-            Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
-            Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
-            Int, String), // last: algorithm/layout discriminator
-           Map[String, DataFrame]]
+  // Held in the session-scoped [[graft.functions.Memos]] registry: equal
+  // canonical plans across two sessions in one JVM must not resolve to
+  // frames bound to a stopped SparkContext, and entries must not outlive
+  // their session (they pin checkpoint blocks).
+  private def fixedMemoKey(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int,
+      algo: String) = (
+    "prop-fixed",
+    g.edges.toSeq.map { case (k, d) =>
+      k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
+    init.toSeq.map { case (t, d) =>
+      t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
+    rounds, algo)
 
   def meanRoundsFixed(
       g: HeteroGraph,
       init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
       rounds: Int,
-      checkpoint: Boolean = false): Map[String, DataFrame] = {
-    val memoKey = (
-      System.identityHashCode(init.head._2.sparkSession),
-      g.edges.toSeq.map { case (k, d) =>
-        k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
-      init.toSeq.map { case (t, d) =>
-        t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
-      rounds, s"mean-pertype-$checkpoint")
-    fixedCache.getOrElseUpdate(memoKey, meanRoundsFixedImpl(g, init, rounds, checkpoint))
-  }
+      checkpoint: Boolean = false): Map[String, DataFrame] =
+    graft.functions.Memos.getOrElseUpdate(
+      init.head._2.sparkSession,
+      fixedMemoKey(g, init, rounds, s"mean-pertype-$checkpoint"))(
+      meanRoundsFixedImpl(g, init, rounds, checkpoint))
 
   private def meanRoundsFixedImpl(
       g: HeteroGraph,
@@ -538,7 +538,17 @@ object Propagate {
       g: HeteroGraph,
       init: Map[String, DataFrame], // per type: (id: bigint, h: bigint)
       rounds: Int,
-      checkpoint: Boolean = false): Map[String, DataFrame] = {
+      checkpoint: Boolean = false): Map[String, DataFrame] =
+    graft.functions.Memos.getOrElseUpdate(
+      init.head._2.sparkSession,
+      fixedMemoKey(g, init, rounds, s"attention-pertype-$checkpoint"))(
+      attentionRoundsFixedImpl(g, init, rounds, checkpoint))
+
+  private def attentionRoundsFixedImpl(
+      g: HeteroGraph,
+      init: Map[String, DataFrame],
+      rounds: Int,
+      checkpoint: Boolean): Map[String, DataFrame] = {
     var h = init
     for (r <- 1 to rounds) {
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
@@ -627,15 +637,9 @@ object Propagate {
       algo: String,
       aggsPerTag: Int => Seq[Column],
       present: Int => Column,
-      msgPerTag: Int => Column): Map[String, DataFrame] = {
-    val memoKey = (
-      System.identityHashCode(init.head._2.sparkSession),
-      g.edges.toSeq.map { case (k, d) =>
-        k.name -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
-      init.toSeq.map { case (t, d) =>
-        t -> d.queryExecution.analyzed.canonicalized }.sortBy(_._1),
-      rounds, algo)
-    fixedCache.getOrElseUpdate(memoKey, {
+      msgPerTag: Int => Column): Map[String, DataFrame] =
+    graft.functions.Memos.getOrElseUpdate(
+      init.head._2.sparkSession, fixedMemoKey(g, init, rounds, algo)) {
       val types = init.keys.toSeq.sorted
       val sizes = flatSizes(g, types)
       val sizeOf = sizes.toMap
@@ -686,8 +690,7 @@ object Propagate {
         t -> h.filter(col("gid") >= lo && col("gid") < hi)
           .select((col("gid") - lo).as("id"), col("h"))
       }.toMap
-    })
-  }
+    }
 
   /** Scaled-long degree init for [[meanRoundsFixed]]: `h = degree × scale`
     * where degree is the last feature after [[HeteroGraph.addDegree]].

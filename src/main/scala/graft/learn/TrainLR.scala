@@ -56,15 +56,11 @@ object TrainLR {
     *
     * @param rounds frozen propagation rounds over the degree feature
     */
-  /** Dev phase timing, enabled by SPARK_GRAFT_TRAIN_PHASES=1 (stderr). */
+  /** Phase timing: always recorded into [[graft.functions.Phases]] (the
+    * bench surfaces the propagate/fit/metrics split per query), printed
+    * to stderr when SPARK_GRAFT_TRAIN_PHASES=1. */
   private def phase[A](name: String)(f: => A): A =
-    if (!sys.env.contains("SPARK_GRAFT_TRAIN_PHASES")) f
-    else {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"TRAINPHASE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.functions.Phases.time(s"train $name")(f)
 
   def train(
       g: HeteroGraph,

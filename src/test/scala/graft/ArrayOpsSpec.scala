@@ -86,6 +86,24 @@ class ArrayOpsSpec extends SparkSpec {
     }
   }
 
+  test("Hadamard and VecCombine fail loudly on array length mismatch") {
+    import spark.implicits._
+    // these sit on the public training/serving path: a width bug upstream
+    // must surface as an error, not silently truncate (the old behavior)
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    val mism = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0), 1L)).toDF("a", "b", "n")
+    val eH = intercept[Throwable] {
+      mism.select(ArrayOps.hadamard(col("a"), col("b"))).collect()
+    }
+    assert(msgChain(eH).contains("length mismatch"))
+    val eC = intercept[Throwable] {
+      mism.select(ArrayOps.combineMean(col("a"), col("b"), col("n"))).collect()
+    }
+    assert(msgChain(eC).contains("length mismatch"))
+  }
+
   private def one(c: org.apache.spark.sql.Column): Double = {
     import spark.implicits._
     Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 0.5f, -1.0f)))

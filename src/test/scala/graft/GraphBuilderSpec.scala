@@ -123,4 +123,22 @@ class GraphBuilderSpec extends SparkSpec {
     assert(g2.edges.keySet === g.edges.keySet)
     assert(g2.nodes("customer").count() === g.nodes("customer").count())
   }
+
+  test("save/load roundtrips a relation name containing the __ separator") {
+    import graft.topology.EdgeKey
+    import spark.implicits._
+    // name-safety parity with the bucketed store: edge names live in the
+    // edges_meta file, never parsed out of a directory name
+    val nodes = Map(
+      "a" -> Seq((0L, Array(1.0f))).toDF("id", "features"),
+      "b" -> Seq((0L, Array(2.0f))).toDF("id", "features"))
+    val weird = EdgeKey("a", "has__weird__rel", "b")
+    val g = graft.graph.HeteroGraph(
+      nodes, Map(weird -> Seq((0L, 0L)).toDF("src", "dst")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-weird").toString
+    g.save(dir)
+    val g2 = HeteroGraph.load(spark, dir)
+    assert(g2.edges.keySet === Set(weird))
+    assert(g2.edges(weird).count() === 1L)
+  }
 }
