@@ -131,46 +131,25 @@ r2o AS (
     * the q29 graph, persist it through [[graft.graph.HeteroGraph
     * .saveBucketed]] (nodes bucketed by `id`, edges by `src`, bucket
     * count = the session's shuffle parallelism so aggregation exchanges
-    * line up), reload via the catalog. Stale managed locations from
-    * previous JVMs are cleaned first — the in-memory catalog forgets
-    * tables across runs but `saveAsTable` refuses to overwrite their
-    * leftover directories. */
+    * line up), reload via the catalog. Stale-location cleanup and the
+    * live-sibling ownership guard both live inside `saveBucketed` now, so
+    * any direct caller gets them too. */
   private def phase[A](name: String)(f: => A): A =
     graft.functions.Phases.time(name)(f)
-
-  /** Which session owns each bucketed-store prefix in this JVM: sessions
-    * share the warehouse directory (and, under one SparkContext, the
-    * external catalog), so the stale-directory cleanup below must not
-    * delete tables out from under a sibling LIVE session's cached graph.
-    * A prefix owned by a live sibling is reloaded from the shared catalog
-    * instead of being rebuilt. */
-  private val bucketedOwners = scala.collection.concurrent.TrieMap
-    .empty[String, java.lang.ref.WeakReference[SparkSession]]
 
   private def bucketedGraph(s: SparkSession, dir: String): graft.graph.HeteroGraph =
     graft.functions.Memos.getOrElseUpdate(s, ("bucketed-graph", dir)) {
       implicit val sp: SparkSession = s
       val prefix = "gbkt" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-      val liveSibling = bucketedOwners.get(prefix).exists { ref =>
-        val owner = ref.get()
-        owner != null && (owner ne s) && !owner.sparkContext.isStopped
-      }
-      if (!liveSibling) {
+      // A prefix a live sibling session saved is reloaded from the shared
+      // catalog instead of rebuilt — saveBucketed itself refuses to
+      // trample it (the ownership guard lives next to the save now).
+      if (graft.graph.HeteroGraph.bucketedLiveOwner(s, prefix).isEmpty) {
         val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
           .withReverseEdges
           .restrictTo(Set("customer", "orders"), hops = 1)
-        val wh = new java.io.File(
-          s.sessionState.conf.warehousePath.stripPrefix("file:"))
-        Option(wh.list()).getOrElse(Array.empty[String])
-          .filter(n => n == s"${prefix}_meta" ||
-            n.startsWith(s"${prefix}_n_") || n.startsWith(s"${prefix}_e_"))
-          .foreach { n =>
-            s.sql(s"DROP TABLE IF EXISTS $n")
-            scala.reflect.io.Directory(new java.io.File(wh, n)).deleteRecursively()
-          }
         phase("q55 save")(g.saveBucketed(prefix,
           buckets = s.sessionState.conf.numShufflePartitions))
-        bucketedOwners(prefix) = new java.lang.ref.WeakReference(s)
       }
       phase("q55 load")(graft.graph.HeteroGraph.loadBucketed(s, prefix))
     }
@@ -737,11 +716,31 @@ r2o AS (
     // exact discrete quantiles per group (ext.Stats): median and p90 of
     // event value per type — rank ⌈q·n⌉ in integer arithmetic selects an
     // actual data value, so the result hash-verifies where approx or
-    // interpolated percentiles never could
-    "q50_quantiles" -> ((s, dir) =>
-      graft.ext.Stats.quantilesDisc(
-        t(s, dir, "events").select(col("event_type"), col("value"), col("event_id")),
+    // interpolated percentiles never could. Tier dispatch
+    // (`graft.quantiles.tier`): the default window tier sorts each group
+    // in one task — right at oracle scale; `select` switches to the
+    // multi-pass histogram selection (quantilesDiscSelect) that never
+    // sorts, the 100 TB path — q60 pins that tier to the SAME oracle
+    "q50_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      if (s.conf.getOption("graft.quantiles.tier").contains("select"))
+        graft.ext.Stats.quantilesDiscSelect(ev,
+          groupCol = "event_type", valueCol = "value",
+          quantiles = Seq((1, 2), (9, 10)))
+      else graft.ext.Stats.quantilesDisc(ev,
         groupCol = "event_type", valueCol = "value", tiebreakCol = "event_id",
+        quantiles = Seq((1, 2), (9, 10)))
+    }),
+    // the 100 TB quantile tier under the oracle: iterative histogram
+    // selection (no per-group sort — each pass is one map-side-combinable
+    // agg; driver moves only counters). The rank-k order statistic is
+    // tiebreak-independent, so it must — and does — hash-match the same
+    // window-ranked SQL as q50
+    "q60_quantiles_select" -> ((s, dir) =>
+      graft.ext.Stats.quantilesDiscSelect(
+        t(s, dir, "events").select(col("event_type"), col("value"), col("event_id")),
+        groupCol = "event_type", valueCol = "value",
         quantiles = Seq((1, 2), (9, 10)))),
     // measured ANN recall: |IVF top-k ∩ brute-force top-k| as an exact
     // integer — both rankings are rank-stable (deterministic tiebreaks),
@@ -1255,6 +1254,19 @@ r2o AS (
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
     "q50_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(1 AS DOUBLE) / 2 AS q, value
+        |FROM ranked WHERE rk = (1 * n + 1) // 2
+        |UNION ALL
+        |SELECT event_type, CAST(9 AS DOUBLE) / 10 AS q, value
+        |FROM ranked WHERE rk = (9 * n + 9) // 10""".stripMargin,
+    // identical oracle to q50 on purpose: the select tier must reproduce
+    // the window tier's rank-⌈q·n⌉ statistic bit-for-bit
+    "q60_quantiles_select" ->
       """WITH ranked AS (
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,

@@ -67,12 +67,16 @@ object Stats {
     * realistic columns, ≤ ~11 even for the full 2⁶³ long range.
     *
     * Same result as [[quantilesDisc]] (the rank-k order statistic is
-    * tiebreak-independent), asserted in StatsSpec. Integral and
-    * float/double value columns are supported; floating values traverse
-    * the selection as their order-isomorphic long bit-image (exact, no
-    * rounding; −0.0 orders just below +0.0, NaN greatest — Spark's sort
-    * order). Null values are ignored, matching a SQL rank over a
-    * NOT NULL filter.
+    * tiebreak-independent), asserted bit-exactly in StatsSpec's
+    * equivalence property (random groups × long/double values, −0.0/NaN,
+    * |v| > 2⁵³, null groups). Integral and float/double value columns are
+    * supported; floating values traverse the selection as their
+    * order-isomorphic long bit-image (exact, no rounding; −0.0 orders
+    * just below +0.0, NaN greatest — Spark's sort order) and integrals
+    * stay `long` end-to-end (never widened through double, so the full
+    * 2⁶³ range is exact). Null GROUP values form a normal group, as in a
+    * SQL window partition; null VALUES are ignored, matching a rank over
+    * a NOT NULL filter.
     *
     * The per-pass `collect()` moves only (groups × quantiles × fanout)
     * counters — driver-side METADATA, like the dense-PK probe, never
@@ -122,36 +126,40 @@ object Stats {
         Target(row.get(0), qi, row.getLong(2), row.getLong(3), k,
           done = row.getLong(2) == row.getLong(3))
       }).toSeq
+      // group key for driver-side maps and the broadcast state join:
+      // Option-wrapped string (None = SQL NULL group; the join below is
+      // null-safe `<=>`, so the null group selects like any other)
+      def gkey(g: Any): Option[String] = Option(g).map(_.toString)
       var pending = targets.filterNot(_.done)
       while (pending.nonEmpty) {
         // driver-chosen EXPLICIT boundaries per target (BigInt arithmetic:
         // hi−lo may overflow a long for sign-folded doubles)
-        val cutsOf: Map[(String, Int), Seq[Long]] = pending.map { t =>
+        val cutsOf: Map[(Option[String], Int), Seq[Long]] = pending.map { t =>
           val loB = BigInt(t.lo); val hiB = BigInt(t.hi)
           val span = hiB - loB + 1
           val cuts =
             if (span <= fanout) (t.lo until t.hi).toSeq // width-1 buckets
             else (1 until fanout).map(i => (loB + span * i / fanout).toLong)
               .distinct.filter(c => c >= t.lo && c < t.hi)
-          (t.g.toString, t.qIdx) -> cuts
+          (gkey(t.g), t.qIdx) -> cuts
         }.toMap
         import spark.implicits._
         val stateDf = pending.map { t =>
-          (t.g.toString, t.qIdx, t.lo, t.hi, cutsOf((t.g.toString, t.qIdx)))
+          (gkey(t.g).orNull, t.qIdx, t.lo, t.hi, cutsOf((gkey(t.g), t.qIdx)))
         }.toDF("gs", "qi", "lo", "hi", "cuts")
         // bucket(v) = #cuts strictly below v — pure comparisons, exact
         val counts = mapped
-          .join(broadcast(stateDf), col("g").cast("string") === col("gs"))
+          .join(broadcast(stateDf), col("g").cast("string") <=> col("gs"))
           .filter(col("v") >= col("lo") && col("v") <= col("hi"))
           .groupBy(col("gs"), col("qi"),
             size(filter(col("cuts"), c => c < col("v"))).as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
-          .groupBy(r => (r.getString(0), r.getInt(1)))
+          .groupBy(r => (Option(r.getString(0)), r.getInt(1)))
           .map { case (key, rows) =>
             key -> rows.map(r => r.getInt(2) -> r.getLong(3)).toMap }
         pending.foreach { t =>
-          val key = (t.g.toString, t.qIdx)
+          val key = (gkey(t.g), t.qIdx)
           val cuts = cutsOf(key)
           val byBucket = counts.getOrElse(key, Map.empty)
           // walk buckets; bucket b spans (cuts(b−1), cuts(b)] in value
@@ -175,21 +183,22 @@ object Stats {
         pending = pending.filterNot(_.done)
       }
       // assemble (group, q, value) — group values round-trip through the
-      // original frame (distinct g), so the group column keeps its type
+      // original frame (distinct g), so the group column keeps its type.
+      // The selected value rides as the raw long image: integrals stay
+      // exact over the full 2⁶³ range (no double widening); the floating
+      // branch inverts the sign-fold driver-side (bit manipulation, exact)
       import spark.implicits._
       val sel = targets.map { t =>
         val (num, den) = quantiles(t.qIdx)
-        (t.g.toString, num.toDouble / den,
-          if (floating) java.lang.Double.longBitsToDouble(
-            if (t.lo >= 0) t.lo else t.lo ^ Long.MaxValue)
-          else t.lo.toDouble)
-      }.toDF("gs", "q", "value_d")
+        val vd = if (floating) java.lang.Double.longBitsToDouble(
+          if (t.lo >= 0) t.lo else t.lo ^ Long.MaxValue) else 0.0
+        (gkey(t.g).orNull, num.toDouble / den, vd, t.lo)
+      }.toDF("gs", "q", "value_d", "value_l")
       val groups = df.select(col(groupCol)).distinct()
-      val out = groups.join(sel, col(groupCol).cast("string") === col("gs"))
+      val out = groups.join(sel, col(groupCol).cast("string") <=> col("gs"))
         .select(col(groupCol), col("q"),
           (if (floating) col("value_d")
-           else col("value_d").cast("long")
-             .cast(df.schema(valueCol).dataType)).as("value"))
+           else col("value_l")).cast(df.schema(valueCol).dataType).as("value"))
       out
     } finally mapped.unpersist()
   }

@@ -9,15 +9,20 @@ import scala.collection.concurrent.TrieMap
   * dense-PK probe, shingle prep, the exact-Jaccard pair set, k-means
   * centroids, fixed-point propagation results, the bucketed graph).
   *
-  * Why central and why weak: the previous per-site `TrieMap`s were
-  * JVM-global and keyed by `System.identityHashCode(sparkSession)`, which
-  * (a) let entries — including eagerly-checkpointed DataFrames pinning
-  * their RDD blocks — outlive a stopped session forever, and (b) could
-  * collide a dead session's hash with a live one's, serving frames bound
-  * to a dead SparkContext. Keying a `WeakHashMap` by the session REFERENCE
-  * fixes both: entries are unreachable (and collectable, along with their
-  * checkpoint RDDs via the ContextCleaner) as soon as the session is, and
-  * reference identity cannot collide.
+  * Why central and why reference-keyed: the previous per-site `TrieMap`s
+  * were JVM-global and keyed by `System.identityHashCode(sparkSession)`,
+  * which could collide a dead session's hash with a live one's, serving
+  * frames bound to a dead SparkContext. Keying by the session REFERENCE
+  * makes collision impossible. Eviction, however, cannot ride on the
+  * `WeakHashMap` alone: the memoised values are DataFrames, which strongly
+  * reference their session — the map's own values keep its weak keys
+  * reachable (the documented WeakHashMap pitfall). So lifetime is managed
+  * explicitly: the first memo for a session registers an
+  * `onApplicationEnd` listener that drops the session's entries when its
+  * SparkContext stops (sibling sessions of one context die with the
+  * context — a cloned session has no narrower stop event), releasing any
+  * checkpoint blocks via the ContextCleaner. The weak keying remains as a
+  * second line for sessions whose maps were cleared.
   *
   * [[clear]] drops one session's memos on demand — the bench uses it
   * between measurement passes so every pass pays first-touch costs
@@ -30,7 +35,19 @@ object Memos {
   private def mapFor(spark: SparkSession): TrieMap[Any, Any] =
     bySession.synchronized {
       var m = bySession.get(spark)
-      if (m == null) { m = TrieMap.empty[Any, Any]; bySession.put(spark, m) }
+      if (m == null) {
+        m = TrieMap.empty[Any, Any]
+        bySession.put(spark, m)
+        // evict on context stop — see scaladoc; a dead context's listener
+        // bus is gone, so a failed registration just means nothing to evict
+        try spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = clear(spark)
+          })
+        catch { case _: IllegalStateException => }
+      }
       m
     }
 

@@ -8,7 +8,16 @@ import scala.collection.concurrent.TrieMap
   * 100 TB claim — so [[graft.Bench]] drains these records per query and
   * reports the split alongside the headline seconds ("phases" in the JSON
   * line). Labels accumulate (a label recorded twice sums); [[drain]]
-  * returns-and-clears so each timed query only sees its own phases. */
+  * returns-and-clears so each timed query only sees its own phases.
+  *
+  * CONTRACT: the accumulator is JVM-global, not session-scoped — phase
+  * attribution is only meaningful when one thread runs one query between
+  * drains (the bench's single-threaded loop; the probes). Concurrent
+  * sessions recording phases would interleave into whoever drains next;
+  * that is out of contract, not detected. Within the contract, [[drain]]
+  * is lossless: each label is atomically removed and its removed value
+  * reported, so a record landing between snapshot and removal is either
+  * reported now or left for the next drain — never dropped. */
 object Phases {
   private val acc = TrieMap.empty[String, Double]
 
@@ -30,10 +39,8 @@ object Phases {
     r
   }
 
-  /** Snapshot and clear all recorded phases. */
-  def drain(): Map[String, Double] = {
-    val snap = acc.readOnlySnapshot().toMap
-    snap.keys.foreach(acc.remove)
-    snap
-  }
+  /** Atomically remove-and-report every recorded phase (see CONTRACT). */
+  def drain(): Map[String, Double] =
+    acc.readOnlySnapshot().keys
+      .flatMap(k => acc.remove(k).map(k -> _)).toMap
 }

@@ -155,6 +155,30 @@ final case class HeteroGraph(
       s"saveBucketed: prefix '$prefix' must be a lowercase identifier " +
         "without '__' (it becomes a catalog table-name prefix)")
     val spark = nodes.head._2.sparkSession
+    // Ownership guard: sessions of one JVM share the warehouse directory
+    // (and, under one SparkContext, the external catalog), so overwriting
+    // a prefix a LIVE sibling session saved would pull its tables out from
+    // under that session's loaded graph. Refuse instead — the caller
+    // should loadBucketed from the shared catalog or pick another prefix.
+    HeteroGraph.bucketedLiveOwner(spark, prefix).foreach { _ =>
+      throw new IllegalStateException(
+        s"saveBucketed: prefix '$prefix' belongs to a live sibling session" +
+          " — loadBucketed it from the shared catalog or use another prefix")
+    }
+    // Stale-location cleanup: the in-memory catalog forgets tables across
+    // JVMs, but saveAsTable refuses to overwrite their leftover managed
+    // directories — drop both for every table of this prefix.
+    locally {
+      val wh = new java.io.File(
+        spark.sessionState.conf.warehousePath.stripPrefix("file:"))
+      Option(wh.list()).getOrElse(Array.empty[String])
+        .filter(n => n == s"${prefix}_meta" ||
+          n.startsWith(s"${prefix}_n_") || n.startsWith(s"${prefix}_e_"))
+        .foreach { n =>
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+          scala.reflect.io.Directory(new java.io.File(wh, n)).deleteRecursively()
+        }
+    }
     val nodeList = nodes.toSeq.sortBy(_._1)
     val edgeList = edges.toSeq.sortBy(_._1.name)
     // The per-table CTAS jobs are independent — run them concurrently so
@@ -181,6 +205,7 @@ final case class HeteroGraph(
     }).toDF("tbl", "kind", "src_or_type", "rel", "dst")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${prefix}_meta")
+    HeteroGraph.claimBucketedPrefix(spark, prefix)
   }
 
   def cached(): HeteroGraph =
@@ -200,6 +225,23 @@ final case class HeteroGraph(
 }
 
 object HeteroGraph {
+  /** Which session of this JVM owns each bucketed-store prefix — the
+    * state behind [[HeteroGraph!.saveBucketed]]'s sibling guard. Weak
+    * references: ownership must not keep a session alive, and a collected
+    * or stopped owner frees its prefix. */
+  private val bucketedOwners = scala.collection.concurrent.TrieMap
+    .empty[String, java.lang.ref.WeakReference[SparkSession]]
+
+  /** The LIVE session other than `s` that last saved `prefix` in this
+    * JVM, if any. Callers use this to reload a sibling's tables from the
+    * shared catalog instead of rebuilding over them. */
+  def bucketedLiveOwner(s: SparkSession, prefix: String): Option[SparkSession] =
+    bucketedOwners.get(prefix).flatMap(r => Option(r.get()))
+      .filter(o => (o ne s) && !o.sparkContext.isStopped)
+
+  private[graph] def claimBucketedPrefix(s: SparkSession, prefix: String): Unit =
+    bucketedOwners(prefix) = new java.lang.ref.WeakReference(s)
+
   /** Reload a graph saved by [[HeteroGraph.saveBucketed]] from the
     * session catalog: the `<prefix>_meta` table carries the true
     * type/relation names, so arbitrary names (REVERSE_*, `__`, mixed

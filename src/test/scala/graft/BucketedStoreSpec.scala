@@ -74,6 +74,35 @@ class BucketedStoreSpec extends SparkSpec {
     val _ = h
   }
 
+  test("saveBucketed refuses to trample a live sibling session's prefix") {
+    import graft.catalog.Catalogs
+    import graft.graph.{GraphBuilder, HeteroGraph}
+    val wh = new java.io.File("spark-warehouse")
+    val stale = Option(wh.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("bsib_"))
+    val known = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("bsib_"))
+    (stale ++ known).distinct.foreach(dropTable)
+    val g = GraphBuilder
+      .build(Catalogs.tpch, n => Tables.load(spark, sf(), n), probeDense = true)
+      .restrictTo(Set("region"), hops = 1)
+    g.saveBucketed("bsib", buckets = 2)
+    // a sibling session shares the catalog: it may LOAD the prefix...
+    val sibling = spark.newSession()
+    val viaSibling = HeteroGraph.loadBucketed(sibling, "bsib")
+    assert(viaSibling.nodes.keySet === g.nodes.keySet)
+    // ...but an overwrite-save from the sibling must refuse while the
+    // owner is live (it would delete tables under the owner's graph)
+    val gSib = GraphBuilder
+      .build(Catalogs.tpch, n => Tables.load(sibling, sf(), n), probeDense = true)
+      .restrictTo(Set("region"), hops = 1)
+    val ex = intercept[IllegalStateException](gSib.saveBucketed("bsib", buckets = 2))
+    assert(ex.getMessage.contains("live sibling"))
+    // the owner itself may re-save (overwrite of its own prefix is fine)
+    g.saveBucketed("bsib", buckets = 2)
+    assert(HeteroGraph.loadBucketed(spark, "bsib").nodes.keySet === g.nodes.keySet)
+  }
+
   test("non-bucketed baseline DOES shuffle (sanity of the assertion)") {
     val orders = Tables.load(spark, sf(), "orders")
     val customer = Tables.load(spark, sf(), "customer")

@@ -23,4 +23,67 @@ class StatsSpec extends SparkSpec {
       ("b", 0.5, 5.0),  ("b", 0.9, 7.0),  ("b", 1.0, 7.0),
       ("c", 0.5, 99.0), ("c", 0.9, 99.0), ("c", 1.0, 99.0)))
   }
+
+  private val qs = Seq((1, 4), (1, 2), (9, 10), (1, 1))
+
+  /** (group, q) -> value as raw bits, so −0.0 ≠ +0.0 and NaN == NaN. */
+  private def byKey(df: org.apache.spark.sql.DataFrame): Map[(Option[String], Double), Long] =
+    df.collect().map { r =>
+      val g = if (r.isNullAt(0)) None else Some(r.get(0).toString)
+      val v = r.get(2) match {
+        case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+        case l: java.lang.Long   => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case o => sys.error(s"unexpected value type $o")
+      }
+      (g, r.getDouble(1)) -> v
+    }.toMap
+
+  test("quantilesDiscSelect ≡ quantilesDisc on longs over the full 2^63 range") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(400) { i =>
+      val g: String = rnd.nextInt(4) match {
+        case 0 => "a"; case 1 => "b"; case 2 => null; case _ => "null"
+      }
+      // mix magnitudes: small dups, > 2^53 (double-unsafe), full-range
+      val v = rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(5).toLong
+        case 1 => (1L << 53) + rnd.nextInt(1000) * (if (rnd.nextBoolean()) 1 else -1)
+        case _ => rnd.nextLong()
+      }
+      (g, v, i.toLong)
+    } ++ Seq(("a", Long.MaxValue, 400L), ("a", Long.MinValue, 401L),
+      ((null: String), Long.MaxValue - 1, 402L))
+    val df = rows.toDF("g", "v", "id")
+    val want = byKey(Stats.quantilesDisc(df, "g", "v", "id", qs))
+    val got = byKey(Stats.quantilesDiscSelect(df, "g", "v", qs))
+    assert(got === want)
+  }
+
+  test("quantilesDiscSelect ≡ quantilesDisc on doubles incl. -0.0/NaN/±Inf") {
+    val rnd = new scala.util.Random(7)
+    val special = Array(-0.0, 0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, -Double.MinPositiveValue)
+    val rows = Seq.tabulate(400) { i =>
+      val g: String = if (rnd.nextInt(5) == 0) null else ("g" + rnd.nextInt(3))
+      val v = rnd.nextInt(4) match {
+        case 0 => special(rnd.nextInt(special.length))
+        case 1 => rnd.nextInt(4).toDouble // duplicates
+        case _ => (rnd.nextDouble() - 0.5) * 1e12
+      }
+      (g, v, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val want = byKey(Stats.quantilesDisc(df, "g", "v", "id", qs))
+    val got = byKey(Stats.quantilesDiscSelect(df, "g", "v", qs))
+    assert(got === want)
+  }
+
+  test("quantilesDiscSelect narrow-fanout path (fanout=2, many passes)") {
+    val df = Seq.tabulate(100)(i => ("x", (i * 37 % 101).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val want = byKey(Stats.quantilesDisc(df, "g", "v", "id", qs))
+    val got = byKey(Stats.quantilesDiscSelect(df, "g", "v", qs, fanout = 2))
+    assert(got === want)
+  }
 }
