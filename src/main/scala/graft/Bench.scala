@@ -20,8 +20,19 @@ import org.apache.spark.sql.SparkSession
   * hits; within a pass, queries still share memos in alphabetical order —
   * per-query numbers are marginal costs, exactly as in previous rounds.
   * "noise_pct" reports the median and max over queries of
-  * 100·(max−min)/median across passes, so a reader can tell a real
-  * movement from ambient swing without re-running.
+  * 100·(max−min)/median across passes EXCLUDING pass 1, so a reader can
+  * tell a real movement from ambient swing without re-running: pass 1 is
+  * structurally colder (JIT + codegen-class compilation happen once per
+  * JVM, not once per memo-cleared pass), so including it conflated a
+  * one-time warm-up with ambient noise — r5 reported >1000% "noise" on
+  * warm-up-heavy queries. The median still includes pass 1 (with 3+ odd
+  * reps the median never selects the cold outlier); "pass1_extra_pct"
+  * reports how much hotter pass 1 ran vs the pass-2+ median, keeping the
+  * excluded warm-up visible rather than hidden.
+  *
+  * The JSON line is printed TWICE (identical copies): the driver's log
+  * capture has truncated the single line mid-JSON before (r5), and two
+  * copies give any window-bounded capture a complete one to keep.
   *
   * "phases" carries sub-timings for composite queries (q55's bucketed CTAS
   * save / catalog load, q28's propagate / L-BFGS fit / val metrics),
@@ -93,10 +104,20 @@ object Bench {
       }
     }
     val medians = names.map(n => n -> median(timesByQuery(n)))
+    // ambient-noise spread over passes 2+ only (pass 1 is structurally
+    // cold — see scaladoc); with reps < 3 there is no warm sample pair
     val spreads = names.flatMap { n =>
-      val xs = timesByQuery(n)
+      val xs = timesByQuery(n).drop(1)
       val m = median(xs)
       if (xs.size < 2 || m <= 0) None else Some(100.0 * (xs.max - xs.min) / m)
+    }
+    // how much hotter pass 1 ran than the warm median, per query (median
+    // over queries) — the warm-up cost the noise figure now excludes
+    val pass1Extra = names.flatMap { n =>
+      val xs = timesByQuery(n)
+      val warm = median(xs.drop(1))
+      if (xs.size < 2 || warm <= 0) None
+      else Some(100.0 * (xs.head - warm) / warm)
     }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -112,7 +133,10 @@ object Bench {
     val total = medians.map(_._2).sum
     val noiseMed = if (spreads.isEmpty) 0.0 else median(spreads)
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.max
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}""")
+    val warmup = if (pass1Extra.isEmpty) 0.0 else median(pass1Extra)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
+    println(line)
+    println(line)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

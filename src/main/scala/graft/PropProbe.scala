@@ -125,6 +125,71 @@ object PropProbe {
       return
     }
 
+    // bucketed-store propagation A/B (BKT_AB=1): q29's unbucketed flat
+    // propagation vs the per-type loop over a bucketed-store reload, at
+    // equal rounds — the "does the exchange-free |E|-side join pay for
+    // itself at runtime" question. The save is untimed (a store is
+    // written once, read many); the LOAD is timed separately. Before
+    // every leg the session memos + cache are cleared and the graph
+    // build's eager probes re-run UNTIMED, mirroring the bench, where
+    // alphabetically-earlier queries pay the probe fill.
+    if (sys.env.contains("BKT_AB")) {
+      implicit val sp: SparkSession = spark
+      import org.apache.spark.sql.DataFrame
+      import graft.graph.HeteroGraph
+      def builtGraph() = GraphBuilder.build(Catalogs.tpch,
+          n => Tables.load(spark, sfDir, n), probeDense = true)
+        .withReverseEdges
+        .restrictTo(Set("customer", "orders"), hops = 1)
+        .addDegree
+      def act(emb: Map[String, DataFrame]): Unit =
+        emb("customer").select(lit("customer").as("node_type"), col("id"), col("h"))
+          .unionByName(emb("orders")
+            .select(lit("orders").as("node_type"), col("id"), col("h")))
+          .write.format("noop").mode("overwrite").save()
+      val prefix = "bktab"
+      builtGraph().saveBucketed(prefix, buckets = 32) // untimed, once
+      def reset(): Unit = {
+        graft.functions.Memos.clear(spark)
+        spark.catalog.clearCache()
+        builtGraph() // eager probes re-fill untimed
+      }
+      for (r <- 1 to 4; rounds <- Seq(2, 4)) {
+        reset()
+        locally {
+          val g = builtGraph()
+          time(s"unbkt flat   ${rounds}r rep$r")(act(
+            Propagate.meanRoundsFixedFlat(g, Propagate.degreeInitFixedStructural(g), rounds)))
+        }
+        // same algorithm as the bucketed leg (isolates the STORE's
+        // contribution; the flat fusion is orthogonal and unavailable over
+        // buckets — the tagged union destroys the bucket partitioning)
+        reset()
+        locally {
+          val g = builtGraph()
+          time(s"unbkt pertype F ${rounds}r rep$r")(act(
+            Propagate.meanRoundsFixed(g, Propagate.degreeInitFixedStructural(g), rounds,
+              checkpoint = false)))
+        }
+        reset()
+        locally {
+          val gb = time(s"bkt load      rep$r")(HeteroGraph.loadBucketed(spark, prefix))
+          time(s"bkt pertype F ${rounds}r rep$r")(act(
+            Propagate.meanRoundsFixed(gb, Propagate.degreeInitFixedStructural(gb), rounds,
+              checkpoint = false)))
+        }
+        reset()
+        locally {
+          val gb = HeteroGraph.loadBucketed(spark, prefix)
+          time(s"bkt pertype T ${rounds}r rep$r")(act(
+            Propagate.meanRoundsFixed(gb, Propagate.degreeInitFixedStructural(gb), rounds,
+              checkpoint = true)))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // fused-vs-HOF combine micro-measure (PROP_COMBINE=1): the dim>1 round
     // update `(vec[i]+msg[i])/(1+n_types)` as codegen VecCombine vs the
     // interpreted zip_with lambda, over 2M rows × dim 64.

@@ -383,11 +383,13 @@ r2o AS (
     "q55_propagate_bucketed" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val g = bucketedGraph(s, dir)
-      // checkpoint=false: at 2 rounds the round-1 re-computation inside
-      // round 2's plan re-reads BUCKETED scans through exchange-free
-      // joins, which is cheaper than materialising an eager barrier per
-      // node type (measured ~2s faster here); deeper propagation over a
-      // bucketed store should flip it back on.
+      // checkpoint=false: the round-(r−1) re-computation inside round r's
+      // plan re-reads BUCKETED scans through exchange-free joins, which
+      // is cheaper than materialising an eager barrier per node type at
+      // 2 AND 4 rounds (BKT_AB, PROP_AB_r6.md — where the committed
+      // numbers also show this store+dispatch beating the unbucketed
+      // per-type twin ~7% at 2 rounds and >2× at 4: the store is both a
+      // materialisation barrier and a co-location guarantee).
       val emb = graft.learn.Propagate.meanRoundsFixed(
         g, graft.learn.Propagate.degreeInitFixedStructural(g), rounds = 2,
         checkpoint = false)
@@ -414,19 +416,55 @@ r2o AS (
         .addDegree
       // PER-TYPE loop: bit-identical to the flat fused layout (integer
       // arithmetic; LearnSpec), so the dispatch is a pure plan-shape
-      // choice — and at one round over two edge types the flat path's
-      // eager prep (tagged-union/init checkpoints + size probes) costs
-      // more than the one fused aggregation saves (PROP_AB, r5: per-type
-      // ≈ flat at fixture scale with a prebuilt graph, but in-bench the
-      // per-type plan is a single lazy tree). Flat remains the dispatch
-      // for deep multi-type propagation (q29/q43/q53's 2-round, 3-type
-      // graphs, where one aggregation per round replaces 2·|types|).
+      // choice. Measured (PROP_AB_r6.md, committed): per-type ≈ flat
+      // (3.37 vs 3.24 s warm medians, inside the ambient band) and the
+      // memo-key canonicalization suspect costs ≤0.01 s — q46's floor
+      // under per-pass-clear attribution is ~3.3 s of structural init +
+      // per-edge-type join/agg over 6 restricted edge frames; the old
+      // 2.3 s figure was r3's no-clear cache-warm methodology. Flat
+      // remains the dispatch for deep multi-type propagation (q29/q43/
+      // q53's 2-round, 3-type graphs, where one aggregation per round
+      // replaces 2·|types|).
       val emb = graft.learn.Propagate.attentionRoundsFixed(
         g, graft.learn.Propagate.degreeInitFixedStructural(g, scale = 1000L), rounds = 1)
       emb("customer")
         .select(lit("customer").as("node_type"), col("id"), col("h"))
         .unionByName(emb("nation")
           .select(lit("nation").as("node_type"), col("id"), col("h")))
+    }),
+    // G12 at dim>1 under the oracle: ONE meanRounds round at WIDTH 4 —
+    // the general-dim vector path (per-dim codegen SUM columns + the
+    // VecCombine cross-type combine) that q29/q46/q55's scalar
+    // fixed-point twins never touch. Hash-exact by CONSTRUCTION, not by
+    // integer arithmetic: every init component is an integral double and
+    // the per-type means are exact (customer/supplier vecs are constant
+    // per src type, so mean = the constant; region→nation has exactly
+    // one source row per nation, so mean = that row), hence the
+    // cross-type sum is an exact integer and the final division is one
+    // correctly-rounded op on identical operands in any engine. The
+    // graph is nation's 1-hop in-neighborhood: customer→nation,
+    // supplier→nation (FKs) and region→nation (reverse) — 3 per-type
+    // means, a non-trivial n_types, 4 channels through VecCombine.
+    "q61_propagate_vec4" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
+        .withReverseEdges
+        .restrictTo(Set("nation"), hops = 1)
+      val init = g.nodes.map { case (tn, df) =>
+        val base: Column = tn match {
+          case "customer" => lit(3.0)
+          case "supplier" => lit(5.0)
+          case _          => (col("id") + 1).cast("double") // nation self, region
+        }
+        tn -> df.select(col("id"),
+          array(base, base * 2, base * 3, base * 7).as("vec"))
+      }
+      val emb = graft.learn.Propagate.meanRounds(g, init, rounds = 1, dim = 4)
+      emb("nation").select(col("id"),
+        element_at(col("vec"), 1).as("h1"),
+        element_at(col("vec"), 2).as("h2"),
+        element_at(col("vec"), 3).as("h3"),
+        element_at(col("vec"), 4).as("h4"))
     }),
     // Trained-head serving (the missing reference flow: checkpoint-loaded
     // weights scoring candidates, `inference.py:30-41`): recommend orders
@@ -470,8 +508,9 @@ r2o AS (
     "q28_train_metrics" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val g = GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
-        .addDegree.withReverseEdges.withSelfLoops
+      val g = phase("q28 build")(
+        GraphBuilder.build(Catalogs.tpch, n => t(s, dir, n), probeDense = true)
+          .addDegree.withReverseEdges.withSelfLoops)
       val m = graft.learn.TrainLR.train(
         g, Topology.classify(Catalogs.tpch).edges
           .find(e => e.srcTable == "orders" && e.dstTable == "customer")
@@ -1253,6 +1292,32 @@ r2o AS (
         |  SELECT doc_id, term, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
+    // dim-4 vector propagation: exact by construction (see the query's
+    // comment) — every term is an integral double, the division is one
+    // correctly-rounded op, so the doubles hash-match bit-for-bit
+    "q61_propagate_vec4" ->
+      """WITH nm AS (SELECT n_nationkey AS pk, row_number() OVER (ORDER BY n_nationkey) - 1 AS id FROM nation),
+        |rm AS (SELECT r_regionkey AS pk, row_number() OVER (ORDER BY r_regionkey) - 1 AS id FROM region),
+        |mc AS (SELECT c_nationkey AS pk FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+        |ms AS (SELECT s_nationkey AS pk FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1)
+        |SELECT nm.id AS id,
+        |  (CAST(nm.id + 1 AS DOUBLE) + (CASE WHEN mc.pk IS NOT NULL THEN 3.0 ELSE 0.0 END)
+        |     + (CASE WHEN ms.pk IS NOT NULL THEN 5.0 ELSE 0.0 END) + CAST(rm.id + 1 AS DOUBLE))
+        |   / (2 + (CASE WHEN mc.pk IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN ms.pk IS NOT NULL THEN 1 ELSE 0 END)) AS h1,
+        |  (CAST(2 * (nm.id + 1) AS DOUBLE) + (CASE WHEN mc.pk IS NOT NULL THEN 6.0 ELSE 0.0 END)
+        |     + (CASE WHEN ms.pk IS NOT NULL THEN 10.0 ELSE 0.0 END) + CAST(2 * (rm.id + 1) AS DOUBLE))
+        |   / (2 + (CASE WHEN mc.pk IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN ms.pk IS NOT NULL THEN 1 ELSE 0 END)) AS h2,
+        |  (CAST(3 * (nm.id + 1) AS DOUBLE) + (CASE WHEN mc.pk IS NOT NULL THEN 9.0 ELSE 0.0 END)
+        |     + (CASE WHEN ms.pk IS NOT NULL THEN 15.0 ELSE 0.0 END) + CAST(3 * (rm.id + 1) AS DOUBLE))
+        |   / (2 + (CASE WHEN mc.pk IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN ms.pk IS NOT NULL THEN 1 ELSE 0 END)) AS h3,
+        |  (CAST(7 * (nm.id + 1) AS DOUBLE) + (CASE WHEN mc.pk IS NOT NULL THEN 21.0 ELSE 0.0 END)
+        |     + (CASE WHEN ms.pk IS NOT NULL THEN 35.0 ELSE 0.0 END) + CAST(7 * (rm.id + 1) AS DOUBLE))
+        |   / (2 + (CASE WHEN mc.pk IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN ms.pk IS NOT NULL THEN 1 ELSE 0 END)) AS h4
+        |FROM nation n
+        |JOIN nm ON n.n_nationkey = nm.pk
+        |JOIN rm ON rm.pk = n.n_regionkey
+        |LEFT JOIN mc ON mc.pk = n.n_nationkey
+        |LEFT JOIN ms ON ms.pk = n.n_nationkey""".stripMargin,
     "q50_quantiles" ->
       """WITH ranked AS (
         |  SELECT event_type, value,

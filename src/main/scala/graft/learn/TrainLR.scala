@@ -55,6 +55,19 @@ object TrainLR {
     * Hadamard features → logistic regression → validation metrics.
     *
     * @param rounds frozen propagation rounds over the degree feature
+    * @param neighborhoodHops how far from the target's endpoint types the
+    *   message graph extends. The default 1 is the engine's standard
+    *   neighborhood recipe (the q29/q43/q53 serving and eval paths
+    *   propagate the same 1-hop graph): round 2 still mixes information
+    *   across the kept edges, but a 1-hop type's own inputs are dropped,
+    *   so its round-1 value is its init — the classic L-layer
+    *   neighbor-sampling trade (features change, determinism and the
+    *   metric contract don't). Pass `rounds` for the mathematically
+    *   exact L-hop receptive field: every type that can influence a
+    *   target embedding within `rounds` hops participates — at TPC-H
+    *   shape that keeps the three |lineitem|-sized reverse edge frames
+    *   and costs ~2× the propagate time for a sub-1% metrics shift at
+    *   fixture scale.
     */
   /** Phase timing: always recorded into [[graft.functions.Phases]] (the
     * bench surfaces the propagate/fit/metrics split per query), printed
@@ -67,18 +80,21 @@ object TrainLR {
       target: EdgeKey,
       valFrac: Double = 0.15,
       rounds: Int = 2,
-      seed: Long = 42L)(implicit spark: SparkSession): TrainedModel = {
+      seed: Long = 42L,
+      neighborhoodHops: Int = 1)(implicit spark: SparkSession): TrainedModel = {
     val split = LinkSplit.split(g, target, valFrac, seed)
-    // propagate only the sub-graph that can reach the target's endpoint
-    // types within `rounds` hops — the rest of the hetero graph cannot
-    // influence the features and would cost a shuffle per type per round.
+    // propagate only the sub-graph within `neighborhoodHops` of the
+    // target's endpoint types — the rest of the hetero graph either
+    // cannot influence the features at all (beyond `rounds` hops) or is
+    // dropped by the 1-hop neighborhood recipe (see @param above); every
+    // skipped edge type saves a shuffle per round.
     // NOT cached: the flat layout consumes each node and edge frame
     // exactly once (one init union, one edge union, both checkpointed),
     // so caching them would materialise every frame a second time for no
     // later reader. (The per-type round loop, which re-reads each edge
     // type per round, is the caller that wants cached() — see LearnSpec.)
     val msgGraph = split.messageGraph
-      .restrictTo(Set(target.src, target.dst), rounds)
+      .restrictTo(Set(target.src, target.dst), neighborhoodHops)
     val trainPos = graft.functions.Caching.ensureCached(split.trainPos)
     val valPos = graft.functions.Caching.ensureCached(split.valPos)
     // Registered BEFORE the propagation: the structural degree init scans
