@@ -60,6 +60,11 @@ object Memos {
   def getOrElseUpdate[V](spark: SparkSession, key: Any)(value: => V): V =
     mapFor(spark).getOrElseUpdate(key, value).asInstanceOf[V]
 
+  /** Whether `key` is already memoised for `spark` (never computes). */
+  def contains(spark: SparkSession, key: Any): Boolean =
+    bySession.synchronized { Option(bySession.get(spark)) }
+      .exists(_.contains(key))
+
   /** Forget every memo held for `spark` (the entries become garbage; any
     * checkpoint blocks they pinned are released by the ContextCleaner once
     * the frames are collected). Safe concurrently with reads: in-flight

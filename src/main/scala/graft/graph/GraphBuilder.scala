@@ -35,20 +35,49 @@ object GraphBuilder {
   /** The memoised probe (session-scoped via [[graft.functions.Memos]]):
     * `Some((lo, n))` if `df(pkCol)` holds exactly the dense integral
     * range `lo..lo+n-1`. */
-  private def denseProbe(df: DataFrame, pkCol: String): Option[(Long, Long)] = {
-    val key = ("dense-probe", df.queryExecution.analyzed.canonicalized, pkCol)
-    graft.functions.Memos.getOrElseUpdate(df.sparkSession, key) {
-      val r = df.agg(
-        min(col(pkCol)), max(col(pkCol)), count(lit(1)),
-        countDistinct(col(pkCol))).head()
-      if (r.isNullAt(0)) None
-      else {
-        val (lo, hi, n, nd) =
-          (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
-            r.getLong(2), r.getLong(3))
-        if (hi - lo + 1 == n && nd == n) Some((lo, n)) else None
-      }
+  private def probeKey(df: DataFrame, pkCol: String): Any =
+    ("dense-probe", df.queryExecution.analyzed.canonicalized, pkCol)
+
+  private def probeResult(
+      lo: Option[Long], hi: Option[Long], n: Long, nd: Long): Option[(Long, Long)] =
+    (lo, hi) match {
+      case (Some(l), Some(h)) if h - l + 1 == n && nd == n => Some((l, n))
+      case _ => None
     }
+
+  private def denseProbe(df: DataFrame, pkCol: String): Option[(Long, Long)] =
+    graft.functions.Memos.getOrElseUpdate(df.sparkSession, probeKey(df, pkCol)) {
+      val r = df.agg(
+        min(col(pkCol)).cast("long"), max(col(pkCol)).cast("long"),
+        count(lit(1)), countDistinct(col(pkCol))).head()
+      probeResult(
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3))
+    }
+
+  private def isIntegral(df: DataFrame, pkCol: String): Boolean =
+    df.schema(pkCol).dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
+      case _ => false
+    }
+
+  /** Fill the probe memo for every not-yet-probed (table, pk) CONCURRENTLY
+    * instead of one serial blocking agg per table: a memo-cold graph
+    * build's probe fill is then bounded by the largest table's scan, not
+    * the table count (the probes are independent single-row aggs, so
+    * parallel driver threads let the scheduler overlap their stages). */
+  private def denseProbeAll(tables: Seq[(DataFrame, String)]): Unit = {
+    val todo = tables
+      .filter { case (df, pk) => isIntegral(df, pk) }
+      .filter { case (df, pk) =>
+        !graft.functions.Memos.contains(df.sparkSession, probeKey(df, pk)) }
+    if (todo.sizeIs <= 1) { todo.foreach { case (df, pk) => denseProbe(df, pk) }; return }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    todo.map { case (df, pk) => Future(denseProbe(df, pk)) }
+      .foreach(f => Await.result(f, Duration.Inf))
   }
 
   def denseIds(df: DataFrame, pkCol: String,
@@ -64,11 +93,7 @@ object GraphBuilder {
     // (the mapping is queried immediately, so it amortises); [[build]]
     // defaults it OFF so constructing a graph runs zero Spark jobs. Probe
     // results are memoised per (session, plan, pk) — see [[denseProbe]].
-    val integral = df.schema(pkCol).dataType match {
-      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
-      case _ => false
-    }
-    if (integral && probeDense) {
+    if (isIntegral(df, pkCol) && probeDense) {
       denseProbe(df, pkCol).foreach { case (lo, _) =>
         return df.select(col(pkCol).as("pk"),
           (col(pkCol).cast("long") - lo).as("id"))
@@ -183,6 +208,10 @@ object GraphBuilder {
       extraEdges: Seq[EdgeSpec] = Nil,
       probeDense: Boolean = false): HeteroGraph = {
     val topo: TopologyResult = Topology.classify(cat)
+    // one combined probe job for every memo-cold table instead of a
+    // serial blocking agg per table — see [[denseProbeAll]]
+    if (probeDense)
+      denseProbeAll(topo.nodes.map(n => (loadTable(n.table), n.pk)))
     val built = topo.nodes.map { n =>
       val fkCols = cat(n.table).fks.map(_.fromCol)
       // cache each (pk → id) mapping: the node frame and every edge type
@@ -207,11 +236,7 @@ object GraphBuilder {
     val hints =
       if (!probeDense) Map.empty[String, Long]
       else topo.nodes.flatMap { n =>
-        val integral = loadTable(n.table).schema(n.pk).dataType match {
-          case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
-          case _ => false
-        }
-        if (!integral) None
+        if (!isIntegral(loadTable(n.table), n.pk)) None
         else denseProbe(loadTable(n.table), n.pk).map(p => n.table -> p._2)
       }.toMap
     HeteroGraph(built.map { case (t, (n, _)) => t -> n }, edges, hints)
