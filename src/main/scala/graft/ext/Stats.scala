@@ -63,8 +63,12 @@ object Stats {
     * state per task) and the driver narrows each quantile's value
     * interval by the bucket its rank falls in. Buckets are explicit
     * boundary lists compared with `<` (no float bucket arithmetic), so
-    * the narrowing is exact; passes ≈ log_fanout(value range) — 3-4 for
-    * realistic columns, ≤ ~11 even for the full 2⁶³ long range.
+    * the narrowing is exact; passes ≈ log_fanout(value range). Every
+    * pass re-scans the (persisted) value frame, so fanout trades
+    * per-task aggregation state (groups × quantiles × fanout counters)
+    * against scan count: the default 1024 needs ~6.4 passes for the
+    * worst-case full 2⁶⁴ sign-folded double bit range and 2-3 for
+    * realistic integer columns, at ~8 KB of counter state per target.
     *
     * Same result as [[quantilesDisc]] (the rank-k order statistic is
     * tiebreak-independent), asserted bit-exactly in StatsSpec's
@@ -86,7 +90,7 @@ object Stats {
       groupCol: String,
       valueCol: String,
       quantiles: Seq[(Int, Int)],
-      fanout: Int = 64): DataFrame = {
+      fanout: Int = 1024): DataFrame = {
     require(fanout >= 2, s"fanout $fanout must be >= 2")
     quantiles.foreach { case (num, den) =>
       require(num > 0 && num <= den, s"quantile $num/$den out of (0,1]") }
@@ -147,12 +151,20 @@ object Stats {
         val stateDf = pending.map { t =>
           (gkey(t.g).orNull, t.qIdx, t.lo, t.hi, cutsOf((gkey(t.g), t.qIdx)))
         }.toDF("gs", "qi", "lo", "hi", "cuts")
-        // bucket(v) = #cuts strictly below v — pure comparisons, exact
+        // bucket(v) = #cuts strictly below v — pure long comparisons,
+        // binary-searched in codegen (SortedLowerBound; the interpreted
+        // `size(filter(...))` lambda was O(fanout) per row and capped
+        // useful fanout at ~64)
+        def lowerBound(cuts: Column, v: Column): Column =
+          org.apache.spark.sql.GraftExpressionBridge.column(
+            graft.functions.expressions.SortedLowerBound(
+              org.apache.spark.sql.GraftExpressionBridge.expression(cuts),
+              org.apache.spark.sql.GraftExpressionBridge.expression(v)))
         val counts = mapped
           .join(broadcast(stateDf), col("g").cast("string") <=> col("gs"))
           .filter(col("v") >= col("lo") && col("v") <= col("hi"))
           .groupBy(col("gs"), col("qi"),
-            size(filter(col("cuts"), c => c < col("v"))).as("b"))
+            lowerBound(col("cuts"), col("v")).as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
           .groupBy(r => (Option(r.getString(0)), r.getInt(1)))

@@ -79,6 +79,29 @@ class StatsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("SortedLowerBound: codegen binary search ≡ count of cuts below v") {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.functions.{col, filter, size, typedlit}
+    val cutSets = Seq(
+      Seq.empty[Long], Seq(0L), Seq(-5L, 0L, 7L),
+      (0L until 1024L).map(_ * 3 - 512).toSeq,
+      Seq(Long.MinValue, -1L, 0L, Long.MaxValue))
+    val vs = Seq(Long.MinValue, -513L, -1L, 0L, 1L, 6L, 7L, 8L, 1535L,
+      Long.MaxValue)
+    val df = vs.toDF("v")
+    cutSets.foreach { cuts =>
+      val cutsCol = typedlit(cuts)
+      val got = df.select(GraftExpressionBridge.column(
+        graft.functions.expressions.SortedLowerBound(
+          GraftExpressionBridge.expression(cutsCol),
+          GraftExpressionBridge.expression(col("v")))))
+        .collect().map(_.getInt(0)).toSeq
+      val want = df.select(size(filter(cutsCol, c => c < col("v"))))
+        .collect().map(_.getInt(0)).toSeq
+      assert(got === want, s"cuts=$cuts")
+    }
+  }
+
   test("quantilesDiscSelect narrow-fanout path (fanout=2, many passes)") {
     val df = Seq.tabulate(100)(i => ("x", (i * 37 % 101).toLong, i.toLong))
       .toDF("g", "v", "id")
