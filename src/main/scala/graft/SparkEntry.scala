@@ -672,6 +672,30 @@ r2o AS (
         .filter(col("len") >= col("lo") && col("len") <= col("hi"))
         .select(col("doc_id"), col("lang_pred"), col("len"))
     }),
+    // repetition quality filter (the Gopher/C4 duplicate-n-gram rule —
+    // the standard "remove boilerplate-y documents" gate of an LLM data
+    // pipeline): per document, the repeated-trigram instance fraction and
+    // the hottest trigram's count, as exact integers (ppm via integer
+    // div), so the filter hash-verifies. Plans as explode → map-side-
+    // combined count on (doc, trigram) → per-doc agg — two exchanges,
+    // both on keys that grow with the corpus (the 100 TB shape).
+    "q62_repetition" -> ((s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 2)," +
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)," +
+            " element_at(w, i + 2)))")).as("tri"))
+        .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum("c").as("n_tri"),
+          count(lit(1)).as("distinct_tri"),
+          max("c").as("max_rep"))
+        .select(col("doc_id"), col("n_tri"), col("distinct_tri"), col("max_rep"),
+          expr("((n_tri - distinct_tri) * 1000000) div n_tri").as("rep_ppm"))
+    }),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1346,6 +1370,18 @@ r2o AS (
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q62_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |tri AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tri
+        |  FROM w, UNNEST(range(1, len(toks) - 1)) AS t(i)
+        |  WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_tri,
+        |  CAST(MAX(c) AS BIGINT) AS max_rep,
+        |  CAST(((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS BIGINT) AS rep_ppm
+        |FROM cnt GROUP BY doc_id""".stripMargin,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
