@@ -696,6 +696,32 @@ r2o AS (
         .select(col("doc_id"), col("n_tri"), col("distinct_tri"), col("max_rep"),
           expr("((n_tri - distinct_tri) * 1000000) div n_tri").as("rep_ppm"))
     }),
+    // benchmark decontamination (the eval-leakage gate every serious LLM
+    // data pipeline runs): count the n-gram overlaps between each corpus
+    // document and a benchmark set (stand-in: doc_id < 10). Exact string
+    // n-grams, integer counts — hash-exact. n = 4 here because the
+    // fixture's ~40-word vocabulary makes longer grams vanishingly rare
+    // (real pipelines use 8-13; the plan is n-independent). Scale shape:
+    // the corpus-side gram inventory explodes ~|tokens| rows and dedups
+    // per (doc, gram) with one exchange; the benchmark side is tiny by
+    // definition, so Catalyst broadcasts it into the overlap join and
+    // the corpus side never shuffles again — at 100 TB the cost is the
+    // one dedup exchange, exactly the minimum the semantics need.
+    "q63_decontam" -> ((s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 3)," +
+            " i -> concat_ws(' ', slice(w, i, 4)))")).as("g"))
+        .distinct()
+      val benchGrams = grams.filter(col("doc_id") < 10)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(benchGrams, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    }),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1370,6 +1396,13 @@ r2o AS (
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q63_decontam" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |      FROM w, UNNEST(range(1, len(toks) - 2)) AS t(i) WHERE len(toks) >= 4),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM g JOIN b USING (g) WHERE g.doc_id >= 10 GROUP BY 1""".stripMargin,
     "q62_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |tri AS (
