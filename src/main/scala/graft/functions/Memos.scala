@@ -31,6 +31,10 @@ import scala.collection.concurrent.TrieMap
 object Memos {
   private val bySession =
     new java.util.WeakHashMap[SparkSession, TrieMap[Any, Any]]()
+  // sessions that already carry the eviction listener: clear() + re-memo
+  // must NOT stack a fresh listener per cycle (the bench clears per pass)
+  private val evictorInstalled =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   private def mapFor(spark: SparkSession): TrieMap[Any, Any] =
     bySession.synchronized {
@@ -38,15 +42,18 @@ object Memos {
       if (m == null) {
         m = TrieMap.empty[Any, Any]
         bySession.put(spark, m)
-        // evict on context stop — see scaladoc; a dead context's listener
-        // bus is gone, so a failed registration just means nothing to evict
-        try spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit = clear(spark)
-          })
-        catch { case _: IllegalStateException => }
+        if (!evictorInstalled.containsKey(spark)) {
+          evictorInstalled.put(spark, java.lang.Boolean.TRUE)
+          // evict on context stop — see scaladoc; a dead context's listener
+          // bus is gone: a failed registration means nothing to evict
+          try spark.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                  : Unit = clear(spark)
+            })
+          catch { case _: IllegalStateException => }
+        }
       }
       m
     }
