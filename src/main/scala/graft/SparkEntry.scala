@@ -749,11 +749,15 @@ r2o AS (
     "q42_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
-    // IVF over REAL k-means centroids (Spark ML, seeded) — the quality
-    // tier of q42. Distributed float reductions in the fit make it
-    // rows-only; q42's sampled-centroid twin carries the hash oracle.
+    // IVF over REAL k-means centroids — the quality tier of q42, now
+    // HASH-EXACT: the fit is distributed Lloyd's in integer fixed-point
+    // (scaled-long image, exact integer distances, floor-mean updates,
+    // long vector sums, deterministic ties/init), so the DuckDB oracle
+    // replays the whole 3-iteration fit bit-for-bit. The float Spark ML
+    // twin stays as the spec-compared semantic reference in
+    // ext.Similarity.ivfTopKKMeans.
     "q45_ann_ivf_kmeans" -> ((s, dir) =>
-      graft.ext.Similarity.ivfTopKKMeans(
+      graft.ext.Similarity.ivfTopKKMeansFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
@@ -850,14 +854,13 @@ r2o AS (
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10L).as("k"), col("n_overlap"))
     }),
-    // measured recall for the k-means IVF tier (q45's missing evidence):
-    // |kmeans-IVF top-10 ∩ brute-force top-10| as an integer. Rows-only —
-    // the k-means fit's float reductions aren't oracle-expressible — but
-    // the OVERLAP is still a hard measured number per run, and
-    // SimilaritySpec pins kmeans ≥ sampled on a clustered corpus.
+    // measured recall for the k-means IVF tier (q45's evidence):
+    // |kmeans-IVF top-10 ∩ brute-force top-10| as an integer — and since
+    // the fixed-point fit is oracle-replayable (q45), the recall
+    // measurement itself is now hash-exact too, not just rows-only.
     "q54_ann_recall_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val ivf = graft.ext.Similarity.ivfTopKKMeans(
+      val ivf = graft.ext.Similarity.ivfTopKKMeansFixed(
         e, "vec_id", "embedding", queryId = 0L, k = 10)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val bf = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -925,6 +928,51 @@ r2o AS (
     * corpus whose τ-boundary gap exceeds float noise. */
   private lazy val lshKeySqls =
     graft.ext.Similarity.bucketKeySql("v", tables = 4, bits = 8, seed = 42L)
+
+  /** CTE chain replaying [[graft.ext.Similarity.kmeansFixedCentroids]] +
+    * the fixed IVF serving tail in DuckDB, op for op: the scaled-long
+    * image (normalise → ×10⁶ → floor → +10⁶ shift), the DetRandom-ranked
+    * init, and `kmeansFixedIters` unrolled Lloyd's iterations of
+    * integer-distance assignment (`2·v·c − ‖c‖²`, centroid-id ties) and
+    * floor-mean updates (empty centroid keeps its position). Ends with
+    * CTEs `asg` (id, v, cid), `qv`, and `probes` for the callers' final
+    * SELECT. */
+  private val kmeansFixedIters = 3
+  private def kmeansFixedCtes: String = {
+    val score = (v: String, c: String) =>
+      s"2 * list_dot_product($v, $c.cv) - list_dot_product($c.cv, $c.cv)"
+    val step = (i: Int) => {
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (SELECT cid, vi FROM (
+         |  SELECT si.vi, $prev.cid,
+         |    row_number() OVER (PARTITION BY si.id ORDER BY ${score("si.vi", prev)} DESC, $prev.cid) AS rk
+         |  FROM si CROSS JOIN $prev) WHERE rk = 1),
+         |u$i AS (SELECT cid, list(sd ORDER BY d) AS cv FROM (
+         |  SELECT cid, t.d AS d, CAST(SUM(vi[t.d]) // COUNT(*) AS BIGINT) AS sd
+         |  FROM a$i, UNNEST(range(1, len(vi) + 1)) AS t(d) GROUP BY cid, t.d) GROUP BY cid),
+         |c$i AS (SELECT $prev.cid, COALESCE(u$i.cv, $prev.cv) AS cv FROM $prev LEFT JOIN u$i USING (cid))"""
+        .stripMargin
+    }
+    val cLast = s"c$kmeansFixedIters"
+    s"""s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |si AS (SELECT id, v,
+       |  list_transform(v, x -> CAST(floor((CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN x ELSE x / sqrt(list_dot_product(v, v)) END) * 1000000) AS BIGINT) + 1000000) AS vi
+       |  FROM s),
+       |c0 AS (SELECT id AS cid, vi AS cv FROM (
+       |  SELECT id, vi, row_number() OVER (ORDER BY ${graft.learn.DetRandom.uniformSql("id", "id", 42L)}, id) AS rn FROM si)
+       |  WHERE rn <= 16),
+       |${(1 to kmeansFixedIters).map(step).mkString(",\n")},
+       |asg AS (SELECT id, v, cid FROM (
+       |  SELECT si.id, si.v, $cLast.cid,
+       |    row_number() OVER (PARTITION BY si.id ORDER BY ${score("si.vi", cLast)} DESC, $cLast.cid) AS rk
+       |  FROM si CROSS JOIN $cLast) WHERE rk = 1),
+       |qv AS (SELECT v FROM s WHERE id = 0),
+       |qi AS (SELECT vi FROM si WHERE id = 0),
+       |probes AS (SELECT cid FROM (
+       |  SELECT $cLast.cid,
+       |    row_number() OVER (ORDER BY 2 * list_dot_product((SELECT vi FROM qi), $cLast.cv) - list_dot_product($cLast.cv, $cLast.cv) DESC, $cLast.cid) AS rk
+       |  FROM $cLast) WHERE rk <= 4)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1455,6 +1503,25 @@ r2o AS (
         |SELECT id FROM asg JOIN probes USING (cid)
         |WHERE id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
+    // hash-exact k-means IVF: the oracle replays the ENTIRE fixed-point
+    // Lloyd's fit (kmeansFixedCtes) before the serving tail
+    "q45_ann_ivf_kmeans" ->
+      s"""WITH $kmeansFixedCtes
+        |SELECT id FROM asg JOIN probes USING (cid)
+        |WHERE id <> 0
+        |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
+    "q54_ann_recall_kmeans" ->
+      s"""WITH $kmeansFixedCtes,
+        |ivf AS (
+        |  SELECT id FROM asg JOIN probes USING (cid)
+        |  WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10),
+        |bf AS (
+        |  SELECT id FROM s
+        |  WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM ivf JOIN bf USING (id)) AS n_overlap""".stripMargin,
     "q51_ann_recall" ->
       s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |c AS (SELECT id AS cid, v AS cv FROM (

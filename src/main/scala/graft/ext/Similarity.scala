@@ -194,6 +194,123 @@ object Similarity {
     ivfSearch(s, centroids, queryId, k, nProbe)
   }
 
+  /** Shifted scaled-long image of a vector for the FIXED-POINT k-means:
+    * `floor(x_norm · 10⁶) + 10⁶` per element over the L2-normalised
+    * vector. Every step is a single correctly-rounded double op or exact
+    * integer arithmetic, so the image is bit-identical in any IEEE engine
+    * (the SQL oracle mirrors it op for op). The +10⁶ shift makes every
+    * element non-negative, so the floor-division in the centroid update
+    * cannot hit engine-specific negative-division conventions; distances
+    * are shift-invariant, so the clustering is unchanged. */
+  private def scaledIntVec(v: Column): Column =
+    transform(ArrayOps.l2normalize(v.cast("array<double>")),
+      x => floor(x * lit(1000000.0)) + lit(1000000L))
+
+  /** Distributed Lloyd's k-means in EXACT integer arithmetic — the
+    * hash-verifiable fit. Assignment score `2·v·c − ‖c‖²` (argmin L2 with
+    * ‖v‖² dropped) and floor-mean centroid updates are integer-exact and
+    * order-independent ([[graft.functions.ArrayOps.vecSumLongAgg]] keeps
+    * LONG element sums, exact at any group size), ties break on centroid
+    * id, init is the [[graft.learn.DetRandom]]-ranked seeded sample — so
+    * the ENTIRE fit is a deterministic pure function of its input,
+    * reproducible in ANSI SQL (q45/q54's oracles unroll the iterations).
+    * Per iteration: one broadcast-join assignment pass + one
+    * map-side-combined vector-sum aggregation; only the `nCentroids`
+    * centroid rows (model state, like a fitted ML model's coefficients)
+    * ever reach the driver.
+    *
+    * Memoised per (session, input plan, params) — the fit is built once
+    * and probed many times, exactly like the float twin. */
+  def kmeansFixedCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int,
+      seed: Long): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(
+      emb.sparkSession,
+      ("kmeans-fixed-centroids",
+        emb.queryExecution.analyzed.canonicalized, idCol, vecCol,
+        nCentroids, iters, seed)) {
+      import org.apache.spark.sql.expressions.Window
+      val spark = emb.sparkSession
+      import spark.implicits._
+      // barrier: every iteration re-reads the scaled image
+      val si = emb.select(col(idCol).cast("long").as("id"),
+          scaledIntVec(col(vecCol)).as("vi"))
+        .localCheckpoint(eager = true)
+      var cents: Seq[(Long, Seq[Long])] = si
+        .withColumn("r", graft.learn.DetRandom.uniform(col("id"), col("id"), seed))
+        .orderBy(col("r"), col("id")).limit(nCentroids)
+        .select(col("id"), col("vi")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+      for (_ <- 1 to iters) {
+        val cDf = cents.toDF("cid", "cv")
+        val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+        val updated = si.crossJoin(broadcast(cDf))
+          .withColumn("score",
+            lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+              ArrayOps.dot(col("cv"), col("cv")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy(col("cid"))
+          .agg(ArrayOps.vecSumLongAgg(col("vi")).as("s"), count(lit(1)).as("n"))
+          .select(col("cid"), expr("transform(s, x -> x div n)").as("cv"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        // an empty centroid keeps its previous position (same in the oracle)
+        cents = cents.map { case (cid, cv) => cid -> updated.getOrElse(cid, cv) }
+      }
+      cents.toDF("cid", "cv")
+    }
+
+  /** IVF top-k over the fixed-point k-means fit — the hash-exact quality
+    * tier (q45): same inverted-file serving shape as [[ivfTopK]], but the
+    * centroids come from a REAL Lloyd's run ([[kmeansFixedCentroids]])
+    * whose integer arithmetic the DuckDB oracle replays exactly.
+    * Assignment and probe selection score by exact integer distance over
+    * the scaled image; the final ranking is exact cosine over the raw
+    * doubles (per-row fixed-order reduction — deterministic, as q35/q42
+    * already prove). The float Spark ML twin ([[ivfTopKKMeans]]) remains
+    * the semantic reference, spec-compared on a clustered corpus. */
+  def ivfTopKKMeansFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val cents = kmeansFixedCentroids(emb, idCol, vecCol, nCentroids, iters, seed)
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+    val assigned = s.crossJoin(broadcast(cents))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    val q = s.filter(col("id") === queryId)
+    val probes = cents.crossJoin(broadcast(q.select(col("vi").as("qi"))))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("qi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .orderBy(desc("score"), asc("cid")).limit(nProbe)
+      .select("cid")
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q.select(col("v").as("qv"))))
+      .select(col("id"), ArrayOps.cosine(col("v"), col("qv")).as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
+  }
+
   /** Shared IVF tail: assign every vector to its max-inner-product
     * centroid (broadcast, argmax via window with centroid-id tiebreak),
     * probe the `nProbe` centroids nearest the query, rank the probed lists

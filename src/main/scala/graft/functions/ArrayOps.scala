@@ -138,4 +138,27 @@ object ArrayOps {
       def bufferEncoder: Encoder[Array[Double]] = vecEnc
       def outputEncoder: Encoder[Array[Double]] = vecEnc
     })
+
+  private implicit val vecLongEnc: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+
+  /** [[vecSumAgg]] over `array<bigint>` — LONG element sums stay exact at
+    * any group size (a double accumulator loses integer exactness past
+    * 2⁵³, which a 100 TB corpus × 10⁶-scaled features reaches), making
+    * integer fixed-point centroid/mean updates hash-exact. Same O(dim)
+    * buffer and null/empty contract as the double form. */
+  val vecSumLongAgg: UserDefinedFunction = udaf(
+    new Aggregator[Array[Long], Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.empty
+      def reduce(buf: Array[Long], v: Array[Long]): Array[Long] =
+        if (v == null) buf
+        else if (buf.isEmpty) v.clone()
+        else { var i = 0; while (i < buf.length) { buf(i) += v(i); i += 1 }; buf }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+        if (a.isEmpty) b else reduce(a, b)
+      def finish(buf: Array[Long]): Array[Long] =
+        if (buf.isEmpty) null else buf
+      def bufferEncoder: Encoder[Array[Long]] = vecLongEnc
+      def outputEncoder: Encoder[Array[Long]] = vecLongEnc
+    })
 }

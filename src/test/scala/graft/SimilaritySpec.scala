@@ -152,14 +152,32 @@ class SimilaritySpec extends SparkSpec {
       (recall(Similarity.ivfTopKKMeans(corpus, "vec_id", "embedding",
           queryId = qid, k = 10, nCentroids = 16, nProbe = 1), want),
         recall(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          queryId = qid, k = 10, nCentroids = 16, nProbe = 1), want),
+        recall(Similarity.ivfTopKKMeansFixed(corpus, "vec_id", "embedding",
           queryId = qid, k = 10, nCentroids = 16, nProbe = 1), want))
     }
     val km = perQuery.map(_._1).sum
     val sampled = perQuery.map(_._2).sum
-    info(s"clustered recall@10 over 8 queries — kmeans: $km/80, sampled: $sampled/80")
+    val fixed = perQuery.map(_._3).sum
+    info(s"clustered recall@10 over 8 queries — kmeans: $km/80, sampled: $sampled/80, fixed: $fixed/80")
     assert(km > sampled,
       s"k-means IVF ($km/80) must beat sampled centroids ($sampled/80) on clustered data")
     assert(km >= 48, s"k-means IVF recall collapsed: $km/80")
+    // the integer fixed-point fit (q45's hash-exact tier) must deliver the
+    // same quality story: real Lloyd's beats sampled-vector centroids
+    assert(fixed > sampled,
+      s"fixed-point k-means IVF ($fixed/80) must beat sampled ($sampled/80)")
+    assert(fixed >= 48, s"fixed-point k-means IVF recall collapsed: $fixed/80")
+  }
+
+  test("ivfTopKKMeansFixed: deterministic and disjoint from the query id") {
+    val r1 = Similarity.ivfTopKKMeansFixed(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).collect().map(_.getLong(0)).toSeq
+    graft.functions.Memos.clear(spark) // force a full re-fit, not a memo hit
+    val r2 = Similarity.ivfTopKKMeansFixed(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(r1 == r2, "fixed-point k-means IVF must be bit-deterministic")
+    assert(r1.size <= 10 && !r1.contains(0L) && r1.distinct.size == r1.size)
   }
 
   test("annTopK candidates are ranked by exact cosine and bounded by k") {
