@@ -722,6 +722,32 @@ r2o AS (
         .join(benchGrams, Seq("g"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     }),
+    // data mixing (training-mixture construction): deterministically
+    // admit documents per language until that language's TOKEN budget
+    // fills — the op that turns per-source corpora into a weighted
+    // training mix. Admission order is the partition-independent
+    // DetRandom rank, the gate is a cumulative integer token sum, so
+    // membership is exact and hash-verifies. One exchange on the group
+    // key; the cumulative window is per-group (the scale knob is
+    // languages/sources, each group streams through its own sort).
+    "q64_data_mixing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      val stats = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        when(size(filter(toks, x => x === "the" || x === "a")).cast("double") /
+          size(toks) > 0.05, "en").otherwise("unk").as("lang_pred"))
+      val w = Window.partitionBy("lang_pred")
+        .orderBy(graft.learn.DetRandom.uniform(col("doc_id"), col("doc_id"), 42L),
+          col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budget = when(col("lang_pred") === "en", lit(3000L)).otherwise(lit(1000L))
+      stats
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= budget)
+        .select(col("doc_id"), col("lang_pred"), col("n_tok"), col("cum_tok"))
+    }),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1444,6 +1470,21 @@ r2o AS (
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q64_data_mixing" ->
+      s"""WITH stats AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+        |    CASE WHEN CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |      / len(regexp_extract_all(text, '[a-z0-9]+')) > 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang_pred, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang_pred
+        |      ORDER BY ${graft.learn.DetRandom.uniformSql("doc_id", "doc_id", 42L)}, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM stats)
+        |SELECT doc_id, lang_pred, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM cum
+        |WHERE cum_tok <= (CASE WHEN lang_pred = 'en' THEN 3000 ELSE 1000 END)""".stripMargin,
     "q63_decontam" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS g
