@@ -727,26 +727,24 @@ r2o AS (
     // fills — the op that turns per-source corpora into a weighted
     // training mix. Admission order is the partition-independent
     // DetRandom rank, the gate is a cumulative integer token sum, so
-    // membership is exact and hash-verifies. One exchange on the group
-    // key; the cumulative window is per-group (the scale knob is
-    // languages/sources, each group streams through its own sort).
+    // membership is exact and hash-verifies. ext.Sampling.budgeted runs
+    // it WITHOUT a per-group cumulative window (which would funnel a
+    // whole language through one task at corpus scale): range-partition
+    // + broadcast per-partition offsets + local windows, the dense-id
+    // ranker's trick — SamplingSpec asserts equality with the naive
+    // window, and the oracle IS that naive window.
     "q64_data_mixing" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
       val stats = t(s, dir, "documents").select(
         col("doc_id"),
         size(toks).cast("long").as("n_tok"),
         when(size(filter(toks, x => x === "the" || x === "a")).cast("double") /
           size(toks) > 0.05, "en").otherwise("unk").as("lang_pred"))
-      val w = Window.partitionBy("lang_pred")
-        .orderBy(graft.learn.DetRandom.uniform(col("doc_id"), col("doc_id"), 42L),
-          col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val budget = when(col("lang_pred") === "en", lit(3000L)).otherwise(lit(1000L))
-      stats
-        .withColumn("cum_tok", sum(col("n_tok")).over(w))
-        .filter(col("cum_tok") <= budget)
-        .select(col("doc_id"), col("lang_pred"), col("n_tok"), col("cum_tok"))
+      graft.ext.Sampling.budgeted(stats, "lang_pred", "doc_id", "n_tok",
+        budget = when(col("lang_pred") === "en", lit(3000L)).otherwise(lit(1000L)),
+        seed = 42L)
+        .select(col("doc_id"), col("lang_pred"), col("n_tok"),
+          col("cum_w").as("cum_tok"))
     }),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no

@@ -29,6 +29,30 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("budgeted: equals the naive per-group cumulative window, any partitioning") {
+    import graft.learn.DetRandom
+    import org.apache.spark.sql.expressions.Window
+    val weighted = events.select(col("event_id"), col("event_type"),
+      (col("event_id") % 7 + 1).as("w"))
+    val budget = when(col("event_type") === "click", lit(400L)).otherwise(lit(150L))
+    def naive(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(DetRandom.uniform(col("event_id"), col("event_id"), 7L), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum_w", sum(col("w")).over(w)).filter(col("cum_w") <= budget)
+    }
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "cum_w").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = asSet(naive(weighted))
+    assert(want.nonEmpty)
+    assert(asSet(Sampling.budgeted(weighted, "event_type", "event_id", "w",
+      budget, 7L)) === want)
+    // partitioning-independent: same admissions from a reshuffled input
+    assert(asSet(Sampling.budgeted(weighted.repartition(13), "event_type",
+      "event_id", "w", budget, 7L)) === want)
+  }
+
   test("bernoulli: deterministic subset, roughly the requested fraction") {
     val n = events.count()
     val b1 = Sampling.bernoulli(events, "event_id", 0.2, 7L)
