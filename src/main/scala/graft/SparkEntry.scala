@@ -746,6 +746,40 @@ r2o AS (
         .select(col("doc_id"), col("lang_pred"), col("n_tok"),
           col("cum_w").as("cum_tok"))
     }),
+    // sequence packing (concat-and-chunk batch assembly): lay the corpus
+    // out in one seeded deterministic order, conceptually concatenate the
+    // token streams, cut every 512 tokens — each document's global start
+    // offset and chunk span, computed from token COUNTS only (the tokens
+    // never materialise). The global prefix sum is Sampling.runningSum's
+    // range-partition + broadcast-offsets kernel with no group column, so
+    // the single global sequence parallelises instead of funnelling the
+    // corpus through one cumulative-window task; the oracle IS that naive
+    // window. Integer offsets → hash-exact.
+    "q65_seq_packing" -> ((s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      val stats = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      graft.ext.Packing.concatChunk(stats, "doc_id", "n_tok",
+        chunkTokens = 512L, seed = 7L)
+    }),
+    // PII anonymization (the pre-training privacy pass): keyed SHA-256
+    // pseudonymization of the name (joinable, irreversible without the
+    // pepper), digit-run redaction with an audit count, and k-anonymity-
+    // style generalization of the balance into $100 buckets in exact
+    // integer-cents arithmetic. All row-local codegen'd expressions — at
+    // 100 TB this is one pass fused into the scan. Hash-exact: DuckDB's
+    // sha256 produces the same lowercase hex as Spark's sha2(_, 256).
+    "q66_pii_mask" -> ((s, dir) => {
+      import graft.ext.Privacy
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Privacy.pseudonym(col("c_name"), "pepper7").as("pseudonym"),
+        Privacy.redactDigits(col("c_name"), 3).as("name_redacted"),
+        Privacy.countDigitRuns(col("c_name"), 3).as("n_redactions"),
+        Privacy.moneyBucketLo(col("c_acctbal"), 100).as("bal_bucket_lo"),
+        col("c_nationkey"), col("c_mktsegment"))
+    }),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1502,6 +1536,30 @@ r2o AS (
         |  CAST(MAX(c) AS BIGINT) AS max_rep,
         |  CAST(((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS BIGINT) AS rep_ppm
         |FROM cnt GROUP BY doc_id""".stripMargin,
+    "q65_seq_packing" ->
+      s"""WITH stats AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '[a-z0-9]+')) > 0),
+        |cum AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY ${DetRandom.mixSql("doc_id", "doc_id", 7L)}, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+        |  FROM stats)
+        |SELECT doc_id, n_tok, CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS chunk_first,
+        |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last,
+        |  CAST((start_off + n_tok - 1) // 512 - start_off // 512 + 1 AS BIGINT) AS n_chunks
+        |FROM cum""".stripMargin,
+    "q66_pii_mask" ->
+      """SELECT c_custkey,
+        |  substr(sha256('pepper7:' || c_name), 1, 16) AS pseudonym,
+        |  regexp_replace(c_name, '[0-9]{3,}', '<NUM>', 'g') AS name_redacted,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS BIGINT) AS n_redactions,
+        |  CAST(((CAST(round(c_acctbal * 100) AS BIGINT) + 1000000000) // 10000) * 100
+        |    - 10000000 AS BIGINT) AS bal_bucket_lo,
+        |  c_nationkey, c_mktsegment
+        |FROM customer""".stripMargin,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

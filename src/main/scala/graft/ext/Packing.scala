@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.learn.DetRandom
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining batch assembly.
+  *
+  * Concat-and-chunk (the GPT-style packing the reference's training loop
+  * presumes upstream of its dataloader, `train.py`'s fixed-size batches):
+  * documents are laid out in one deterministic shuffled order, their token
+  * streams conceptually concatenated, and the stream cut every
+  * `chunkTokens` tokens — documents straddle chunk boundaries, nothing is
+  * padded or dropped. This operator computes the layout (each document's
+  * global start offset and the chunk span it lands in) without ever
+  * materialising tokens: it only needs each document's token COUNT and a
+  * global running sum.
+  *
+  * Scale shape: the running sum is [[Sampling.runningSum]]'s
+  * range-partition + broadcast-offsets kernel with no group column — the
+  * single global sequence parallelises across the cluster instead of
+  * funnelling 100 TB of rows through one cumulative-window task. The
+  * shuffle order is the partition-independent [[DetRandom]] mix, so the
+  * layout is a pure function of (data, seed) and replays 1:1 in ANSI SQL
+  * (the q65 oracle).
+  */
+object Packing {
+
+  /** Chunk layout for concat-and-chunk packing.
+    *
+    * Input: one row per document with an integral token count
+    * `weightCol` ≥ 1 (filter empty documents upstream — a 0-count row
+    * would get `chunk_last < chunk_first`). Output: the input columns
+    * plus `start_off` (exclusive prefix sum of counts in the seeded
+    * order — the document's first token's global offset), `chunk_first`
+    * / `chunk_last` (the chunk indices of its first and last token at
+    * `chunkTokens` tokens per chunk), and `n_chunks` (how many chunks it
+    * spans — 1 for most documents, >1 for boundary-straddlers). */
+  def concatChunk(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      chunkTokens: Long,
+      seed: Long): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val r = DetRandom.mix(col(idCol), col(idCol), seed)
+    Sampling.runningSum(df, Nil, Seq(r, col(idCol)), weightCol, "__cum")
+      .withColumn("start_off", col("__cum") - col(weightCol))
+      .withColumn("chunk_first", expr(s"start_off div $chunkTokens"))
+      .withColumn("chunk_last",
+        expr(s"(start_off + $weightCol - 1) div $chunkTokens"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .drop("__cum")
+  }
+}

@@ -76,23 +76,47 @@ object Sampling {
       budget: org.apache.spark.sql.Column,
       seed: Long): DataFrame = {
     val r = DetRandom.mix(col(idCol), col(idCol), seed)
+    runningSum(df, Seq(groupCol), Seq(r, col(idCol)), weightCol, "cum_w")
+      .filter(col("cum_w") <= budget)
+  }
+
+  /** Scale-safe grouped running sum — the shared kernel behind
+    * [[budgeted]] and [[Packing.concatChunk]]. Computes, for every row,
+    * the running `weightCol` sum over rows of the same `groupCols` value
+    * that sort ≤ it under `order` (inclusive of the row), WITHOUT one
+    * cumulative window per group: range-partition by (group, order),
+    * aggregate per-(partition, group) weight totals (a tiny frame —
+    * partitions × groups rows), prefix-sum those per group on the driver
+    * side of a broadcast, and finish with a LOCAL cumulative window per
+    * (partition, group) — every window partition is one task's slice of
+    * one group, so hot groups (or with `groupCols = Nil`, the single
+    * global sequence) parallelise across the cluster. Equal to the naive
+    * global window exactly; SamplingSpec and PackingSpec assert it.
+    *
+    * `order` must be a total order per group (pass a tiebreak column);
+    * `weightCol` must be integral (LONG running sums, engine-exact). */
+  private[ext] def runningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      order: Seq[org.apache.spark.sql.Column],
+      weightCol: String,
+      out: String): DataFrame = {
+    val g = groupCols.map(col)
     val ranked = df
-      .repartitionByRange(col(groupCol), r, col(idCol))
-      .withColumn("__r", r)
+      .repartitionByRange((g ++ order): _*)
       .withColumn("__pid", spark_partition_id())
-    val totals = ranked.groupBy(col("__pid"), col(groupCol))
+    val totals = ranked.groupBy(col("__pid") +: g: _*)
       .agg(sum(col(weightCol)).as("__w"))
       .withColumn("__off",
         coalesce(sum(col("__w")).over(
-          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+          Window.partitionBy(g: _*).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col(groupCol), col("__off"))
-    val localW = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(col("__r"), col(idCol))
+      .select(col("__pid") +: g :+ col("__off"): _*)
+    val localW = Window.partitionBy(col("__pid") +: g: _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked.join(broadcast(totals), Seq("__pid", groupCol))
-      .withColumn("cum_w", col("__off") + sum(col(weightCol)).over(localW))
-      .filter(col("cum_w") <= budget)
-      .drop("__r", "__pid", "__off")
+    ranked.join(broadcast(totals), "__pid" +: groupCols)
+      .withColumn(out, col("__off") + sum(col(weightCol)).over(localW))
+      .drop("__pid", "__off")
   }
 }
