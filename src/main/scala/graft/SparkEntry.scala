@@ -780,6 +780,15 @@ r2o AS (
         Privacy.moneyBucketLo(col("c_acctbal"), 100).as("bal_bucket_lo"),
         col("c_nationkey"), col("c_mktsegment"))
     }),
+    // exact substring (span-level) dedup — Lee et al. 2021's ExactSubstr
+    // tier, the one dedup granularity between whole-doc (q30/q44) and
+    // within-doc repetition (q62): per document, the fraction of its
+    // token stream covered by an 8-token span that occurs more than once
+    // anywhere in the corpus. Exact integer coverage via one lag-window
+    // interval merge — hash-exact. k = 8 fits the fixture's tiny
+    // vocabulary (real pipelines use ~50); the plan is k-independent.
+    "q67_dup_spans" -> ((s, dir) =>
+      graft.ext.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1560,6 +1569,29 @@ r2o AS (
         |    - 10000000 AS BIGINT) AS bal_bucket_lo,
         |  c_nationkey, c_mktsegment
         |FROM customer""".stripMargin,
+    "q67_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |stats AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok FROM toks WHERE len(ts) > 0),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ts) - 7)) AS i, ts
+        |  FROM toks WHERE len(ts) >= 8),
+        |grams AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM pos),
+        |dup AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM grams)
+        |  WHERE c > 1),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts,
+        |    CAST(SUM(CASE WHEN prev IS NULL THEN 8 ELSE least(8, i - prev) END) AS BIGINT)
+        |      AS covered_tok
+        |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM dup)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tok,
+        |  COALESCE(c.n_dup_starts, 0) AS n_dup_starts,
+        |  COALESCE(c.covered_tok, 0) AS covered_tok,
+        |  CAST(COALESCE(c.covered_tok, 0) * 1000000 // s.n_tok AS BIGINT) AS dup_ppm
+        |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

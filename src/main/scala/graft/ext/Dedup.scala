@@ -635,4 +635,57 @@ object Dedup {
         lit(0L),
         (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L))
   }
+
+  /** Cross-document exact substring duplication — the span-level dedup
+    * tier (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2021; their suffix-array ExactSubstr, re-expressed as the
+    * k-gram shuffle an engine can run): for every document, how much of
+    * its token stream is covered by a k-token substring occurring more
+    * than once in the CORPUS (elsewhere, or again in the same document).
+    * One row per non-empty document: `n_tok`, `n_dup_starts` (duplicated
+    * k-gram start positions), `covered_tok` (union length of their
+    * [p, p+k-1] spans, merged exactly with one lag window), and `dup_ppm`
+    * (integer parts-per-million of the document covered — the value a
+    * removal/filter pass thresholds on).
+    *
+    * Scale shape: grams materialise as a per-row HOF `transform` over the
+    * token array (each exploded row carries one k-token string, not the
+    * whole array — no O(len²) payload), so the exchanges are exactly the
+    * semantics' minimum: one on the gram key for the corpus-wide
+    * occurrence count, then one on the doc key over DUPLICATED starts
+    * only (a small fraction of the corpus). Gram identity is the exact
+    * joined string so the DuckDB oracle replays byte-for-byte; at 100 TB
+    * substitute an `xxhash64` pair (collision ~n²/2¹²⁹) to cut shuffle
+    * bytes — the plan shape is unchanged. */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span length must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .filter(col("__n") > 0)
+    val grams = base
+      .filter(col("__n") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), (col("__n") - (k - 1)).cast("int")),
+        i => concat_ws(" ", slice(col("__ts"), i, lit(k))))))
+      .select(col(idCol), (col("pos") + 1).as("__i"), col("col").as("__gram"))
+    val dup = grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gram"))))
+      .filter(col("__c") > 1)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val prev = lag(col("__i"), 1).over(byDoc)
+    val cov = dup
+      .withColumn("__inc",
+        when(prev.isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("__i") - prev)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_starts"), sum(col("__inc")).as("covered_tok"))
+    base.select(col(idCol), col("__n").as("n_tok"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("covered_tok"), lit(0L)).as("covered_tok"))
+      .withColumn("dup_ppm", expr("covered_tok * 1000000 div n_tok"))
+  }
 }

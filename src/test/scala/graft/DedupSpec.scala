@@ -166,4 +166,37 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (9L, 9L)))
   }
+
+  test("dupSpanStats: equals a naive recomputation, partition-independent") {
+    val k = 8
+    val fixture = Tables.load(spark, sf(), "documents")
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Dedup.dupSpanStats(df, "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val got = run(fixture)
+
+    // naive single-machine reference over the collected fixture
+    val toks = fixture.select($"doc_id", Dedup.tokens($"text").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    val starts = toks.map { case (id, ts) =>
+      id -> (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" "))
+    }
+    starts.values.flatten.foreach(g => gramCount(g) = gramCount.getOrElse(g, 0) + 1)
+    val naive = toks.collect { case (id, ts) if ts.nonEmpty =>
+      val dupStarts = starts(id).zipWithIndex
+        .collect { case (g, i) if gramCount(g) > 1 => i.toLong }
+      val covered = dupStarts.foldLeft((0L, Option.empty[Long])) {
+        case ((acc, prev), p) =>
+          (acc + prev.fold(k.toLong)(q => math.min(k.toLong, p - q)), Some(p))
+      }._1
+      id -> (ts.length.toLong, dupStarts.size.toLong, covered,
+        covered * 1000000L / ts.length)
+    }.toMap
+    assert(naive.nonEmpty && naive.exists(_._2._2 > 0))
+    assert(got === naive)
+    assert(run(fixture.repartition(7)) === got)
+  }
 }
