@@ -789,6 +789,16 @@ r2o AS (
     // vocabulary (real pipelines use ~50); the plan is k-independent.
     "q67_dup_spans" -> ((s, dir) =>
       graft.ext.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+    // semantic dedup (SemDeDup, Abbas et al. 2023): k-means-clustered
+    // embedding space, min-id-wins drop above an exact fixed-point
+    // similarity threshold. τ = 0.30×10¹² is aggressive for the
+    // fixture's spread-out random embeddings (real pipelines use ~0.95
+    // ×10¹²) so the drop path actually exercises; the plan shape is
+    // τ-independent. Fit + assignment + drops all replay in the oracle.
+    "q68_semantic_dedup" -> ((s, dir) =>
+      graft.ext.Similarity.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        simThresholdFixed = 300000000000L)),
     // multimodal plumbing: binary payload + metadata-only decode + frame
     // sampling (decode kernel is a documented stub — container has no
     // codecs; the column-side arithmetic is the oracle-checked part)
@@ -1592,6 +1602,21 @@ r2o AS (
         |  COALESCE(c.covered_tok, 0) AS covered_tok,
         |  CAST(COALESCE(c.covered_tok, 0) * 1000000 // s.n_tok AS BIGINT) AS dup_ppm
         |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    // replays the fixed-point Lloyd's fit (kmeansFixedCtes), then the
+    // within-cluster min-id-wins drop over the exact shift-removed dot
+    "q68_semantic_dedup" ->
+      s"""WITH $kmeansFixedCtes,
+        |ws AS (SELECT id, list_transform(vi, x -> CAST(x - 1000000 AS DOUBLE)) AS w FROM si),
+        |pr AS (
+        |  SELECT b.id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_neardup_prior
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+        |  JOIN ws wa ON wa.id = a.id JOIN ws wb ON wb.id = b.id
+        |  WHERE list_dot_product(wa.w, wb.w) > 300000000000
+        |  GROUP BY b.id)
+        |SELECT asg.id AS vec_id, asg.cid,
+        |  CAST(COALESCE(pr.n_neardup_prior, 0) AS BIGINT) AS n_neardup_prior,
+        |  CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM asg LEFT JOIN pr ON pr.vec_id = asg.id""".stripMargin,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -344,6 +344,78 @@ object Similarity {
       .select("id")
   }
 
+  /** Semantic (embedding-space) deduplication — the SemDeDup shape
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023): cluster the corpus
+    * embeddings with k-means, then inside each cluster drop every item
+    * whose similarity to a LOWER-ID item of the same cluster exceeds the
+    * threshold. Min-id-wins is the deterministic, order-free variant of
+    * the paper's keep-one-per-duplicate-set rule (the paper keeps the
+    * item closest to the centroid — a float argmin no second engine can
+    * replay bit-for-bit; the kept SET differs only inside duplicate
+    * groups, which is exactly the freedom the paper grants).
+    *
+    * Every decision is exact integer arithmetic: the fit and assignment
+    * are [[kmeansFixedCentroids]]'s scaled-long Lloyd's, and the pair
+    * similarity is the dot of the shift-removed scaled image
+    * (`Σ (viₐ−10⁶)(vi_b−10⁶)` ≈ cos × 10¹², every partial sum an
+    * integer < 2⁵³ so the double accumulator is exact) — so fit,
+    * assignment, and drops all replay in the DuckDB oracle (q68).
+    * Output: one row per vector — cluster id, count of lower-id
+    * near-dups, and the keep flag a removal pass filters on.
+    *
+    * Scale shape: the quadratic step is confined WITHIN clusters — one
+    * shuffle on `cid`, pairs generated per-cluster — and cluster size is
+    * controlled by `nCentroids` (at 100 TB you grow k so |cluster| stays
+    * bounded, the paper's own design; the corpus-wide all-pairs join the
+    * naive formulation pays never materialises). Assignment is one
+    * broadcast join; only centroids ever reach the driver. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simThresholdFixed: Long,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val assigned = assignFixed(emb, idCol, vecCol,
+      kmeansFixedCentroids(emb, idCol, vecCol, nCentroids, iters, seed))
+    val prior = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(ArrayOps.dot(col("a.w"), col("b.w")) > lit(simThresholdFixed))
+      .groupBy(col("b.id").as("vec_id"))
+      .agg(count(lit(1)).as("n_neardup_prior"))
+    assigned.select(col("id").as("vec_id"), col("cid"))
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_neardup_prior"), lit(0L)).as("n_neardup_prior"))
+      .withColumn("kept", (col("n_neardup_prior") === 0L).cast("long"))
+  }
+
+  /** Fixed-point centroid assignment + shift-removed scaled image:
+    * `(id, cid, w)` — the shared front half of [[semanticDedup]] and its
+    * incremental streaming twin ([[graft.streaming.EmbIngest]]). `cents`
+    * is a `(cid, cv)` frame — [[kmeansFixedCentroids]]'s output, or the
+    * same rows reloaded as frozen model state. One broadcast join; the
+    * argmax window is per-id (no cross-row state). */
+  def assignFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.select(col(idCol).cast("long").as("id"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+    s.crossJoin(broadcast(cents))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("cid"),
+        transform(col("vi"), x => x - lit(1000000L)).as("w"))
+  }
+
   /** The oracle twin of [[nearDupCosine]]/[[annTopK]]'s bucket step, as a
     * SQL scalar expression list: one key expression per table, over the
     * same seeded planes. `vecExpr` must be a DOUBLE list expression. */

@@ -187,4 +187,50 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(0L))
     assert(out.distinct.length == out.length)
   }
+
+  test("semanticDedup: planted copies dropped, drops replay naively, partition-independent") {
+    val tau = 300000000000L
+    // plant exact copies of 5 vectors under higher ids: identical vectors
+    // share the scaled image, so each copy must land in its source's
+    // cluster and be dropped by min-id-wins (sim = ‖w‖² ≈ 1e12 > τ)
+    val copies = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.select($"vec_id", $"embedding", $"label").unionByName(copies)
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.semanticDedup(df, "vec_id", "embedding", tau)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val got = run(corpus)
+    assert(got.size == corpus.count())
+    (0L until 5L).foreach { src =>
+      val (cSrc, _, _) = got(src)
+      val (cCopy, nPrior, kept) = got(src + 100000L)
+      assert(cCopy == cSrc, s"copy of $src strayed from its source's cluster")
+      assert(nPrior >= 1 && kept == 0L, s"copy of $src was not dropped")
+    }
+    assert(got.values.count(_._3 == 1L) < got.size) // something dropped
+    assert(got.values.count(_._3 == 1L) > 0)        // something kept
+
+    // replay the drop decisions naively from the engine's own clusters:
+    // recompute the scaled image with the public building blocks, then
+    // min-id-wins pair counts per cluster in plain Scala
+    val ws = corpus.select($"vec_id",
+        transform(ArrayOps.l2normalize($"embedding".cast("array<double>")),
+          x => floor(x * lit(1000000.0))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val naive = got.keys.toSeq.sorted.map { id =>
+      val cid = got(id)._1
+      val n = got.keys.toSeq
+        .filter(o => o < id && got(o)._1 == cid)
+        .count { o =>
+          val (a, b) = (ws(o), ws(id))
+          a.indices.map(d => a(d) * b(d)).sum > tau
+        }
+      id -> (n.toLong, if (n == 0) 1L else 0L)
+    }.toMap
+    assert(got.map { case (id, (_, n, k)) => id -> (n, k) } === naive)
+
+    assert(run(corpus.repartition(7)) === got)
+  }
 }
