@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.ext.Similarity
+import graft.functions.ArrayOps
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming ingest → semantic near-dedup loop: the incremental twin of
+  * [[graft.ext.Similarity.semanticDedup]], the same shape [[DocIngest]]
+  * gives MinHash dedup. A file stream of embeddings lands through
+  * `foreachBatch`; each micro-batch is assigned to FROZEN k-means
+  * centroids (model state fitted once, like any deployed clustering) and
+  * compared against the accumulated item store WITHIN its cluster only —
+  * new × all, never all × all; the corpus is never re-scanned.
+  *
+  * The verdict rule is first-seen-wins: an item is dropped iff a
+  * smaller-id item of the same cluster already in (store ∪ this batch)
+  * exceeds the exact fixed-point similarity threshold. A verdict is FINAL
+  * at ingest — a later near-dup can never retroactively drop an earlier
+  * item, which is exactly what an append-only pipeline needs. When ids
+  * arrive in nondecreasing order the accumulated result equals the batch
+  * [[Similarity.semanticDedup]] over the same corpus bit-for-bit
+  * (StreamingSpec asserts it); under arbitrary arrival order the rule is
+  * the arrival-order variant of the paper's keep-one choice — the kept
+  * SET differs only inside duplicate groups, the freedom SemDeDup grants.
+  *
+  * State is one parquet dir `storeDir/items` (vec_id, cid, w,
+  * n_neardup_prior, kept), hash-partitioned by `batch_id`. Idempotency
+  * under at-least-once `foreachBatch` replay: writes dynamic-partition
+  * OVERWRITE the batch's own `batch_id=N` partition and reads exclude the
+  * current batch id, so a replay recomputes against exactly the pre-batch
+  * state and replaces its earlier output ([[DocIngest]]'s contract).
+  *
+  * At 100 TB/day rates the per-batch work is |batch| scaled-image
+  * computations, one broadcast centroid assignment, and one equi-join on
+  * the cluster key against a store partitioned the same way — the
+  * quadratic step stays confined within clusters, bounded by the fit's k.
+  */
+object EmbIngest {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Start the ingest stream. `centroids` is the frozen fit — a
+    * `(cid, cv)` frame from [[Similarity.kmeansFixedCentroids]]; its
+    * (tiny, model-state) rows are collected once here and re-broadcast
+    * into every micro-batch. */
+  def start(
+      spark: SparkSession,
+      inDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      centroids: DataFrame,
+      simThresholdFixed: Long): StreamingQuery = {
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    spark.readStream.schema(embSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, storeDir, cents, simThresholdFixed, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  private def storeExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One micro-batch: assign the new vectors, count smaller-id in-cluster
+    * near-dups against (store ∪ new), overwrite this batch's partition. */
+  def ingestBatch(batch: DataFrame, storeDir: String,
+      cents: Seq[(Long, Seq[Long])], simThresholdFixed: Long,
+      batchId: Long = 0L): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val cDf = cents.toDF("cid", "cv")
+    val assigned = Similarity
+      .assignFixed(batch, "vec_id", "embedding", cDf)
+      .localCheckpoint(eager = true) // one image+assignment pass, read 3×
+
+    // exclude the current batch id: a replayed batch must see the
+    // pre-batch store, not its own earlier partial output
+    val prior: Option[DataFrame] =
+      if (storeExists(spark, s"$storeDir/items"))
+        Some(spark.read.parquet(s"$storeDir/items")
+          .filter(col("batch_id") =!= batchId)
+          .select(col("vec_id").as("id"), col("cid"), col("w")))
+      else None
+    val all = prior
+      .map(_.unionByName(assigned)).getOrElse(assigned)
+
+    val n = assigned.as("b").join(all.as("a"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(ArrayOps.dot(col("a.w"), col("b.w")) > lit(simThresholdFixed))
+      .groupBy(col("b.id").as("id"))
+      .agg(count(lit(1)).as("n_neardup_prior"))
+
+    assigned.join(n, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cid"), col("w"),
+        coalesce(col("n_neardup_prior"), lit(0L)).as("n_neardup_prior"))
+      .withColumn("kept", (col("n_neardup_prior") === 0L).cast("long"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$storeDir/items")
+  }
+
+  /** The accumulated verdicts — [[Similarity.semanticDedup]]'s schema
+    * (empty frame if nothing ingested). */
+  def result(spark: SparkSession, storeDir: String): DataFrame =
+    if (storeExists(spark, s"$storeDir/items"))
+      spark.read.parquet(s"$storeDir/items")
+        .select("vec_id", "cid", "n_neardup_prior", "kept")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("vec_id", "cid", "n_neardup_prior", "kept")
+    }
+}

@@ -238,6 +238,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch embedding ingest → incremental semantic dedup equals the batch dedup") {
+    import graft.ext.Similarity
+    import graft.streaming.EmbIngest
+    val tau = 300000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("embingest").toString
+    val inDir = s"$tmp/in"; val storeDir = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(inDir).mkdirs()
+
+    // planted exact copies under higher ids guarantee cross-batch drops
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpus = emb.select($"vec_id", $"embedding", $"label")
+      .unionByName(emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label"))
+      .cache()
+    // the frozen model state: the same fit the batch twin memoises
+    val cents = Similarity.kmeansFixedCentroids(
+      corpus, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+
+    val bounds = Seq((Long.MinValue, 20L), (20L, 40L), (40L, Long.MaxValue))
+    val q = EmbIngest.start(spark, inDir, storeDir, ckpt, cents, tau)
+    try {
+      // id-ordered chunks: first-seen-wins must equal batch min-id-wins
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val staging = s"$tmp/stage$i"
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi)
+          .coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$inDir/chunk$i.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val read = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val streamed = read(EmbIngest.result(spark, storeDir))
+    val batch = read(Similarity.semanticDedup(corpus, "vec_id", "embedding", tau))
+    assert(batch.values.exists(_._3 == 0L), "fixture should contain drops")
+    assert(streamed === batch)
+
+    // at-least-once replay: re-running the LAST micro-batch with its own
+    // batchId must overwrite its earlier output, not append a second copy
+    val cSeq = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    EmbIngest.ingestBatch(spark.read.parquet(s"$inDir/chunk2.parquet"),
+      storeDir, cSeq, tau, batchId = 2L)
+    val replayed = EmbIngest.result(spark, storeDir)
+    assert(replayed.count() == streamed.size, "replay appended instead of overwriting")
+    assert(read(replayed) === streamed)
+  }
+
   test("foreachBatch ingest → incremental near-dedup equals the batch dedup") {
     import graft.streaming.DocIngest
     val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
