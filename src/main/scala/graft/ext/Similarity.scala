@@ -377,9 +377,17 @@ object Similarity {
       simThresholdFixed: Long,
       nCentroids: Int = 16,
       iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val assigned = assignFixed(emb, idCol, vecCol,
+      seed: Long = 42L,
+      checkpointAssigned: Boolean = true): DataFrame = {
+    val assignedRaw = assignFixed(emb, idCol, vecCol,
       kmeansFixedCentroids(emb, idCol, vecCol, nCentroids, iters, seed))
+    // three consumers (the verdict frame + both pair-join sides) would
+    // each recompute the corpus-wide scan + assignment — materialise it
+    // once; `false` keeps the pipeline lazy for plan audits (PlanDump
+    // shows the executed shape, the same arrangement as q44's lazy twin)
+    val assigned =
+      if (checkpointAssigned) assignedRaw.localCheckpoint(eager = true)
+      else assignedRaw
     val prior = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .filter(ArrayOps.dot(col("a.w"), col("b.w")) > lit(simThresholdFixed))

@@ -233,4 +233,20 @@ class SimilaritySpec extends SparkSpec {
 
     assert(run(corpus.repartition(7)) === got)
   }
+
+  test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
+    val plan = Similarity
+      .semanticDedup(emb, "vec_id", "embedding",
+        simThresholdFixed = 300000000000L, checkpointAssigned = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "corpus-level all-pairs leaked into the plan")
+    // the pair self-join keys on cid with the threshold + id< as residual
+    // join predicates (not a post-filter over generated pairs)
+    val pairJoin = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("cid#"))
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+      .toSeq
+    assert(pairJoin.exists(l => l.contains("graft_dot") && l.contains("<")),
+      s"pair join does not carry the residual predicates:\n$plan")
+  }
 }
