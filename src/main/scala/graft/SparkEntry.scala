@@ -789,6 +789,13 @@ r2o AS (
     // vocabulary (real pipelines use ~50); the plan is k-independent.
     "q67_dup_spans" -> ((s, dir) =>
       graft.ext.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+    // the apply half of q67: cut every corpus-duplicated 8-token span
+    // out of the documents (Lee et al. 2021's ExactSubstr removal) —
+    // merged intervals per doc via one gaps-and-islands pass over dup
+    // starts, then a single index-aware HOF filter over the token array;
+    // the cleaned text itself is hash-compared against the oracle
+    "q69_dup_span_removal" -> ((s, dir) =>
+      graft.ext.Dedup.dupSpanRemove(t(s, dir, "documents"), "doc_id", "text", k = 8)),
     // semantic dedup (SemDeDup, Abbas et al. 2023): k-means-clustered
     // embedding space, min-id-wins drop above an exact fixed-point
     // similarity threshold. τ = 0.30×10¹² is aggressive for the
@@ -1602,6 +1609,38 @@ r2o AS (
         |  COALESCE(c.covered_tok, 0) AS covered_tok,
         |  CAST(COALESCE(c.covered_tok, 0) * 1000000 // s.n_tok AS BIGINT) AS dup_ppm
         |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    "q69_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |base AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok FROM toks WHERE len(ts) > 0),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ts) - 7)) AS i, ts
+        |  FROM toks WHERE len(ts) >= 8),
+        |grams AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM pos),
+        |dup AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM grams)
+        |  WHERE c > 1),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM dup)),
+        |grp AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM isl),
+        |iv AS (SELECT doc_id, MIN(i) AS lo, MAX(i) + 7 AS hi FROM grp GROUP BY doc_id, g),
+        |tok1 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base),
+        |keep AS (
+        |  SELECT t.doc_id, t.i, t.ts[t.i] AS tok
+        |  FROM tok1 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = t.doc_id AND t.i BETWEEN iv.lo AND iv.hi)),
+        |clean AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |  FROM keep GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tok,
+        |  CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(c.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN clean c USING (doc_id)""".stripMargin,
     // replays the fixed-point Lloyd's fit (kmeansFixedCtes), then the
     // within-cluster min-id-wins drop over the exact shift-removed dot
     "q68_semantic_dedup" ->

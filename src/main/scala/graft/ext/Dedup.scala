@@ -660,19 +660,8 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span length must be >= 2: $k")
     import org.apache.spark.sql.expressions.Window
-    val base = docs
-      .select(col(idCol), tokens(col(textCol)).as("__ts"))
-      .withColumn("__n", size(col("__ts")).cast("long"))
-      .filter(col("__n") > 0)
-    val grams = base
-      .filter(col("__n") >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), (col("__n") - (k - 1)).cast("int")),
-        i => concat_ws(" ", slice(col("__ts"), i, lit(k))))))
-      .select(col(idCol), (col("pos") + 1).as("__i"), col("col").as("__gram"))
-    val dup = grams
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gram"))))
-      .filter(col("__c") > 1)
+    val base = spanBase(docs, idCol, textCol)
+    val dup = dupStarts(base, idCol, k)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
     val prev = lag(col("__i"), 1).over(byDoc)
     val cov = dup
@@ -687,5 +676,76 @@ object Dedup {
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
         coalesce(col("covered_tok"), lit(0L)).as("covered_tok"))
       .withColumn("dup_ppm", expr("covered_tok * 1000000 div n_tok"))
+  }
+
+  /** Tokenised non-empty documents: `(id, __ts, __n)`. */
+  private def spanBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .filter(col("__n") > 0)
+
+  /** Start positions (1-based `__i`) of k-grams occurring more than once
+    * in the corpus — the shared front half of [[dupSpanStats]] and
+    * [[dupSpanRemove]]. Grams materialise per-row via a HOF `transform`
+    * (each exploded row carries one k-token string, never the whole
+    * array); the corpus-wide occurrence count is the one gram-key
+    * exchange. */
+  private def dupStarts(base: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = base
+      .filter(col("__n") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), (col("__n") - (k - 1)).cast("int")),
+        i => concat_ws(" ", slice(col("__ts"), i, lit(k))))))
+      .select(col(idCol), (col("pos") + 1).as("__i"), col("col").as("__gram"))
+    grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gram"))))
+      .filter(col("__c") > 1)
+      .select(col(idCol), col("__i"))
+  }
+
+  /** Exact duplicated-span REMOVAL — the apply half of [[dupSpanStats]]
+    * (Lee et al. 2021's ExactSubstr deduplication: cut every span of k
+    * tokens that occurs more than once in the corpus out of the
+    * documents). Per non-empty document: the original token count, the
+    * kept token count, and the cleaned text (tokens outside every merged
+    * duplicated interval, joined by single spaces — tokenisation is
+    * [[tokens]], the same normal form the stats tier counts).
+    *
+    * The duplicated [p, p+k-1] spans are merged into maximal intervals
+    * with one gaps-and-islands pass (lag + running sum over dup starts
+    * only — a small fraction of the corpus), aggregated into a per-doc
+    * interval LIST (merged intervals are few by construction: each is
+    * ≥ k tokens and they are disjoint, so a doc holds at most
+    * ⌈n_tok/(k+1)⌉); the cut itself is then a single index-aware HOF
+    * `filter` over the token array — no second explode of the corpus,
+    * no join back per token. Exact-integer everything; hash-exact
+    * against the SQL oracle (q69). */
+  def dupSpanRemove(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span length must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = spanBase(docs, idCol, textCol)
+    val dup = dupStarts(base, idCol, k)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val prev = lag(col("__i"), 1).over(byDoc)
+    // islands: a start > prev + k opens a new merged interval (same-length
+    // intervals ⇒ the running max end is prev + k - 1)
+    val islands = dup
+      .withColumn("__brk",
+        when(prev.isNull || col("__i") - prev > k, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__grp", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__i")).as("lo"), (max(col("__i")) + (k - 1)).as("hi"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("__iv"))
+    base.join(islands, Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__iv").isNull, col("__ts")).otherwise(
+          filter(col("__ts"), (_, i) =>
+            !exists(col("__iv"), s =>
+              i + 1 >= s.getField("lo") && i + 1 <= s.getField("hi")))))
+      .select(col(idCol), col("__n").as("n_tok"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
   }
 }

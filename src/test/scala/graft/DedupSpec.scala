@@ -199,4 +199,37 @@ class DedupSpec extends SparkSpec {
     assert(got === naive)
     assert(run(fixture.repartition(7)) === got)
   }
+
+  test("dupSpanRemove: equals a naive cut, coverage-consistent with dupSpanStats") {
+    val k = 8
+    val fixture = Tables.load(spark, sf(), "documents")
+    val got = Dedup.dupSpanRemove(fixture, "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+
+    val toks = fixture.select($"doc_id", Dedup.tokens($"text").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    val starts = toks.map { case (id, ts) =>
+      id -> (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" "))
+    }
+    starts.values.flatten.foreach(g => gramCount(g) = gramCount.getOrElse(g, 0) + 1)
+    val naive = toks.collect { case (id, ts) if ts.nonEmpty =>
+      val covered = starts(id).zipWithIndex
+        .collect { case (g, p) if gramCount(g) > 1 => p }
+        .flatMap(p => p until p + k).toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered.contains(i) => t }
+      id -> (ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toMap
+    assert(naive.exists { case (_, (n, kept, _)) => kept < n }, "no spans were cut")
+    assert(got === naive)
+
+    // the apply tier removes exactly what the stats tier counts
+    val coveredTok = Dedup.dupSpanStats(fixture, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept == coveredTok(id), s"doc $id: cut ${n - kept} != counted ${coveredTok(id)}")
+    }
+  }
 }
