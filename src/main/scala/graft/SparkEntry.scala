@@ -789,6 +789,13 @@ r2o AS (
     // vocabulary (real pipelines use ~50); the plan is k-independent.
     "q67_dup_spans" -> ((s, dir) =>
       graft.ext.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+    // DSIR-shaped data selection (Xie et al. 2023): score each doc by
+    // its hashed-unigram profile vs the 'en' target slice — the add-one
+    // smoothed target/raw ratio per bin in scaled integers (log-free,
+    // so a second engine hash-matches where a float log-sum never could)
+    "q70_dsir_weights" -> ((s, dir) =>
+      graft.ext.Selection.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")),
     // the apply half of q67: cut every corpus-duplicated 8-token span
     // out of the documents (Lee et al. 2021's ExactSubstr removal) —
     // merged intervals per doc via one gaps-and-islands pass over dup
@@ -1609,6 +1616,28 @@ r2o AS (
         |  COALESCE(c.covered_tok, 0) AS covered_tok,
         |  CAST(COALESCE(c.covered_tok, 0) * 1000000 // s.n_tok AS BIGINT) AS dup_ppm
         |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    "q70_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok FROM toks WHERE len(ts) > 0),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(t) + 1),
+        |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 64 AS bin
+        |  FROM (SELECT doc_id, lang, unnest(ts) AS t FROM toks)),
+        |tf AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2),
+        |raw AS (SELECT bin, CAST(count(*) AS BIGINT) AS rawc FROM b GROUP BY 1),
+        |tgt AS (SELECT bin, CAST(count(*) AS BIGINT) AS tgtc FROM b WHERE lang = 'en' GROUP BY 1),
+        |w AS (
+        |  SELECT raw.bin, CAST((COALESCE(tgtc, 0) + 1) * 1000000 // (rawc + 1) AS BIGINT) AS w
+        |  FROM raw LEFT JOIN tgt USING (bin)),
+        |sc AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score FROM tf JOIN w USING (bin) GROUP BY 1)
+        |SELECT base.doc_id, base.n_tok, sc.score,
+        |  CAST(sc.score // base.n_tok AS BIGINT) AS score_per_tok
+        |FROM base JOIN sc USING (doc_id)""".stripMargin,
     "q69_dup_span_removal" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
