@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Token → bin is the same 31-base polynomial char hash the rolling
   * fingerprint tier uses (q39), mod `bins` — expressible in both engines
-  * exactly. At 100 TB: the explode feeds two map-side-combinable counts
-  * ((doc,bin) and (bin)); the weight table is O(bins) rows and
-  * broadcasts; nothing else shuffles beyond the per-doc aggregate. The
-  * per-token HOF hash interprets its lambda — at extreme scale swap in a
-  * JIT kernel like [[Dedup]]'s `prepUdf` (same hash, same plan). */
+  * exactly. At 100 TB: the corpus is tokenised+hashed ONCE into the
+  * per-doc bin counts (one map-side-combinable exchange; ≤ `bins` rows
+  * per doc), from which the O(bins) weight table derives in a tiny
+  * second aggregate and broadcasts into the scoring join — nothing else
+  * shuffles beyond the per-doc aggregate. The per-token HOF hash
+  * interprets its lambda — at extreme scale swap in a JIT kernel like
+  * [[Dedup]]'s `prepUdf` (same hash, same plan). */
 object Selection {
 
   /** 31-base polynomial hash of a token mod `bins` — nonnegative, so
@@ -41,36 +43,44 @@ object Selection {
 
   /** DSIR-shaped importance scores. `targetPred` marks the target slice
     * (e.g. `col("lang") === "en"`); every non-empty document gets
-    * `(idCol, n_tok, score, score_per_tok)`, all exact integers. */
+    * `(idCol, n_tok, score, score_per_tok)`, all exact integers.
+    *
+    * The corpus is tokenised and hashed exactly ONCE: the per-doc bin
+    * counts `(doc, tgt, bin, tf)` — at most `bins` rows per document,
+    * far smaller than the token stream — are materialised behind an
+    * eager localCheckpoint and feed BOTH the O(bins) weight aggregate
+    * and the scoring join (lazy, both would re-run the explode+hash
+    * pass; `checkpointTf=false` keeps the pipeline lazy for plan
+    * audits). */
   def dsirWeights(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       targetPred: Column,
-      bins: Int = 64): DataFrame = {
+      bins: Int = 64,
+      checkpointTf: Boolean = true): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
-    val toks = docs
+    val binned = docs
       .select(col(idCol), targetPred.as("__tgt"),
-        Dedup.tokens(col(textCol)).as("__ts"))
-      .withColumn("__n", size(col("__ts")).cast("long"))
-      .filter(col("__n") > 0)
-    val binned = toks
-      .select(col(idCol), col("__tgt"), explode(col("__ts")).as("__tok"))
+        explode(Dedup.tokens(col(textCol))).as("__tok"))
       .select(col(idCol), col("__tgt"), tokenBin(col("__tok"), bins).as("__bin"))
-    val tf = binned.groupBy(col(idCol), col("__bin"))
+    val tfRaw = binned.groupBy(col(idCol), col("__tgt"), col("__bin"))
       .agg(count(lit(1)).as("__tf"))
-    val raw = binned.groupBy(col("__bin"))
-      .agg(count(lit(1)).as("__raw"))
-    val tgt = binned.filter(col("__tgt"))
-      .groupBy(col("__bin")).agg(count(lit(1)).as("__tgtc"))
-    val w = raw.join(tgt, Seq("__bin"), "left")
+    val tf = if (checkpointTf) tfRaw.localCheckpoint(eager = true) else tfRaw
+    val w = tf.groupBy(col("__bin"))
+      .agg(sum(col("__tf")).as("__raw"),
+        sum(when(col("__tgt"), col("__tf")).otherwise(lit(0L))).as("__tgtc"))
       .select(col("__bin"),
-        expr("(coalesce(__tgtc, 0L) + 1L) * 1000000L div (__raw + 1L)").as("__w"))
-    val score = tf.join(broadcast(w), Seq("__bin"))
+        expr("(__tgtc + 1L) * 1000000L div (__raw + 1L)").as("__w"))
+    // every bin in tf is in w (w derives from tf), so the inner join
+    // keeps every row and sum(__tf) recovers the doc's token count —
+    // empty-token docs vanish at the explode, matching the n_tok > 0
+    // contract without a second corpus scan
+    tf.join(broadcast(w), Seq("__bin"))
       .groupBy(col(idCol))
-      .agg(sum(col("__tf") * col("__w")).as("score"))
-    toks.select(col(idCol), col("__n").as("n_tok"))
-      .join(score, Seq(idCol))
-      .withColumn("score_per_tok", expr("score div n_tok"))
+      .agg(sum(col("__tf")).as("n_tok"),
+        sum(col("__tf") * col("__w")).as("score"))
+      .select(col(idCol), col("n_tok"), col("score"),
+        expr("score div n_tok").as("score_per_tok"))
   }
 }
