@@ -232,4 +232,68 @@ class DedupSpec extends SparkSpec {
       assert(n - kept == coveredTok(id), s"doc $id: cut ${n - kept} != counted ${coveredTok(id)}")
     }
   }
+
+  test("dupSpan family: random corpora with planted spans match the naive replay") {
+    val k = 4
+    for (seed <- Seq(11L, 42L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 20).map(i => s"w$i")
+      // random docs incl. sub-k and empty; then plant structure:
+      // cross-doc window copies and one wholesale duplicate
+      val base = (0 until 30).map { id =>
+        id.toLong -> Vector.fill(rnd.nextInt(41))(vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val planted = {
+        var m = base
+        for (_ <- 0 until 6) {
+          val from = rnd.nextInt(30).toLong
+          val to = rnd.nextInt(30).toLong
+          val src = m(from)
+          if (src.length >= k && from != to) {
+            val p = rnd.nextInt(src.length - k + 1)
+            val ins = rnd.nextInt(m(to).length + 1)
+            m = m.updated(to, m(to).patch(ins, src.slice(p, p + k), 0))
+          }
+        }
+        m.updated(30L, m(rnd.nextInt(30).toLong)) // wholesale copy
+      }
+      val df = spark.createDataFrame(
+        planted.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) })
+        .toDF("doc_id", "text")
+
+      // naive replay over the token vectors
+      val gramCount = scala.collection.mutable.Map.empty[String, Int]
+      val starts = planted.map { case (id, ts) =>
+        id -> (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" "))
+      }
+      starts.values.flatten.foreach(g => gramCount(g) = gramCount.getOrElse(g, 0) + 1)
+      def coveredOf(id: Long): Set[Int] = starts(id).zipWithIndex
+        .collect { case (g, p) if gramCount(g) > 1 => p }
+        .flatMap(p => p until p + k).toSet
+      val nonEmpty = planted.filter(_._2.nonEmpty)
+      val naiveStats = nonEmpty.map { case (id, ts) =>
+        val c = coveredOf(id)
+        val dupStarts = starts(id).zipWithIndex.count { case (g, _) => gramCount(g) > 1 }
+        id -> (ts.length.toLong, dupStarts.toLong, c.size.toLong,
+          c.size.toLong * 1000000L / ts.length)
+      }
+      val naiveClean = nonEmpty.map { case (id, ts) =>
+        val c = coveredOf(id)
+        val kept = ts.zipWithIndex.collect { case (t, i) if !c.contains(i) => t }
+        id -> (ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }
+      assert(naiveStats.exists(_._2._3 > 0), s"seed $seed planted no duplicates")
+
+      val gotStats = Dedup.dupSpanStats(df, "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val gotClean = Dedup.dupSpanRemove(df, "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(gotStats === naiveStats, s"stats diverged at seed $seed")
+      assert(gotClean === naiveClean, s"removal diverged at seed $seed")
+    }
+  }
 }
