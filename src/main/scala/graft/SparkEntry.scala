@@ -789,6 +789,13 @@ r2o AS (
     // vocabulary (real pipelines use ~50); the plan is k-independent.
     "q67_dup_spans" -> ((s, dir) =>
       graft.ext.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+    // k-NN graph construction over the fixed-point IVF: every vector's
+    // top-10 neighbors through its nProbe=4 probed centroid lists —
+    // |V|·nProbe·listsize candidate pairs, never all-pairs; the fit,
+    // probe selection, and exact-cosine ranking all replay in the oracle
+    "q71_knn_graph" -> ((s, dir) =>
+      graft.ext.Similarity.knnGraphFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
     // DSIR-shaped data selection (Xie et al. 2023): score each doc by
     // its hashed-unigram profile vs the 'en' target slice — the add-one
     // smoothed target/raw ratio per bin in scaled integers (log-free,
@@ -1616,6 +1623,21 @@ r2o AS (
         |  COALESCE(c.covered_tok, 0) AS covered_tok,
         |  CAST(COALESCE(c.covered_tok, 0) * 1000000 // s.n_tok AS BIGINT) AS dup_ppm
         |FROM stats s LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    // per-vector probe ranking references c3 = the last Lloyd's CTE
+    // (kmeansFixedIters = 3); asg/si/s come from the shared fit replay
+    "q71_knn_graph" ->
+      s"""WITH $kmeansFixedCtes,
+        |pr AS (SELECT id, cid FROM (
+        |  SELECT si.id, c3.cid,
+        |    row_number() OVER (PARTITION BY si.id ORDER BY 2 * list_dot_product(si.vi, c3.cv) - list_dot_product(c3.cv, c3.cv) DESC, c3.cid) AS rk
+        |  FROM si CROSS JOIN c3) WHERE rk <= 4),
+        |cand AS (
+        |  SELECT p.id AS qid, a.id AS nid, list_cosine_similarity(q.v, a.v) AS sim
+        |  FROM pr p JOIN asg a ON a.cid = p.cid AND a.id <> p.id
+        |  JOIN s q ON q.id = p.id)
+        |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM cand)
+        |WHERE rk <= 10""".stripMargin,
     "q70_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),

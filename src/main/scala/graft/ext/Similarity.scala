@@ -400,6 +400,58 @@ object Similarity {
       .withColumn("kept", (col("n_neardup_prior") === 0L).cast("long"))
   }
 
+  /** k-NN graph construction over the fixed-point IVF — every vector's
+    * top-k neighbors in one pass (the building block NN-descent-style
+    * refinement, graph-based ANN, and SemDeDup duplicate-set analysis
+    * start from; q45 serves ONE query, this serves all |V| of them).
+    * One broadcast-centroid window ranks each vector's centroids ONCE
+    * and yields both its assignment (rank 1) and its `nProbe` probe
+    * lists; candidates are then probes ⨝ inverted lists on the CLUSTER
+    * key — |V|·nProbe·(|V|/k̄) pairs, never all-pairs — ranked by exact
+    * cosine over the raw doubles (the same per-row fixed-order reduction
+    * q35/q42/q45 hash-verify) with id tiebreak, top-k per vector kept by
+    * a WindowGroupLimit-planned rank. Fit, probes, and ranking all
+    * replay in the DuckDB oracle (q71). */
+  def knnGraphFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val cents = kmeansFixedCentroids(emb, idCol, vecCol, nCentroids, iters, seed)
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+    // one centroid ranking serves both roles: rk == 1 is the vector's
+    // inverted-list assignment, rk <= nProbe are its probe targets
+    val ranked = s.crossJoin(broadcast(cents))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= math.max(1, nProbe))
+      .select(col("id"), col("v"), col("cid"), col("rk"))
+      .localCheckpoint(eager = true) // read twice (lists + probes)
+    val lists = ranked.filter(col("rk") === 1)
+      .select(col("cid"), col("id").as("nid"), col("v").as("nv"))
+    val probes = ranked
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
+    val rankW = Window.partitionBy("qid").orderBy(desc("s"), asc("nid"))
+    probes.join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        ArrayOps.cosine(col("qv"), col("nv")).as("s"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("nbr_id"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Fixed-point centroid assignment + shift-removed scaled image:
     * `(id, cid, w)` — the shared front half of [[semanticDedup]] and its
     * incremental streaming twin ([[graft.streaming.EmbIngest]]). `cents`

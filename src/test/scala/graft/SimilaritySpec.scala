@@ -234,6 +234,41 @@ class SimilaritySpec extends SparkSpec {
     assert(run(corpus.repartition(7)) === got)
   }
 
+  test("knnGraphFixed: ranks are cosine-monotone, bounded, partition-independent") {
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.knnGraphFixed(df, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(emb)
+    val ids = emb.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet.subsetOf(ids))
+    assert(byQ.size > ids.size / 2, "most vectors should have neighbors")
+
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.toSeq.sortBy(_._3)
+      assert(sorted.map(_._3) == (1L to sorted.size.toLong), s"ranks of $q not contiguous")
+      assert(sorted.map(_._2).distinct.size == sorted.size, s"duplicate neighbor for $q")
+      assert(!sorted.exists(_._2 == q), s"$q is its own neighbor")
+      assert(sorted.size <= 5)
+      // rank order must agree with exact cosine (id tiebreak)
+      sorted.sliding(2).foreach {
+        case Seq((_, n1, _), (_, n2, _)) =>
+          val (s1, s2) = (cos(vecs(q), vecs(n1)), cos(vecs(q), vecs(n2)))
+          assert(s1 > s2 || (s1 == s2 && n1 < n2),
+            s"rank inversion for $q: $n1 ($s1) before $n2 ($s2)")
+        case _ =>
+      }
+    }
+    assert(run(emb.repartition(7)) === got)
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
