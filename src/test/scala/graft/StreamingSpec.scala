@@ -291,6 +291,69 @@ class StreamingSpec extends SparkSpec {
     assert(read(replayed) === streamed)
   }
 
+  test("embedding ingest out of id order: verdicts follow the documented store-rule") {
+    import graft.ext.Similarity
+    import graft.streaming.EmbIngest
+    val tau = 300000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("embooo").toString
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpus = emb.select($"vec_id", $"embedding", $"label")
+      .unionByName(emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label"))
+      .cache()
+    val cents = Similarity.kmeansFixedCentroids(
+      corpus, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+    val cSeq = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+
+    // chunks deliberately NOT in id order: the copies (highest ids) and
+    // the high fixture ids arrive FIRST
+    val chunkPred = Seq(
+      $"vec_id" >= 40L, $"vec_id" < 20L, $"vec_id".between(20L, 39L))
+    chunkPred.zipWithIndex.foreach { case (p, i) =>
+      EmbIngest.ingestBatch(corpus.filter(p), s"$tmp/store", cSeq, tau, batchId = i.toLong)
+    }
+    val got = EmbIngest.result(spark, s"$tmp/store")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == corpus.count())
+
+    // naive replay of the documented rule: an item is dropped iff a
+    // SMALLER-ID item of its cluster in (already-stored ∪ same batch)
+    // exceeds tau; verdicts are final at ingest
+    val ws = corpus.select($"vec_id",
+        transform(graft.functions.ArrayOps.l2normalize($"embedding".cast("array<double>")),
+          x => floor(x * lit(1000000.0))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val cid = got.map { case (id, (c, _, _)) => id -> c }
+    def sim(a: Long, b: Long): Long =
+      ws(a).indices.map(d => ws(a)(d) * ws(b)(d)).sum
+    val allIds = corpus.select($"vec_id").collect().map(_.getLong(0))
+    val chunks = Seq(
+      allIds.filter(_ >= 40L), allIds.filter(_ < 20L),
+      allIds.filter(id => id >= 20L && id <= 39L))
+    var store = Set.empty[Long]
+    val naive = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    chunks.foreach { chunk =>
+      val visible = store ++ chunk
+      chunk.foreach { b =>
+        val n = visible.count(a =>
+          a < b && cid(a) == cid(b) && sim(a, b) > tau).toLong
+        naive(b) = (cid(b), n, if (n == 0) 1L else 0L)
+      }
+      store ++= chunk
+    }
+    // the order dependence this test pins: a copy that arrives BEFORE
+    // its original is judged without it (the original's smaller id is
+    // not yet in the store), and the original is never dropped by the
+    // larger-id copy — so out of order BOTH survive, where id-ordered
+    // arrival (the parity test above) drops the copy
+    assert((0L until 5L).exists(src =>
+      naive(src)._3 == 1L && naive(src + 100000L)._3 == 1L),
+      "expected an early-arrived copy and its original to both survive")
+    assert(got === naive.toMap)
+  }
+
   test("foreachBatch ingest → incremental near-dedup equals the batch dedup") {
     import graft.streaming.DocIngest
     val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
