@@ -796,6 +796,12 @@ r2o AS (
     "q71_knn_graph" -> ((s, dir) =>
       graft.ext.Similarity.knnGraphFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // one NN-descent refinement round over q71's graph: re-rank
+    // (neighbors ∪ neighbors-of-neighbors) by exact cosine — the cheap
+    // recall lift; candidates ≤ k + k² per vector at any corpus size
+    "q72_knn_refine" -> ((s, dir) =>
+      graft.ext.Similarity.knnRefineFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
     // DSIR-shaped data selection (Xie et al. 2023): score each doc by
     // its hashed-unigram profile vs the 'en' target slice — the add-one
     // smoothed target/raw ratio per bin in scaled integers (log-free,
@@ -1071,6 +1077,26 @@ r2o AS (
        |    row_number() OVER (ORDER BY 2 * list_dot_product((SELECT vi FROM qi), $cLast.cv) - list_dot_product($cLast.cv, $cLast.cv) DESC, $cLast.cid) AS rk
        |  FROM $cLast) WHERE rk <= 4)""".stripMargin
   }
+
+  /** Appends to [[kmeansFixedCtes]] the per-vector IVF probe ranking
+    * (`pr`; references `c3`, the last Lloyd's CTE for
+    * `kmeansFixedIters` = 3) and the probed top-10 neighbor graph
+    * (`knn (qid, nid, rk)`) — q71's oracle, and the base graph q72's
+    * refinement oracle expands. */
+  private def knnCtes: String =
+    s"""$kmeansFixedCtes,
+      |pr AS (SELECT id, cid FROM (
+      |  SELECT si.id, c3.cid,
+      |    row_number() OVER (PARTITION BY si.id ORDER BY 2 * list_dot_product(si.vi, c3.cv) - list_dot_product(c3.cv, c3.cv) DESC, c3.cid) AS rk
+      |  FROM si CROSS JOIN c3) WHERE rk <= 4),
+      |kcand AS (
+      |  SELECT p.id AS qid, a.id AS nid, list_cosine_similarity(q.v, a.v) AS sim
+      |  FROM pr p JOIN asg a ON a.cid = p.cid AND a.id <> p.id
+      |  JOIN s q ON q.id = p.id),
+      |knn AS (
+      |  SELECT qid, nid, rk FROM (
+      |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM kcand)
+      |  WHERE rk <= 10)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1626,17 +1652,21 @@ r2o AS (
     // per-vector probe ranking references c3 = the last Lloyd's CTE
     // (kmeansFixedIters = 3); asg/si/s come from the shared fit replay
     "q71_knn_graph" ->
-      s"""WITH $kmeansFixedCtes,
-        |pr AS (SELECT id, cid FROM (
-        |  SELECT si.id, c3.cid,
-        |    row_number() OVER (PARTITION BY si.id ORDER BY 2 * list_dot_product(si.vi, c3.cv) - list_dot_product(c3.cv, c3.cv) DESC, c3.cid) AS rk
-        |  FROM si CROSS JOIN c3) WHERE rk <= 4),
-        |cand AS (
-        |  SELECT p.id AS qid, a.id AS nid, list_cosine_similarity(q.v, a.v) AS sim
-        |  FROM pr p JOIN asg a ON a.cid = p.cid AND a.id <> p.id
-        |  JOIN s q ON q.id = p.id)
+      s"""WITH $knnCtes
+        |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk
+        |FROM knn""".stripMargin,
+    "q72_knn_refine" ->
+      s"""WITH $knnCtes,
+        |two AS (
+        |  SELECT e1.qid AS qid, e2.nid AS nid FROM knn e1
+        |  JOIN knn e2 ON e1.nid = e2.qid WHERE e1.qid <> e2.nid),
+        |rcand AS (SELECT DISTINCT qid, nid FROM (
+        |  SELECT qid, nid FROM knn UNION ALL SELECT qid, nid FROM two)),
+        |rsc AS (
+        |  SELECT c.qid, c.nid, list_cosine_similarity(q.v, n.v) AS sim
+        |  FROM rcand c JOIN s q ON q.id = c.qid JOIN s n ON n.id = c.nid)
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM cand)
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
     "q70_dsir_weights" ->
       """WITH toks AS (

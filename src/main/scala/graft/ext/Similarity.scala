@@ -452,6 +452,51 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** One NN-descent-style refinement round (Dong et al., "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures", 2011) over [[knnGraphFixed]]'s probed graph: each vector
+    * re-ranks (its neighbors ∪ its neighbors' neighbors) by exact cosine
+    * and keeps the top k — the standard cheap recall lift, because a
+    * true neighbor missed by the probes is very often a neighbor OF a
+    * found neighbor. Deterministic and oracle-replayed end-to-end (q72);
+    * SimilaritySpec asserts recall against brute force never decreases.
+    *
+    * Scale shape: the expansion is a self-join of the k·|V|-row edge
+    * list on the neighbor key (2 exchanges over edges, never over
+    * vectors), the re-rank joins the candidate list back to the vector
+    * table on each side, and the per-vector top-k again plans as
+    * WindowGroupLimit. Candidates per vector are ≤ k + k² regardless of
+    * corpus size. */
+  def knnRefineFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = knnGraphFixed(emb, idCol, vecCol, k, nCentroids, nProbe, iters, seed)
+      .select(col("vec_id").as("qid"), col("nbr_id").as("nid"))
+      .localCheckpoint(eager = true) // read twice by the 2-hop expansion
+    val two = e.as("e1").join(e.as("e2"), col("e1.nid") === col("e2.qid"))
+      .select(col("e1.qid").as("qid"), col("e2.nid").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+    val cand = e.unionByName(two).distinct()
+    val v = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val rankW = Window.partitionBy("qid").orderBy(desc("s"), asc("nid"))
+    cand.join(v.select(col("id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(v.select(col("id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        ArrayOps.cosine(col("qv"), col("nv")).as("s"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("nbr_id"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Fixed-point centroid assignment + shift-removed scaled image:
     * `(id, cid, w)` — the shared front half of [[semanticDedup]] and its
     * incremental streaming twin ([[graft.streaming.EmbIngest]]). `cents`

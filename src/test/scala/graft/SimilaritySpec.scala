@@ -269,6 +269,35 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb.repartition(7)) === got)
   }
 
+  test("knnRefineFixed: refinement never lowers brute-force recall") {
+    val k = 5
+    val read = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val base = read(Similarity.knnGraphFixed(emb, "vec_id", "embedding", k))
+    val refined = read(Similarity.knnRefineFixed(emb, "vec_id", "embedding", k))
+
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val brute = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(k).toSet
+    }.toMap
+    def recall(g: Map[Long, Set[Long]]): Int =
+      brute.keys.toSeq.map(q => g.getOrElse(q, Set.empty).intersect(brute(q)).size).sum
+    val (rBase, rRef) = (recall(base), recall(refined))
+    info(s"recall sum vs brute: base $rBase, refined $rRef of ${brute.size * k}")
+    assert(rRef >= rBase, s"refinement lowered recall: $rBase -> $rRef")
+    refined.foreach { case (q, ns) =>
+      assert(ns.size <= k && !ns.contains(q))
+    }
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
