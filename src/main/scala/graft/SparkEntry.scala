@@ -802,6 +802,29 @@ r2o AS (
     "q72_knn_refine" -> ((s, dir) =>
       graft.ext.Similarity.knnRefineFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // triangle counts + local clustering coefficient (scaled-integer)
+    // over the part co-purchase graph (parts sharing an order) — degree
+    // orientation bounds wedge fan-out by O(√|E|) (arboricity), so the
+    // plan survives power-law hubs; oracle replays the same orientation
+    "q74_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.graph.Analytics.triangleStats(pairs)
+    }),
+    // fixed-point PageRank (3 damped rounds, scaled integers) over the
+    // part↔supplier purchase graph — disjoint even/odd node id spaces,
+    // symmetrized distinct edges, dangling mass dropped; the oracle
+    // replays the exact recurrence with unrolled CTEs
+    "q73_pagerank" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      graft.graph.Analytics.pageRankFixed(
+        fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
     // DSIR-shaped data selection (Xie et al. 2023): score each doc by
     // its hashed-unigram profile vs the 'en' target slice — the add-one
     // smoothed target/raw ratio per bin in scaled integers (log-free,
@@ -1668,6 +1691,52 @@ r2o AS (
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
+    // the same degree orientation (low-(deg,id) → high): wedges from
+    // each shared tail, closed against the oriented edge list
+    "q74_triangles" ->
+      """WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS id FROM pp UNION ALL SELECT b FROM pp) GROUP BY id),
+        |ed AS (SELECT pp.a, pp.b, da.deg AS da, db.deg AS db
+        |  FROM pp JOIN deg da ON da.id = pp.a JOIN deg db ON db.id = pp.b),
+        |o AS (SELECT
+        |  CASE WHEN da < db OR da = db THEN a ELSE b END AS u,
+        |  CASE WHEN da < db OR da = db THEN b ELSE a END AS v,
+        |  CASE WHEN da < db OR da = db THEN db ELSE da END AS dv FROM ed),
+        |wg AS (SELECT o1.u, o1.v, o2.v AS c FROM o o1 JOIN o o2
+        |  ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
+        |tr AS (SELECT wg.u, wg.v, wg.c FROM wg
+        |  JOIN o o3 ON o3.u = wg.v AND o3.v = wg.c),
+        |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM
+        |  (SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+        |   UNION ALL SELECT c FROM tr) GROUP BY id)
+        |SELECT deg.id AS node_id, deg.deg AS deg,
+        |  COALESCE(tc.tri, 0) AS tri_cnt,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN (2 * COALESCE(tc.tri, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+        |    ELSE 0 END AS cc_fp
+        |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin,
+    // 3 unrolled damped rounds of the exact integer recurrence
+    // r'(v) = 0.15·scale + Σ (17·r(u)) // (20·deg(u)), scale = 10^12;
+    // UNION ALL is dedup-safe: even/odd id spaces keep the flipped
+    // edges disjoint from the (already DISTINCT) forward ones
+    "q73_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT n.id, 150000000000 + COALESCE(s$i.c, 0) AS r FROM n LEFT JOIN (
+           |  SELECT e.dst AS id, CAST(SUM((17 * r${i - 1}.r) // (20 * d.deg)) AS BIGINT) AS c
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src JOIN d ON d.src = e.src
+           |  GROUP BY e.dst) s$i ON s$i.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ef AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM ef UNION ALL SELECT dst AS src, src AS dst FROM ef),
+         |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM n),
+         |$rounds
+         |SELECT id AS node_id, r AS rank_fp FROM r3""".stripMargin
+    },
     "q70_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),

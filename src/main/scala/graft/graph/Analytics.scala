@@ -1,0 +1,149 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over plain edge lists — the graph-measure tier
+  * that sits beside the learning pipeline (degree features, propagation)
+  * and serves corpus curation: rank-weighted sampling of a citation/link
+  * graph, connectivity summaries of the dedup graph, hub detection on
+  * the entity graph (reference: rel_db_to_graph builds exactly these
+  * FK-derived graphs, convert_to_graph.py:1-120; it computes degrees
+  * only — rank and triangles are the "beyond the reference" analytics a
+  * 100 TB curation pipeline asks of the same structure).
+  *
+  * Everything here follows the graft determinism contract: scaled-integer
+  * arithmetic only (no float accumulation), so every result is
+  * bit-replayable by a second engine — [[graft.SparkEntry]] replays the
+  * full recurrences in DuckDB (q73/q74) and the driver hash-compares. */
+object Analytics {
+
+  /** Fixed-point PageRank: `iters` synchronous rounds of
+    * `r'(v) = base + Σ_{u→v} (αN·r(u)) div (αD·outdeg(u))` over scaled
+    * integers, `base = (αD−αN)·scale div αD`, `r0 = scale` — the classic
+    * damped recurrence (Page et al. 1999) with the division floored per
+    * edge so the sum is an exact integer in any engine and any order.
+    * Dangling mass (nodes with no out-edges) is dropped, the standard
+    * simplification; nodes with no in-edges settle at `base`.
+    *
+    * Input is a DIRECTED edge list; multi-edges contribute once each
+    * (dedupe upstream if the graph is simple — q73 does). Returns
+    * `(node_id, rank_fp)` for every node appearing as src or dst.
+    *
+    * Overflow bound: a rank never exceeds the conserved total mass
+    * `|V|·scale`, so `αN·r` needs `αN·|V|·scale < 2^63` — at the default
+    * `scale=10^12` that holds to half a million nodes; at 10^9+ nodes
+    * pass `scale=10^6`. (Rank RESOLUTION is unaffected by |V|: ranks sit
+    * near `scale`, so 10^6 still carries 6 significant digits.)
+    *
+    * Scale shape: the edge frame joins its out-degree ONCE and is pinned
+    * behind an eager `localCheckpoint` (coalesced to the session's
+    * shuffle parallelism — see [[graft.learn.Propagate]]'s barrier
+    * scaladoc for why repartitioning here would be a wasted exchange
+    * under AQE). Each round is one |E|-side join + one `groupBy(dst)`
+    * whose partial sum combines map-side, so the aggregation exchange
+    * moves O(|V|·partitions) not O(|E|); the node frame re-joining each
+    * round is |V|-scale. Exchange-free rounds on the |E| side need a
+    * persisted bucketed layout, exactly as propagation does
+    * ([[HeteroGraph.saveBucketed]]). */
+  def pageRankFixed(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 3,
+      scale: Long = 1000000000000L,
+      alphaNum: Long = 17L,
+      alphaDen: Long = 20L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(alphaDen > alphaNum && alphaNum > 0,
+      s"need 0 < alphaNum < alphaDen: $alphaNum/$alphaDen")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, Seq("src"))
+      .coalesce(parts).localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .coalesce(parts).localCheckpoint(eager = true)
+    val base = (alphaDen - alphaNum) * scale / alphaDen
+    var r = nodes.select(col("id"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"),
+          expr(s"${alphaNum}L * r div (${alphaDen}L * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      r = nodes
+        .join(contrib.select(col("dst").as("id"), col("c")), Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("r"))
+        .localCheckpoint(eager = true) // truncate round lineage (Propagate's barrier)
+    }
+    r.select(col("id").as("node_id"), col("r").cast("long").as("rank_fp"))
+  }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected simple graph: `(node_id, deg, tri_cnt, cc_fp)` with
+    * `cc_fp = (2·tri·ccScale) div (deg·(deg−1))` (0 when deg < 2) — all
+    * exact integers, replayed by q74's DuckDB oracle.
+    *
+    * The count uses DEGREE orientation (Chiba–Nishizeki / the MapReduce
+    * formulation of Suri & Vassilvitskii 2011): orient every edge from
+    * its lower-(deg, id) endpoint to the higher, enumerate wedges from
+    * each edge's shared TAIL, and close them against the oriented edge
+    * list. Out-degrees under this orientation are bounded by
+    * O(√|E|) (graph arboricity), so the wedge self-join is skew-robust:
+    * a 10^6-degree hub generates wedges at its *oriented* out-degree,
+    * not deg² — the property that makes the plan survive power-law
+    * graphs at 100 TB. Every step is an equi-join on edge keys (wedge
+    * closure joins on the (v,w) pair); the per-node count is one
+    * explode + map-side-combined groupBy.
+    *
+    * Input edges may be in either/both directions with duplicates; they
+    * are canonicalized (`least < greatest`, distinct, self-loops
+    * dropped) up front. `ccScale` bound: needs `2·tri·ccScale < 2^63`,
+    * i.e. per-node triangle counts below ~4.6·10^12 at the default 10^6. */
+  def triangleStats(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      ccScale: Long = 1000000L): DataFrame = {
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .coalesce(parts).localCheckpoint(eager = true)
+    val deg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .coalesce(parts).localCheckpoint(eager = true)
+    // orient low-(deg,id) → high; a<b canonically, so deg ties keep (a,b)
+    val lt = col("da") < col("db") || (col("da") === col("db"))
+    val oriented = e0
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(lt, col("a")).otherwise(col("b")).as("u"),
+        when(lt, col("b")).otherwise(col("a")).as("v"),
+        when(lt, col("db")).otherwise(col("da")).as("dv"))
+      .coalesce(parts).localCheckpoint(eager = true)
+    val o1 = oriented.select(col("u"), col("v"), col("dv"))
+    val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val triCnt = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(triCnt, Seq("id"), "left")
+      .select(col("id").as("node_id"), col("deg").cast("long").as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri_cnt"),
+        when(col("deg") >= 2,
+          expr(s"2L * coalesce(tri, 0L) * ${ccScale}L div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)).as("cc_fp"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.graph.Analytics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive single-threaded replay of the exact integer recurrence. */
+  private def naivePageRank(
+      edges: Seq[(Long, Long)], iters: Int, scale: Long,
+      aN: Long, aD: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (aD - aN) * scale / aD
+    var r = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => aN * r(s) / (aD * deg(s)) }.sum
+      }
+      r = nodes.map(n => n -> (base + in.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  private val edges: Seq[(Long, Long)] = {
+    // 3 communities bridged by a hub, plus a pure sink and a pure source
+    val ring = (0L to 9L).map(i => (i, (i + 1) % 10))
+    val hub = (10L to 14L).flatMap(i => Seq((i, 0L), (0L, i)))
+    ring ++ hub ++ Seq((20L, 21L), (7L, 22L)) // 21: sink, 20: source
+  }
+
+  private def run(df: DataFrame): Map[Long, Long] =
+    Analytics.pageRankFixed(df, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRankFixed replays the naive integer recurrence exactly") {
+    val got = run(edges.toDF("src", "dst"))
+    val want = naivePageRank(edges, 3, 1000000000000L, 17L, 20L)
+    assert(got === want)
+  }
+
+  test("pageRankFixed is partition-independent") {
+    val a = run(edges.toDF("src", "dst").repartition(7))
+    val b = run(edges.toDF("src", "dst").coalesce(1))
+    assert(a === b)
+  }
+
+  test("pageRankFixed structure: hub outranks leaves, sink floor, mass bound") {
+    val got = run(edges.toDF("src", "dst"))
+    val scale = 1000000000000L
+    val base = 3L * scale / 20L
+    assert(got(0L) > got(11L))            // hub beats a spoke
+    assert(got(20L) === base)             // no in-edges → base exactly
+    assert(got.values.forall(_ >= base))
+    assert(got.values.sum <= got.size * scale) // dangling mass only leaks out
+  }
+
+  /** Naive per-node triangle count over an undirected simple graph. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = es.toSeq.flatMap { case (a, b) => Seq(a, b) }.distinct
+    def adj(a: Long, b: Long) = es.contains((a min b, a max b))
+    nodes.map { n =>
+      val nbrs = nodes.filter(m => m != n && adj(n, m))
+      n -> nbrs.combinations(2).count { case Seq(x, y) => adj(x, y) }.toLong
+    }.toMap
+  }
+
+  private val triEdges: Seq[(Long, Long)] = {
+    // K4 on 0-3, a triangle 10-11-12, a path 20-21-22 (no triangles),
+    // a hub 30 closing exactly one triangle per spoke pair it bridges,
+    // plus duplicate and reversed inputs to exercise canonicalization
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val tri = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val hub = Seq((30L, 0L), (30L, 1L), (30L, 20L))
+    k4 ++ tri ++ path ++ hub ++ Seq((1L, 0L), (0L, 1L), (10L, 10L))
+  }
+
+  private def runTri(df: DataFrame): Map[Long, (Long, Long, Long)] =
+    Analytics.triangleStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("triangleStats replays the naive count; cc is the exact scaled ratio") {
+    val got = runTri(triEdges.toDF("src", "dst"))
+    val want = naiveTriangles(triEdges)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (n, (deg, tri, cc)) =>
+      assert(tri === want(n), s"node $n")
+      val wantCc = if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1L)) else 0L
+      assert(cc === wantCc, s"node $n")
+    }
+    // spot structure: K4 nodes touch 3 triangles each at cc=1; with the
+    // hub edges, node 0 and 1 gain the (0,1,30) triangle
+    assert(got(2L)._2 === 3L)
+    assert(got(10L) === ((2L, 1L, 1000000L)))
+    assert(got(21L) === ((2L, 0L, 0L)))
+    assert(got(0L)._2 === 4L)
+  }
+
+  test("triangleStats random graph ≡ naive, partition-independent") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val want = naiveTriangles(edges)
+    val a = runTri(edges.toDF("src", "dst").repartition(7))
+    val b = runTri(edges.toDF("src", "dst").coalesce(1))
+    assert(a === b)
+    assert(a.view.mapValues(_._2).toMap === want)
+    // global invariant: Σ per-node counts = 3 × #triangles
+    assert(a.values.map(_._2).sum % 3 === 0)
+  }
+}
