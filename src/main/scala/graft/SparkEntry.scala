@@ -802,6 +802,11 @@ r2o AS (
     "q72_knn_refine" -> ((s, dir) =>
       graft.ext.Similarity.knnRefineFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // bigram-LM fluency score (the CCNet/KenLM quality-filter shape) in
+    // exact scaled integers — Laplace-smoothed corpus bigram MLE, per-doc
+    // floored mean; see ext.Selection.lmScore
+    "q75_lm_quality" -> ((s, dir) =>
+      graft.ext.Selection.lmScore(t(s, dir, "documents"), "doc_id", "text")),
     // triangle counts + local clustering coefficient (scaled-integer)
     // over the part co-purchase graph (parts sharing an order) — degree
     // orientation bounds wedge fan-out by O(√|E|) (arboricity), so the
@@ -1691,6 +1696,28 @@ r2o AS (
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
+    // bigram key = w1||' '||w2 (tokens are [a-z0-9]+, space-free);
+    // range(1, len) is end-exclusive with 1-indexed lists → len−1 pairs,
+    // matching Spark's sequence(0, size−2) over 0-indexed arrays
+    "q75_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |b2 AS (SELECT doc_id,
+        |    split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        |    FROM toks WHERE len(ts) >= 2)),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM b2 GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM b2 GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM
+        |  (SELECT unnest(ts) AS t FROM toks)),
+        |st AS (SELECT cb.w1, cb.w2,
+        |    CAST((cb.cnt2 + 1) * 1000000 // (cx.cnt1 + vv.v) AS BIGINT) AS p
+        |  FROM cb JOIN cx ON cx.w1 = cb.w1 CROSS JOIN vv),
+        |sc AS (SELECT b2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(st.p) AS BIGINT) AS s
+        |  FROM b2 JOIN st ON st.w1 = b2.w1 AND st.w2 = b2.w2 GROUP BY 1)
+        |SELECT doc_id, n_bigrams, s // n_bigrams AS lm_fp FROM sc""".stripMargin,
     // the same degree orientation (low-(deg,id) → high): wedges from
     // each shared tail, closed against the oriented edge list
     "q74_triangles" ->

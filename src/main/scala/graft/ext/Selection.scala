@@ -83,4 +83,52 @@ object Selection {
       .select(col(idCol), col("n_tok"), col("score"),
         expr("score div n_tok").as("score_per_tok"))
   }
+
+  /** Bigram language-model quality score — the CCNet/KenLM-shaped filter
+    * tier (Wenzek et al. 2020 score documents with a 5-gram KenLM and cut
+    * on perplexity; Laurençon et al. 2022 (ROOTS) do the same): a doc's
+    * fluency under a bigram model OF THE CORPUS ITSELF, in exact scaled
+    * integers instead of float log-space so a second engine hash-matches
+    * (q75's DuckDB oracle replays it bit-for-bit — a log-prob sum never
+    * could). Per adjacent token pair, the Laplace-smoothed MLE
+    * `p_fp(w1,w2) = (c(w1,w2)+1)·scale div (ctx(w1)+V)` — `c` the corpus
+    * bigram count, `ctx` the count of w1 AS CONTEXT (bigram-start), `V`
+    * the corpus vocabulary — and per doc the floored mean over its pairs:
+    * monotone in the geometric-mean probability a float LM would rank by
+    * for same-length docs, exact everywhere. Returns
+    * `(idCol, n_bigrams, lm_fp)` for every doc with ≥ 2 tokens; boilerplate
+    * and keyword-stuffing score low (their bigrams are rare as corpus
+    * context), natural prose scores high.
+    *
+    * Scale shape: the corpus tokenises ONCE into the exploded bigram
+    * frame; the model is two map-side-combined aggregates of it (bigram
+    * and context counts, joined stats-side on w1 — model-sized, not
+    * corpus-sized), the vocabulary scalar rides a 1-row broadcast cross
+    * join, and scoring is ONE corpus-side equi-join of the bigram frame
+    * against the stats on (w1,w2). Nothing quadratic, no driver data. */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+    val bi = toks.filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__ts) - 2), i -> struct(__ts[i] AS w1, __ts[i + 1] AS w2))"))
+        .as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val c2 = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val ctx = bi.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocab = toks.select(explode(col("__ts")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    val stats = c2.join(ctx, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__w1"), col("__w2"),
+        expr(s"(__c2 + 1L) * ${scale}L div (__c1 + __v)").as("__p"))
+    bi.join(stats, Seq("__w1", "__w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__s div n_bigrams").as("lm_fp"))
+  }
 }

@@ -45,7 +45,12 @@ object Analytics {
     * moves O(|V|·partitions) not O(|E|); the node frame re-joining each
     * round is |V|-scale. Exchange-free rounds on the |E| side need a
     * persisted bucketed layout, exactly as propagation does
-    * ([[HeteroGraph.saveBucketed]]). */
+    * ([[HeteroGraph.saveBucketed]]).
+    *
+    * `checkpoint=false` keeps every round lazy — plan audits only
+    * (PlanDump dumps the full round lineage that the checkpoints
+    * otherwise execute); the default materialises each round, without
+    * which round r's plan re-derives rounds 1..r−1. */
   def pageRankFixed(
       edges: DataFrame,
       srcCol: String = "src",
@@ -53,19 +58,20 @@ object Analytics {
       iters: Int = 3,
       scale: Long = 1000000000000L,
       alphaNum: Long = 17L,
-      alphaDen: Long = 20L): DataFrame = {
+      alphaDen: Long = 20L,
+      checkpoint: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(alphaDen > alphaNum && alphaNum > 0,
       s"need 0 < alphaNum < alphaDen: $alphaNum/$alphaDen")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, Seq("src"))
-      .coalesce(parts).localCheckpoint(eager = true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .coalesce(parts).localCheckpoint(eager = true)
+    val eDeg = pin(e.join(deg, Seq("src")))
+    val nodes = pin(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val base = (alphaDen - alphaNum) * scale / alphaDen
     var r = nodes.select(col("id"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
@@ -74,10 +80,10 @@ object Analytics {
         .select(col("dst"),
           expr(s"${alphaNum}L * r div (${alphaDen}L * deg)").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
-      r = nodes
+      r = pin(nodes
         .join(contrib.select(col("dst").as("id"), col("c")), Seq("id"), "left")
-        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("r"))
-        .localCheckpoint(eager = true) // truncate round lineage (Propagate's barrier)
+        .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("r")))
+      // ^ per-round barrier truncates lineage (Propagate's barrier scaladoc)
     }
     r.select(col("id").as("node_id"), col("r").cast("long").as("rank_fp"))
   }

@@ -46,4 +46,37 @@ class SelectionSpec extends SparkSpec {
     assert(got === naive)
     assert(run(fixture.repartition(7)) === got)
   }
+
+  test("lmScore: equals a naive bigram-LM recomputation, partition-independent") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Selection.lmScore(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(fixture)
+
+    val rows = fixture.select($"doc_id", Dedup.tokens($"text").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector))
+    val bigrams = rows.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = rows.flatMap(_._2).distinct.size.toLong
+    val naive = rows.collect { case (id, ts) if ts.length >= 2 =>
+      val ps = ts.zip(ts.drop(1)).map(b => (c2(b) + 1L) * 1000000L / (cx(b._1) + v))
+      id -> (ps.size.toLong, ps.sum / ps.size)
+    }.toMap
+    assert(naive.nonEmpty)
+    assert(got === naive)
+    assert(run(fixture.repartition(7)) === got)
+  }
+
+  test("lmScore: natural prose outscores shuffled-vocabulary word salad") {
+    // same vocabulary, same corpus: one doc repeats a fluent sentence,
+    // the salad doc uses bigrams that never recur as corpus context
+    val prose = Seq.fill(8)("the cat sat on the mat").mkString(" ")
+    val salad = "mat the on cat sat mat on sat the cat mat sat"
+    val docs = Seq((1L, prose), (2L, salad), (3L, prose)).toDF("doc_id", "text")
+    val got = Selection.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) > got(2L), s"prose ${got(1L)} !> salad ${got(2L)}")
+  }
 }
