@@ -24,6 +24,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Part co-purchase graph (parts sharing an order), canonical a<b
+    * pairs — the shared substrate of the q74/q76/q77 graph analytics.
+    * Per-order pair fan-out is bounded by order size, so the self-join
+    * stays linear-ish at any corpus scale. */
+  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+  }
+
   /** Exact order-independent sum of a 2-dp double column, as double. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -811,14 +823,18 @@ r2o AS (
     // over the part co-purchase graph (parts sharing an order) — degree
     // orientation bounds wedge fan-out by O(√|E|) (arboricity), so the
     // plan survives power-law hubs; oracle replays the same orientation
-    "q74_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("src"), col("pk2").as("dst"))
-      graft.graph.Analytics.triangleStats(pairs)
-    }),
+    "q74_triangles" -> ((s, dir) =>
+      graft.graph.Analytics.triangleStats(partPairs(s, dir))),
+    // bounded k-core peeling (k=10, 3 rounds) over the same part
+    // co-purchase graph — the dense-core extraction tier; survivors
+    // with their induced degree, recurrence unrolled in the oracle
+    "q76_kcore" -> ((s, dir) =>
+      graft.graph.Analytics.kCoreBounded(partPairs(s, dir), k = 10, rounds = 3)),
+    // deterministic label propagation (3 synchronous rounds, min-label
+    // tie-break) over the co-purchase graph — community detection;
+    // the random-tie-break original could never be oracle-checked
+    "q77_label_prop" -> ((s, dir) =>
+      graft.graph.Analytics.labelPropagation(partPairs(s, dir), rounds = 3)),
     // fixed-point PageRank (3 damped rounds, scaled integers) over the
     // part↔supplier purchase graph — disjoint even/odd node id spaces,
     // symmetrized distinct edges, dangling mass dropped; the oracle
@@ -1707,16 +1723,18 @@ r2o AS (
         |  FROM (SELECT doc_id,
         |      unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
         |    FROM toks WHERE len(ts) >= 2)),
-        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM b2 GROUP BY 1, 2),
-        |cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM b2 GROUP BY 1),
+        |tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM b2 GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt2 FROM tf GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS cnt1 FROM tf GROUP BY 1),
         |vv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM
-        |  (SELECT unnest(ts) AS t FROM toks)),
+        |  (SELECT w1 AS t FROM tf UNION SELECT w2 FROM tf)),
         |st AS (SELECT cb.w1, cb.w2,
         |    CAST((cb.cnt2 + 1) * 1000000 // (cx.cnt1 + vv.v) AS BIGINT) AS p
         |  FROM cb JOIN cx ON cx.w1 = cb.w1 CROSS JOIN vv),
-        |sc AS (SELECT b2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |    CAST(SUM(st.p) AS BIGINT) AS s
-        |  FROM b2 JOIN st ON st.w1 = b2.w1 AND st.w2 = b2.w2 GROUP BY 1)
+        |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf.tf * st.p) AS BIGINT) AS s
+        |  FROM tf JOIN st ON st.w1 = tf.w1 AND st.w2 = tf.w2 GROUP BY 1)
         |SELECT doc_id, n_bigrams, s // n_bigrams AS lm_fp FROM sc""".stripMargin,
     // the same degree orientation (low-(deg,id) → high): wedges from
     // each shared tail, closed against the oriented edge list
@@ -1745,6 +1763,40 @@ r2o AS (
         |    THEN (2 * COALESCE(tc.tri, 0) * 1000000) // (deg.deg * (deg.deg - 1))
         |    ELSE 0 END AS cc_fp
         |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin,
+    // 3 unrolled label-propagation rounds: neighbour-label counts,
+    // per-node top-1 by (count DESC, label ASC)
+    "q77_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (SELECT u AS id, lab FROM (
+           |  SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY n DESC, lab ASC) AS rn
+           |  FROM (SELECT e.u, l.lab, COUNT(*) AS n
+           |    FROM e0 e JOIN l${i - 1} l ON l.id = e.v GROUP BY e.u, l.lab))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e0),
+         |$rounds
+         |SELECT id AS node_id, lab AS community FROM l3""".stripMargin
+    },
+    // 3 unrolled peel rounds: degree ≥ 10 survivor set, edges induced
+    // on survivors, final induced degrees
+    "q76_kcore" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""k$i AS (SELECT u FROM (SELECT u, COUNT(*) AS dg FROM e${i - 1} GROUP BY u) WHERE dg >= 10),
+           |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN k$i x ON x.u = e.u JOIN k$i y ON y.u = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+         |$rounds
+         |SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e3 GROUP BY u""".stripMargin
+    },
     // 3 unrolled damped rounds of the exact integer recurrence
     // r'(v) = 0.15·scale + Σ (17·r(u)) // (20·deg(u)), scale = 10^12;
     // UNION ALL is dedup-safe: even/odd id spaces keep the flipped

@@ -100,34 +100,48 @@ object Selection {
     * and keyword-stuffing score low (their bigrams are rare as corpus
     * context), natural prose scores high.
     *
-    * Scale shape: the corpus tokenises ONCE into the exploded bigram
-    * frame; the model is two map-side-combined aggregates of it (bigram
-    * and context counts, joined stats-side on w1 — model-sized, not
-    * corpus-sized), the vocabulary scalar rides a 1-row broadcast cross
-    * join, and scoring is ONE corpus-side equi-join of the bigram frame
-    * against the stats on (w1,w2). Nothing quadratic, no driver data. */
+    * `V` is the vocabulary of BIGRAM-PARTICIPATING tokens (distinct
+    * w1 ∪ w2) — tokens appearing only in single-token documents don't
+    * count, which keeps the whole computation one corpus pass; V only
+    * shifts every denominator equally, so ranking is unaffected.
+    *
+    * Scale shape (the q70/dsirWeights pattern): the corpus tokenises
+    * ONCE into the per-doc bigram-COUNT frame `(doc, w1, w2, tf)` — at
+    * most distinct-bigrams-per-doc rows, far smaller than the pair
+    * stream — materialised behind an eager localCheckpoint
+    * (`checkpointTf=false` keeps it lazy for plan audits). The model is
+    * two map-side-combined aggregates of that frame (joined model-side
+    * on w1), the vocabulary scalar rides a 1-row broadcast cross join,
+    * and scoring is ONE equi-join of the same frame against the stats
+    * on (w1,w2). Nothing quadratic, no driver data, one text scan. */
   def lmScore(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointTf: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
     val bi = toks.filter(size(col("__ts")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(__ts) - 2), i -> struct(__ts[i] AS w1, __ts[i + 1] AS w2))"))
         .as("__b"))
       .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
-    val c2 = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
-    val ctx = bi.groupBy("__w1").agg(count(lit(1)).as("__c1"))
-    val vocab = toks.select(explode(col("__ts")).as("__t"))
+    val tfRaw = bi.groupBy(col(idCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__tf"))
+    val tf = if (checkpointTf) tfRaw.localCheckpoint(eager = true) else tfRaw
+    val c2 = tf.groupBy("__w1", "__w2").agg(sum(col("__tf")).as("__c2"))
+    val ctx = tf.groupBy("__w1").agg(sum(col("__tf")).as("__c1"))
+    val vocab = tf.select(col("__w1").as("__t"))
+      .union(tf.select(col("__w2").as("__t")))
       .agg(countDistinct(col("__t")).as("__v"))
     val stats = c2.join(ctx, Seq("__w1"))
       .crossJoin(broadcast(vocab))
       .select(col("__w1"), col("__w2"),
         expr(s"(__c2 + 1L) * ${scale}L div (__c1 + __v)").as("__p"))
-    bi.join(stats, Seq("__w1", "__w2"))
+    tf.join(stats, Seq("__w1", "__w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__s"))
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        sum(col("__tf") * col("__p")).as("__s"))
       .select(col(idCol), col("n_bigrams"),
         expr("__s div n_bigrams").as("lm_fp"))
   }

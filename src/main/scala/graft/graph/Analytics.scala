@@ -152,4 +152,102 @@ object Analytics {
           expr(s"2L * coalesce(tri, 0L) * ${ccScale}L div (deg * (deg - 1L))"))
           .otherwise(lit(0L)).as("cc_fp"))
   }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * node whose degree in the current induced subgraph is < k", then the
+    * survivors with their final induced degree — `(node_id, core_deg)`.
+    * With enough rounds this IS the k-core (Seidman 1983; the
+    * distributed formulation is Montresor et al. 2013); a fixed round
+    * budget keeps the operator deterministic-cost and the recurrence
+    * exactly replayable (q76's oracle unrolls it). Survivors may still
+    * hold `core_deg < k` if peeling hasn't converged in `rounds` —
+    * that's the documented bounded semantics, same contract as the
+    * fixed-round propagation family.
+    *
+    * Input edges may be in either/both directions with duplicates
+    * (canonicalized like [[triangleStats]]). Scale shape: each round is
+    * a degree aggregate (map-side combined, O(|V|) exchange) plus two
+    * semi-joins of the surviving edge list against the surviving node
+    * set — all equi-joins on node keys, each round's edge list pinned
+    * behind a barrier so round r never re-derives rounds 1..r−1. The
+    * edge list only shrinks, so per-round cost is monotone
+    * non-increasing; peeling load concentrates exactly where degrees
+    * are low, never on the hubs. */
+  def kCoreBounded(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      k: Int = 10,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var sym = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .coalesce(parts).localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("u"))
+      sym = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .coalesce(parts).localCheckpoint(eager = true)
+    }
+    sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node_id"), col("core_deg"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
+    * rounds, fully deterministic: every node starts labelled with its
+    * own id and each round adopts the most frequent label among its
+    * neighbours, ties broken by SMALLEST label — the determinism
+    * tie-break that makes the recurrence bit-replayable (q77's oracle
+    * unrolls it; the paper's random tie-break can't be cross-checked).
+    * Returns `(node_id, community)` after the final round — densely
+    * connected regions collapse onto their minimum id; a fixed round
+    * budget bounds cost like the propagation family (unconverged labels
+    * are the documented semantics, not an error).
+    *
+    * Input edges as in [[kCoreBounded]] (canonicalized, symmetrized).
+    * Scale shape: a round is one |E|-side join (neighbour labels), one
+    * map-side-combined `groupBy(node, label)` count, and a per-node
+    * top-1 that plans as `WindowGroupLimit` (partial before the
+    * exchange — hot nodes never materialise their full label
+    * multiset); the label frame is |V|-scale and each round sits
+    * behind a barrier. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .coalesce(parts).localCheckpoint(eager = true)
+    var lab = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .coalesce(parts).localCheckpoint(eager = true)
+    val top1 = Window.partitionBy("u").orderBy(desc("n"), asc("lab"))
+    for (_ <- 1 to rounds) {
+      lab = sym
+        .join(lab.select(col("id").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(top1))
+        .filter(col("__rn") === 1)
+        .select(col("u").as("id"), col("lab"))
+        .coalesce(parts).localCheckpoint(eager = true)
+    }
+    lab.select(col("id").as("node_id"), col("lab").as("community"))
+  }
 }

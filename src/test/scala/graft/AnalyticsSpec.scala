@@ -112,4 +112,83 @@ class AnalyticsSpec extends SparkSpec {
     // global invariant: Σ per-node counts = 3 × #triangles
     assert(a.values.map(_._2).sum % 3 === 0)
   }
+
+  /** Naive bounded peel: survivors of `rounds` rounds with induced degree. */
+  private def naiveKCore(
+      edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    var es = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    (1 to rounds).foreach { _ =>
+      val deg = (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      es = es.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    (es.map(_._1) ++ es.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCoreBounded replays the naive peel; clique survives, tree dies") {
+    // K5 on 0-4 (deg 4 each) + a pending path hanging off it
+    val k5 = (0L to 4L).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val tail = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = k5 ++ tail
+    val got = Analytics.kCoreBounded(edges.toDF("src", "dst"), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveKCore(edges, 3, 3))
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L)) // the clique, exactly
+    assert(got.values.forall(_ === 4L))
+  }
+
+  test("kCoreBounded random graph ≡ naive, partition-independent") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val want = naiveKCore(edges, 5, 3)
+    val run = (df: DataFrame) =>
+      Analytics.kCoreBounded(df, k = 5, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges.toDF("src", "dst").repartition(7))
+    assert(a === run(edges.toDF("src", "dst").coalesce(1)))
+    assert(a === want)
+  }
+
+  /** Naive synchronous label propagation, min-label tie-break. */
+  private def naiveLabelProp(
+      edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val sym = es ++ es.map(_.swap)
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      lab = nbrs.map { case (n, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size).toMap
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: two bridged cliques collapse to their min ids") {
+    val cliqueA = (0L to 3L).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val cliqueB = (10L to 13L).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val edges = cliqueA ++ cliqueB ++ Seq((3L, 10L))
+    val got = Analytics.labelPropagation(edges.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveLabelProp(edges, 3))
+    assert((0L to 2L).forall(got(_) === 0L))
+    assert((11L to 13L).forall(got(_) === 10L))
+  }
+
+  test("labelPropagation random graph ≡ naive, partition-independent") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val want = naiveLabelProp(edges, 3)
+    val run = (df: DataFrame) =>
+      Analytics.labelPropagation(df, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges.toDF("src", "dst").repartition(7))
+    assert(a === run(edges.toDF("src", "dst").coalesce(1)))
+    assert(a === want)
+  }
 }

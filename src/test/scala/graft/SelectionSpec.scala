@@ -59,7 +59,8 @@ class SelectionSpec extends SparkSpec {
     val bigrams = rows.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
     val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val cx = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val v = rows.flatMap(_._2).distinct.size.toLong
+    // vocabulary of bigram-PARTICIPATING tokens (the documented contract)
+    val v = bigrams.flatMap(b => Seq(b._1, b._2)).distinct.size.toLong
     val naive = rows.collect { case (id, ts) if ts.length >= 2 =>
       val ps = ts.zip(ts.drop(1)).map(b => (c2(b) + 1L) * 1000000L / (cx(b._1) + v))
       id -> (ps.size.toLong, ps.sum / ps.size)
