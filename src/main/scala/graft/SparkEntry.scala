@@ -28,7 +28,7 @@ object SparkEntry {
     * pairs — the shared substrate of the q74/q76/q77 graph analytics.
     * Per-order pair fan-out is bounded by order size, so the self-join
     * stays linear-ish at any corpus scale. */
-  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def partPairs(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))

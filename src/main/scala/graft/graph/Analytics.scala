@@ -178,25 +178,26 @@ object Analytics {
       srcCol: String = "src",
       dstCol: String = "dst",
       k: Int = 10,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3,
+      checkpoint: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var sym = e0.select(col("a").as("u"), col("b").as("v"))
-      .union(e0.select(col("b").as("u"), col("a").as("v")))
-      .coalesce(parts).localCheckpoint(eager = true)
+    var sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v"))))
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy("u").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("u"))
-      sym = sym
+      sym = pin(sym
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .coalesce(parts).localCheckpoint(eager = true)
+        .select(col("u"), col("v")))
     }
     sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("node_id"), col("core_deg"))
@@ -224,29 +225,29 @@ object Analytics {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3,
+      checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val sym = e0.select(col("a").as("u"), col("b").as("v"))
-      .union(e0.select(col("b").as("u"), col("a").as("v")))
-      .coalesce(parts).localCheckpoint(eager = true)
-    var lab = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-      .coalesce(parts).localCheckpoint(eager = true)
+    val sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v"))))
+    var lab = pin(sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
     val top1 = Window.partitionBy("u").orderBy(desc("n"), asc("lab"))
     for (_ <- 1 to rounds) {
-      lab = sym
+      lab = pin(sym
         .join(lab.select(col("id").as("v"), col("lab")), Seq("v"))
         .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("n"))
         .withColumn("__rn", row_number().over(top1))
         .filter(col("__rn") === 1)
-        .select(col("u").as("id"), col("lab"))
-        .coalesce(parts).localCheckpoint(eager = true)
+        .select(col("u").as("id"), col("lab")))
     }
     lab.select(col("id").as("node_id"), col("lab").as("community"))
   }
