@@ -24,17 +24,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Triangle listing over [[partPairs]], memoised and checkpointed —
+    * the enumeration (the expensive oriented wedge join) runs once per
+    * session and pass; q74's per-node counts and q78's per-edge counts
+    * are cheap aggregates over it. */
+  private def partTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-triangles", dir)) {
+      graft.graph.Analytics.triangles(partPairs(s, dir), assumeCanonical = true)
+        .coalesce(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(eager = true)
+    }
+
   /** Part co-purchase graph (parts sharing an order), canonical a<b
-    * pairs — the shared substrate of the q74/q76/q77 graph analytics.
+    * DISTINCT pairs — the shared substrate of the q74/q76/q77/q78 graph
+    * analytics, memoised per session ([[graft.functions.Memos]]) and
+    * checkpointed so four analytics pay the self-join + dedup exchange
+    * once, not each (the consumers pass `assumeCanonical = true`).
     * Per-order pair fan-out is bounded by order size, so the self-join
     * stays linear-ish at any corpus scale. */
-  private[graft] def partPairs(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("src"), col("pk2").as("dst"))
-  }
+  private[graft] def partPairs(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-pairs", dir)) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+        .distinct()
+        .coalesce(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(eager = true)
+    }
 
   /** Exact order-independent sum of a 2-dp double column, as double. */
   private def dsum(c: Column): Column =
@@ -824,17 +842,29 @@ r2o AS (
     // orientation bounds wedge fan-out by O(√|E|) (arboricity), so the
     // plan survives power-law hubs; oracle replays the same orientation
     "q74_triangles" -> ((s, dir) =>
-      graft.graph.Analytics.triangleStats(partPairs(s, dir))),
+      graft.graph.Analytics.triangleStats(
+        partPairs(s, dir), assumeCanonical = true,
+        tris = Some(partTriangles(s, dir)))),
+    // per-edge common-neighbour count + neighbourhood Jaccard (scaled
+    // integers) — the classic structural link-prediction features; the
+    // triangle-through-edge count rides the same degree-oriented
+    // enumeration as q74
+    "q78_edge_jaccard" -> ((s, dir) =>
+      graft.graph.Analytics.edgeJaccard(
+        partPairs(s, dir), assumeCanonical = true,
+        tris = Some(partTriangles(s, dir)))),
     // bounded k-core peeling (k=10, 3 rounds) over the same part
     // co-purchase graph — the dense-core extraction tier; survivors
     // with their induced degree, recurrence unrolled in the oracle
     "q76_kcore" -> ((s, dir) =>
-      graft.graph.Analytics.kCoreBounded(partPairs(s, dir), k = 10, rounds = 3)),
+      graft.graph.Analytics.kCoreBounded(
+        partPairs(s, dir), k = 10, rounds = 3, assumeCanonical = true)),
     // deterministic label propagation (3 synchronous rounds, min-label
     // tie-break) over the co-purchase graph — community detection;
     // the random-tie-break original could never be oracle-checked
     "q77_label_prop" -> ((s, dir) =>
-      graft.graph.Analytics.labelPropagation(partPairs(s, dir), rounds = 3)),
+      graft.graph.Analytics.labelPropagation(
+        partPairs(s, dir), rounds = 3, assumeCanonical = true)),
     // fixed-point PageRank (3 damped rounds, scaled integers) over the
     // part↔supplier purchase graph — disjoint even/odd node id spaces,
     // symmetrized distinct edges, dangling mass dropped; the oracle
@@ -1141,6 +1171,28 @@ r2o AS (
       |  SELECT qid, nid, rk FROM (
       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM kcand)
       |  WHERE rk <= 10)""".stripMargin
+
+  /** Degree-oriented triangle enumeration over the part co-purchase
+    * graph — the shared CTE chain of q74 (per-node counts) and q78
+    * (per-edge counts): `pp` canonical pairs, `deg`, the oriented list
+    * `o (u, v, dv)`, wedges `wg`, and closed triangles `tr (u, v, c)`.
+    * Mirrors [[graft.graph.Analytics.triangleStats]]'s orientation. */
+  private def triangleCtes: String =
+    """pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS id FROM pp UNION ALL SELECT b FROM pp) GROUP BY id),
+      |ed AS (SELECT pp.a, pp.b, da.deg AS da, db.deg AS db
+      |  FROM pp JOIN deg da ON da.id = pp.a JOIN deg db ON db.id = pp.b),
+      |o AS (SELECT
+      |  CASE WHEN da < db OR da = db THEN a ELSE b END AS u,
+      |  CASE WHEN da < db OR da = db THEN b ELSE a END AS v,
+      |  CASE WHEN da < db OR da = db THEN db ELSE da END AS dv FROM ed),
+      |wg AS (SELECT o1.u, o1.v, o2.v AS c FROM o o1 JOIN o o2
+      |  ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
+      |tr AS (SELECT wg.u, wg.v, wg.c FROM wg
+      |  JOIN o o3 ON o3.u = wg.v AND o3.v = wg.c)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1739,21 +1791,7 @@ r2o AS (
     // the same degree orientation (low-(deg,id) → high): wedges from
     // each shared tail, closed against the oriented edge list
     "q74_triangles" ->
-      """WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-        |  FROM lineitem l1 JOIN lineitem l2
-        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
-        |  (SELECT a AS id FROM pp UNION ALL SELECT b FROM pp) GROUP BY id),
-        |ed AS (SELECT pp.a, pp.b, da.deg AS da, db.deg AS db
-        |  FROM pp JOIN deg da ON da.id = pp.a JOIN deg db ON db.id = pp.b),
-        |o AS (SELECT
-        |  CASE WHEN da < db OR da = db THEN a ELSE b END AS u,
-        |  CASE WHEN da < db OR da = db THEN b ELSE a END AS v,
-        |  CASE WHEN da < db OR da = db THEN db ELSE da END AS dv FROM ed),
-        |wg AS (SELECT o1.u, o1.v, o2.v AS c FROM o o1 JOIN o o2
-        |  ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
-        |tr AS (SELECT wg.u, wg.v, wg.c FROM wg
-        |  JOIN o o3 ON o3.u = wg.v AND o3.v = wg.c),
+      s"""WITH $triangleCtes,
         |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM
         |  (SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
         |   UNION ALL SELECT c FROM tr) GROUP BY id)
@@ -1763,6 +1801,21 @@ r2o AS (
         |    THEN (2 * COALESCE(tc.tri, 0) * 1000000) // (deg.deg * (deg.deg - 1))
         |    ELSE 0 END AS cc_fp
         |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin,
+    // each triangle explodes to its 3 canonical edges; for an adjacent
+    // pair |N(a)∩N(b)| = triangles through the edge and
+    // |N(a)∪N(b)∖{a,b}| = deg(a)+deg(b)−2−cn
+    "q78_edge_jaccard" ->
+      s"""WITH $triangleCtes,
+        |te AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tr
+        |  UNION ALL SELECT least(v, c) AS a, greatest(v, c) AS b FROM tr
+        |  UNION ALL SELECT least(u, c) AS a, greatest(u, c) AS b FROM tr),
+        |cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM te GROUP BY a, b)
+        |SELECT pp.a, pp.b, COALESCE(cn.cn, 0) AS cn_cnt,
+        |  CASE WHEN da.deg + db.deg - 2 - COALESCE(cn.cn, 0) > 0
+        |    THEN (COALESCE(cn.cn, 0) * 1000000) // (da.deg + db.deg - 2 - COALESCE(cn.cn, 0))
+        |    ELSE 0 END AS jac_fp
+        |FROM pp JOIN deg da ON da.id = pp.a JOIN deg db ON db.id = pp.b
+        |LEFT JOIN cn ON cn.a = pp.a AND cn.b = pp.b""".stripMargin,
     // 3 unrolled label-propagation rounds: neighbour-label counts,
     // per-node top-1 by (count DESC, label ASC)
     "q77_label_prop" -> {

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   * full recurrences in DuckDB (q73/q74) and the driver hash-compares. */
 object Analytics {
 
+  /** Canonical undirected simple edge list `(a < b, deduplicated)`.
+    * `assume=true` skips the least/greatest + distinct pass (and its
+    * exchange) for inputs the CALLER guarantees are already canonical
+    * and cheap to rescan — e.g. a memoised, checkpointed frame shared
+    * by several analytics over the same graph (q74/q76/q77/q78 share
+    * one co-purchase edge list that way); the operators then add no
+    * barrier of their own for it. */
+  private def canonical(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      assume: Boolean): DataFrame =
+    if (assume)
+      edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+    else
+      edges.select(
+          least(col(srcCol), col(dstCol)).cast("long").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+
   /** Fixed-point PageRank: `iters` synchronous rounds of
     * `r'(v) = base + Σ_{u→v} (αN·r(u)) div (αD·outdeg(u))` over scaled
     * integers, `base = (αD−αN)·scale div αD`, `r0 = scale` — the classic
@@ -109,17 +128,24 @@ object Analytics {
     * are canonicalized (`least < greatest`, distinct, self-loops
     * dropped) up front. `ccScale` bound: needs `2·tri·ccScale < 2^63`,
     * i.e. per-node triangle counts below ~4.6·10^12 at the default 10^6. */
-  def triangleStats(
+  /** Exact triangle LISTING: every closed triple `(u, v, w)` of the
+    * undirected simple graph, via the degree orientation described at
+    * [[triangleStats]] — itself a first-class operator (motif mining),
+    * and the shared front half of [[triangleStats]] and [[edgeJaccard]]:
+    * compute it once (memoise/checkpoint caller-side — q74/q78 share
+    * one session-memoised frame) and pass it to both via their `tris`
+    * parameter. Vertex order within a triple follows the (deg, id)
+    * orientation rank, one row per triangle. */
+  def triangles(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      ccScale: Long = 1000000L): DataFrame = {
+      assumeCanonical: Boolean = false): DataFrame = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e0 = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .coalesce(parts).localCheckpoint(eager = true)
+    val e0 =
+      if (assumeCanonical) canonical(edges, srcCol, dstCol, assume = true)
+      else canonical(edges, srcCol, dstCol, assume = false)
+        .coalesce(parts).localCheckpoint(eager = true)
     val deg = e0.select(col("a").as("id"))
       .union(e0.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -134,15 +160,33 @@ object Analytics {
         when(lt, col("b")).otherwise(col("a")).as("v"),
         when(lt, col("db")).otherwise(col("da")).as("dv"))
       .coalesce(parts).localCheckpoint(eager = true)
-    val o1 = oriented.select(col("u"), col("v"), col("dv"))
     val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
-    val wedges = o1.join(o2, Seq("u"))
+    oriented.join(o2, Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("u"), col("v"), col("w"))
-    val tris = wedges.join(
-      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-    val triCnt = tris
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  def triangleStats(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      ccScale: Long = 1000000L,
+      assumeCanonical: Boolean = false,
+      tris: Option[DataFrame] = None): DataFrame = {
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 =
+      if (assumeCanonical) canonical(edges, srcCol, dstCol, assume = true)
+      else canonical(edges, srcCol, dstCol, assume = false)
+        .coalesce(parts).localCheckpoint(eager = true)
+    val deg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triFrame = tris.getOrElse(
+      triangles(e0, "a", "b", assumeCanonical = true))
+    val triCnt = triFrame
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri"))
     deg.join(triCnt, Seq("id"), "left")
@@ -179,16 +223,14 @@ object Analytics {
       dstCol: String = "dst",
       k: Int = 10,
       rounds: Int = 3,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     def pin(df: DataFrame): DataFrame =
       if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
-    val e0 = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
     var sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
     for (_ <- 1 to rounds) {
@@ -226,16 +268,14 @@ object Analytics {
       srcCol: String = "src",
       dstCol: String = "dst",
       rounds: Int = 3,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     def pin(df: DataFrame): DataFrame =
       if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
-    val e0 = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
     val sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
     var lab = pin(sym.select(col("u").as("id")).distinct()
@@ -250,5 +290,55 @@ object Analytics {
         .select(col("u").as("id"), col("lab")))
     }
     lab.select(col("id").as("node_id"), col("lab").as("community"))
+  }
+
+  /** Per-edge link-prediction features over an undirected simple graph:
+    * for every canonical edge `(a < b)`, the common-neighbour count and
+    * the neighbourhood Jaccard in scaled integers —
+    * `(a, b, cn_cnt, jac_fp)` with
+    * `jac_fp = cn·jScale div (deg(a)+deg(b)−2−cn)` (0 when the union is
+    * empty) — the standard structural edge scores (Liben-Nowell &
+    * Kleinberg 2003); exact integers, replayed by q78's oracle. For an
+    * ADJACENT pair, `|N(a)∩N(b)|` is the number of triangles through
+    * the edge, and `|N(a)∪N(b)∖{a,b}| = deg(a)+deg(b)−2−cn`.
+    *
+    * Scale shape: triangles enumerate via the same degree-oriented
+    * wedge join as [[triangleStats]] (arboricity-bounded fan-out), each
+    * triangle explodes to its 3 canonical edges, and the per-edge count
+    * is one map-side-combined `groupBy(a, b)`; degrees join in at
+    * |E|-scale. Edges on no triangle keep `cn_cnt = 0`. */
+  def edgeJaccard(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      jScale: Long = 1000000L,
+      assumeCanonical: Boolean = false,
+      tris: Option[DataFrame] = None): DataFrame = {
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 =
+      if (assumeCanonical) canonical(edges, srcCol, dstCol, assume = true)
+      else canonical(edges, srcCol, dstCol, assume = false)
+        .coalesce(parts).localCheckpoint(eager = true)
+    val deg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triFrame = tris.getOrElse(
+      triangles(e0, "a", "b", assumeCanonical = true))
+    // each triangle lies on its 3 canonical edges
+    val cn = triFrame.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    e0.join(cn, Seq("a", "b"), "left")
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        coalesce(col("cn"), lit(0L)).as("cn_cnt"),
+        when(col("da") + col("db") - lit(2) - coalesce(col("cn"), lit(0L)) > 0,
+          expr(s"coalesce(cn, 0L) * ${jScale}L div (da + db - 2L - coalesce(cn, 0L))"))
+          .otherwise(lit(0L)).as("jac_fp"))
   }
 }

@@ -152,6 +152,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === want)
   }
 
+  /** Naive per-edge common-neighbour count + scaled Jaccard. */
+  private def naiveEdgeJaccard(
+      edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val nbrs = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    es.map { case (a, b) =>
+      val cn = (nbrs(a) intersect nbrs(b)).size.toLong
+      val un = (nbrs(a) union nbrs(b) diff Set(a, b)).size.toLong
+      (a, b) -> (cn, if (un > 0) cn * 1000000L / un else 0L)
+    }.toMap
+  }
+
+  test("edgeJaccard replays the naive scores; K4 edges are fully similar") {
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val edges = k4 ++ Seq((3L, 10L), (10L, 11L)) // pendant path
+    val run = (df: DataFrame) =>
+      Analytics.edgeJaccard(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val got = run(edges.toDF("src", "dst"))
+    assert(got === naiveEdgeJaccard(edges))
+    assert(got((0L, 1L)) === ((2L, 1000000L))) // N∩={2,3}, N∪\{0,1}={2,3}
+    assert(got((10L, 11L)) === ((0L, 0L)))     // pendant edge: no common nbr
+    assert(run(edges.toDF("src", "dst").repartition(7)) === got)
+  }
+
+  test("edgeJaccard random graph ≡ naive") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = Analytics.edgeJaccard(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === naiveEdgeJaccard(edges))
+  }
+
+  test("assumeCanonical=true ≡ default path on pre-canonicalized input") {
+    val rnd = new scala.util.Random(19)
+    val raw = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val canon = raw.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val cdf = canon.toDF("src", "dst")
+    def m3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq).toSet
+    assert(m3(Analytics.triangleStats(cdf, assumeCanonical = true)) ===
+      m3(Analytics.triangleStats(raw.toDF("src", "dst"))))
+    assert(m3(Analytics.kCoreBounded(cdf, k = 5, rounds = 2, assumeCanonical = true)) ===
+      m3(Analytics.kCoreBounded(raw.toDF("src", "dst"), k = 5, rounds = 2)))
+    assert(m3(Analytics.labelPropagation(cdf, rounds = 2, assumeCanonical = true)) ===
+      m3(Analytics.labelPropagation(raw.toDF("src", "dst"), rounds = 2)))
+    assert(m3(Analytics.edgeJaccard(cdf, assumeCanonical = true)) ===
+      m3(Analytics.edgeJaccard(raw.toDF("src", "dst"))))
+  }
+
   /** Naive synchronous label propagation, min-label tie-break. */
   private def naiveLabelProp(
       edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
