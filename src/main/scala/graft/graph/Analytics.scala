@@ -140,26 +140,26 @@ object Analytics {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      checkpoint: Boolean = true): DataFrame = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
     val e0 =
       if (assumeCanonical) canonical(edges, srcCol, dstCol, assume = true)
-      else canonical(edges, srcCol, dstCol, assume = false)
-        .coalesce(parts).localCheckpoint(eager = true)
-    val deg = e0.select(col("a").as("id"))
+      else pin(canonical(edges, srcCol, dstCol, assume = false))
+    val deg = pin(e0.select(col("a").as("id"))
       .union(e0.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-      .coalesce(parts).localCheckpoint(eager = true)
+      .groupBy("id").agg(count(lit(1)).as("deg")))
     // orient low-(deg,id) → high; a<b canonically, so deg ties keep (a,b)
     val lt = col("da") < col("db") || (col("da") === col("db"))
-    val oriented = e0
+    val oriented = pin(e0
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
       .select(
         when(lt, col("a")).otherwise(col("b")).as("u"),
         when(lt, col("b")).otherwise(col("a")).as("v"),
-        when(lt, col("db")).otherwise(col("da")).as("dv"))
-      .coalesce(parts).localCheckpoint(eager = true)
+        when(lt, col("db")).otherwise(col("da")).as("dv")))
     val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
     oriented.join(o2, Seq("u"))
       .filter(col("dv") < col("dw") ||
