@@ -832,6 +832,12 @@ r2o AS (
     "q72_knn_refine" -> ((s, dir) =>
       graft.ext.Similarity.knnRefineFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // pairwise association rules over order baskets: support ≥ 2 part
+    // pairs with exact-integer confidence (both directions) and lift —
+    // the co-occurrence weights q74-q78's unweighted graph drops
+    "q79_assoc_rules" -> ((s, dir) =>
+      graft.ext.Association.pairRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
     // bigram-LM fluency score (the CCNet/KenLM quality-filter shape) in
     // exact scaled integers — Laplace-smoothed corpus bigram MLE, per-doc
     // floored mean; see ext.Selection.lmScore
@@ -1764,6 +1770,20 @@ r2o AS (
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
+    // per-basket distinct pairs → support count; N rides a scalar CTE
+    "q79_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |nn AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM bi),
+        |cnt AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY it),
+        |pr AS (SELECT b1.it AS a, b2.it AS b, CAST(COUNT(*) AS BIGINT) AS supp
+        |  FROM bi b1 JOIN bi b2 ON b1.bk = b2.bk AND b1.it < b2.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.a, pr.b, pr.supp,
+        |  supp * 1000000 // ca.cnt AS conf_ab_fp,
+        |  supp * 1000000 // cb.cnt AS conf_ba_fp,
+        |  supp * nn.n * 1000000 // (ca.cnt * cb.cnt) AS lift_fp
+        |FROM pr JOIN cnt ca ON ca.it = pr.a JOIN cnt cb ON cb.it = pr.b
+        |CROSS JOIN nn""".stripMargin,
     // bigram key = w1||' '||w2 (tokens are [a-z0-9]+, space-free);
     // range(1, len) is end-exclusive with 1-indexed lists → len−1 pairs,
     // matching Spark's sequence(0, size−2) over 0-indexed arrays
