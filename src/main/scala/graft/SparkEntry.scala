@@ -832,6 +832,18 @@ r2o AS (
     "q72_knn_refine" -> ((s, dir) =>
       graft.ext.Similarity.knnRefineFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // ordered view→click→purchase funnel per user (strictly-after,
+    // first qualifying occurrence per step) — exact reach counts
+    "q81_funnel" -> ((s, dir) =>
+      graft.ext.Funnel.funnel(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+    // first-order Markov transition matrix over per-user event
+    // sequences (ts, event_id tie-break) — exact-integer row-normalised
+    // probabilities; the behavioural twin of q15's sessionization
+    "q80_markov_trans" -> ((s, dir) =>
+      graft.ext.Markov.transitions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")),
     // pairwise association rules over order baskets: support ≥ 2 part
     // pairs with exact-integer confidence (both directions) and lift —
     // the co-occurrence weights q74-q78's unweighted graph drops
@@ -1770,6 +1782,32 @@ r2o AS (
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
+    // strictly-after min-per-step frontier chain; no duration
+    // arithmetic, so timestamp vs nanos-long representation is moot
+    "q81_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS s FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS s FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.s
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS s FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.s
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step_idx, 'view' AS step, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_keys
+        |UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+    // DuckDB orders by the native timestamp; Spark by the nanos long —
+    // order-isomorphic, ties broken by event_id on both sides
+    "q80_markov_trans" ->
+      """WITH s AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, CAST(SUM(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.src AS src_type, c.dst AS dst_type, c.n_trans,
+        |  c.n_trans * 1000000 // t.tot AS p_fp
+        |FROM c JOIN t ON t.src = c.src""".stripMargin,
     // per-basket distinct pairs → support count; N rides a scalar CTE
     "q79_assoc_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
