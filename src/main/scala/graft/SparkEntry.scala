@@ -832,6 +832,13 @@ r2o AS (
     "q72_knn_refine" -> ((s, dir) =>
       graft.ext.Similarity.knnRefineFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // daily cohort retention: first-activity-day cohorts × active-day
+    // offsets, exact distinct-user counts (UTC day convention both sides)
+    "q82_retention" -> ((s, dir) =>
+      graft.ext.Funnel.retention(
+        t(s, dir, "events").withColumn("day",
+          to_date(timestamp_micros((col("ts") / 1000L).cast("long")))),
+        "user_id", "day")),
     // ordered view→click→purchase funnel per user (strictly-after,
     // first qualifying occurrence per step) — exact reach counts
     "q81_funnel" -> ((s, dir) =>
@@ -1782,6 +1789,14 @@ r2o AS (
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
+    // per-day dedup first, then cohort min + day-diff counts
+    "q82_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |ch AS (SELECT user_id, MIN(d) AS c FROM ud GROUP BY 1)
+        |SELECT strftime(ch.c, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', ch.c, ud.d) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM ud JOIN ch ON ch.user_id = ud.user_id GROUP BY 1, 2""".stripMargin,
     // strictly-after min-per-step frontier chain; no duration
     // arithmetic, so timestamp vs nanos-long representation is moot
     "q81_funnel" ->

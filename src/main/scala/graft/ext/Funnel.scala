@@ -48,4 +48,30 @@ object Funnel {
     }
     out
   }
+
+  /** Cohort retention — the other product-analytics staple: bucket every
+    * key by its FIRST-activity calendar day (the cohort), then count how
+    * many of each cohort's keys are active again `offset` days later:
+    * `(cohort_day 'yyyy-MM-dd', day_offset, n_users)`, exact counts
+    * (q82's oracle). `dayCol` must already be a date column — the caller
+    * owns the timestamp→date convention (q82 converts the nanos-long
+    * fixture column in UTC, matching the oracle's CAST(ts AS DATE)).
+    *
+    * Scale shape: one distinct (key, day) exchange (map-side combined),
+    * a per-key min for the cohort, one key-equi-join back, and the final
+    * (cohort, offset) count — activity is deduped per day FIRST, so the
+    * join and count move |keys|·|active days| rows, not raw events. */
+  def retention(
+      events: DataFrame,
+      keyCol: String,
+      dayCol: String): DataFrame = {
+    val ud = events.select(col(keyCol).as("__k"), col(dayCol).as("__d"))
+      .distinct()
+    val cohort = ud.groupBy("__k").agg(min("__d").as("__c"))
+    ud.join(cohort, Seq("__k"))
+      .groupBy(
+        date_format(col("__c"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("__d"), col("__c")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -57,4 +57,27 @@ class FunnelSpec extends SparkSpec {
         === run(rand.toDF("k", "o", "ty"), types, w))
     }
   }
+
+  test("retention: hand-checked cohorts and naive replay") {
+    import graft.ext.Funnel
+    import org.apache.spark.sql.functions.{col, to_date}
+    // day numbers as dates via epoch-day strings
+    val rnd = new scala.util.Random(37)
+    val rows = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(20))) ++
+      Seq((100L, 3), (100L, 3), (100L, 5), (101L, 4)) // dupes + singleton
+    val df = rows.toDF("k", "dayNum")
+      .withColumn("day", to_date(org.apache.spark.sql.functions.expr(
+        "date_add('1970-01-01', dayNum)")))
+    val got = Funnel.retention(df, "k", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val byKey = rows.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val fmt = java.time.LocalDate.ofEpochDay(_: Long).toString
+    val naive = byKey.toSeq.flatMap { case (_, days) =>
+      val c = days.min
+      days.toSeq.map(d => (fmt(c.toLong), (d - c).toLong))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === naive)
+    assert(got((fmt(4L), 0L)) >= 1L) // the singleton user 101 cohort
+  }
 }
