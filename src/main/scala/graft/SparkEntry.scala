@@ -878,6 +878,23 @@ r2o AS (
       graft.graph.Analytics.edgeJaccard(
         partPairs(s, dir), assumeCanonical = true,
         tris = Some(partTriangles(s, dir)))),
+    // weighted PageRank: the co-purchase graph weighted by pair
+    // support (q79's co-occurrence counts) — the surfer follows edges
+    // proportionally to how often the parts co-occur; scale 10^9
+    // leaves 17·|V|·scale·wmax comfortably inside 2^63
+    "q83_pagerank_weighted" -> ((s, dir) => {
+      val bi = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val pw = bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
+        .filter(col("it") < col("it2"))
+        .groupBy(col("it").as("a"), col("it2").as("b"))
+        .agg(count(lit(1)).as("w"))
+      val sym = pw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(pw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.graph.Analytics.pageRankFixed(
+        sym, scale = 1000000000L, weightCol = Some("w"))
+    }),
     // bounded k-core peeling (k=10, 3 rounds) over the same part
     // co-purchase graph — the dense-core extraction tier; survivors
     // with their induced degree, recurrence unrolled in the oracle
@@ -1922,6 +1939,25 @@ r2o AS (
          |$rounds
          |SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS core_deg
          |FROM e3 GROUP BY u""".stripMargin
+    },
+    // 3 unrolled WEIGHTED damped rounds over support-weighted edges
+    "q83_pagerank_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT n.id, 150000000 + COALESCE(s$i.c, 0) AS r FROM n LEFT JOIN (
+           |  SELECT e.dst AS id, CAST(SUM((17 * r${i - 1}.r * e.w) // (20 * d.deg)) AS BIGINT) AS c
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src JOIN d ON d.src = e.src
+           |  GROUP BY e.dst) s$i ON s$i.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         |pw AS (SELECT b1.it AS a, b2.it AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM bi b1 JOIN bi b2 ON b1.bk = b2.bk AND b1.it < b2.it GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst, w FROM pw
+         |  UNION ALL SELECT b AS src, a AS dst, w FROM pw),
+         |d AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY src),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n),
+         |$rounds
+         |SELECT id AS node_id, r AS rank_fp FROM r3""".stripMargin
     },
     // 3 unrolled damped rounds of the exact integer recurrence
     // r'(v) = 0.15·scale + Σ (17·r(u)) // (20·deg(u)), scale = 10^12;

@@ -49,11 +49,20 @@ object Analytics {
     * (dedupe upstream if the graph is simple — q73 does). Returns
     * `(node_id, rank_fp)` for every node appearing as src or dst.
     *
+    * `weightCol` generalises to WEIGHTED PageRank: contributions become
+    * `(αN·r(u)·w) div (αD·W(u))` with `W(u) = Σ out-weights` — the
+    * random surfer follows edges proportionally to weight (e.g. q83
+    * runs it over the co-purchase graph weighted by q79's pair
+    * support). Unweighted is the `w = 1` special case, bit-identical
+    * to omitting the column.
+    *
     * Overflow bound: a rank never exceeds the conserved total mass
-    * `|V|·scale`, so `αN·r` needs `αN·|V|·scale < 2^63` — at the default
-    * `scale=10^12` that holds to half a million nodes; at 10^9+ nodes
-    * pass `scale=10^6`. (Rank RESOLUTION is unaffected by |V|: ranks sit
-    * near `scale`, so 10^6 still carries 6 significant digits.)
+    * `|V|·scale`, so `αN·r·wmax` needs `αN·|V|·scale·wmax < 2^63` — at
+    * the default `scale=10^12` that holds to half a million nodes
+    * unweighted; weighted callers size `scale` down by their max edge
+    * weight (q83 uses 10^9). (Rank RESOLUTION is unaffected by |V|:
+    * ranks sit near `scale`, so 10^6 still carries 6 significant
+    * digits.)
     *
     * Scale shape: the edge frame joins its out-degree ONCE and is pinned
     * behind an eager `localCheckpoint` (coalesced to the session's
@@ -78,7 +87,8 @@ object Analytics {
       scale: Long = 1000000000000L,
       alphaNum: Long = 17L,
       alphaDen: Long = 20L,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(alphaDen > alphaNum && alphaNum > 0,
       s"need 0 < alphaNum < alphaDen: $alphaNum/$alphaDen")
@@ -86,8 +96,9 @@ object Analytics {
     def pin(df: DataFrame): DataFrame =
       if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
     val e = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+    val deg = e.groupBy("src").agg(sum(col("w")).as("deg"))
     val eDeg = pin(e.join(deg, Seq("src")))
     val nodes = pin(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
@@ -97,7 +108,7 @@ object Analytics {
       val contrib = eDeg
         .join(r.select(col("id").as("src"), col("r")), Seq("src"))
         .select(col("dst"),
-          expr(s"${alphaNum}L * r div (${alphaDen}L * deg)").as("c"))
+          expr(s"${alphaNum}L * r * w div (${alphaDen}L * deg)").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
       r = pin(nodes
         .join(contrib.select(col("dst").as("id"), col("c")), Seq("id"), "left")

@@ -152,6 +152,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === want)
   }
 
+  /** Naive weighted PageRank with the same integer recurrence. */
+  private def naiveWeightedPageRank(
+      edges: Seq[(Long, Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val str = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = 3L * scale / 20L
+    var r = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => 17L * r(s) * w / (20L * str(s)) }.sum
+      }
+      r = nodes.map(n => n -> (base + in.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRankFixed weighted: naive replay; w=1 ≡ unweighted; weight pulls rank") {
+    val scale = 1000000000L
+    val rnd = new scala.util.Random(41)
+    val wEdges = Seq.fill(200)(
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong, rnd.nextInt(9).toLong + 1L))
+      .filter(e => e._1 != e._2)
+    val got = Analytics.pageRankFixed(
+        wEdges.toDF("src", "dst", "w"), scale = scale, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveWeightedPageRank(wEdges, 3, scale))
+    // all-1 weights are bit-identical to the unweighted dispatch
+    val ones = wEdges.map { case (a, b, _) => (a, b, 1L) }
+    val a = Analytics.pageRankFixed(
+        ones.toDF("src", "dst", "w"), scale = scale, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Analytics.pageRankFixed(
+        ones.map(e => (e._1, e._2)).toDF("src", "dst"), scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // a hub fed by one heavy edge outranks one fed by a light edge
+    val star = Seq((1L, 10L, 100L), (1L, 11L, 1L))
+    val s = Analytics.pageRankFixed(
+        star.toDF("src", "dst", "w"), scale = scale, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(10L) > s(11L))
+  }
+
   /** Naive per-edge common-neighbour count + scaled Jaccard. */
   private def naiveEdgeJaccard(
       edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
