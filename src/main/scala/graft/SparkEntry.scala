@@ -1896,14 +1896,17 @@ r2o AS (
     // |N(a)∪N(b)∖{a,b}| = deg(a)+deg(b)−2−cn
     "q78_edge_jaccard" ->
       s"""WITH $triangleCtes,
-        |te AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM tr
-        |  UNION ALL SELECT least(v, c) AS a, greatest(v, c) AS b FROM tr
-        |  UNION ALL SELECT least(u, c) AS a, greatest(u, c) AS b FROM tr),
-        |cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM te GROUP BY a, b)
+        |te AS (SELECT least(u, v) AS a, greatest(u, v) AS b, c AS z FROM tr
+        |  UNION ALL SELECT least(v, c) AS a, greatest(v, c) AS b, u AS z FROM tr
+        |  UNION ALL SELECT least(u, c) AS a, greatest(u, c) AS b, v AS z FROM tr),
+        |cn AS (SELECT te.a, te.b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(1000000 // dz.deg) AS BIGINT) AS ra
+        |  FROM te JOIN deg dz ON dz.id = te.z GROUP BY te.a, te.b)
         |SELECT pp.a, pp.b, COALESCE(cn.cn, 0) AS cn_cnt,
         |  CASE WHEN da.deg + db.deg - 2 - COALESCE(cn.cn, 0) > 0
         |    THEN (COALESCE(cn.cn, 0) * 1000000) // (da.deg + db.deg - 2 - COALESCE(cn.cn, 0))
-        |    ELSE 0 END AS jac_fp
+        |    ELSE 0 END AS jac_fp,
+        |  COALESCE(cn.ra, 0) AS ra_fp
         |FROM pp JOIN deg da ON da.id = pp.a JOIN deg db ON db.id = pp.b
         |LEFT JOIN cn ON cn.a = pp.a AND cn.b = pp.b""".stripMargin,
     // 3 unrolled label-propagation rounds: neighbour-label counts,

@@ -304,14 +304,20 @@ object Analytics {
   }
 
   /** Per-edge link-prediction features over an undirected simple graph:
-    * for every canonical edge `(a < b)`, the common-neighbour count and
-    * the neighbourhood Jaccard in scaled integers —
-    * `(a, b, cn_cnt, jac_fp)` with
+    * for every canonical edge `(a < b)`, the common-neighbour count,
+    * the neighbourhood Jaccard, and the resource-allocation index in
+    * scaled integers — `(a, b, cn_cnt, jac_fp, ra_fp)` with
     * `jac_fp = cn·jScale div (deg(a)+deg(b)−2−cn)` (0 when the union is
-    * empty) — the standard structural edge scores (Liben-Nowell &
-    * Kleinberg 2003); exact integers, replayed by q78's oracle. For an
+    * empty) and `ra_fp = Σ_z jScale div deg(z)` over common neighbours
+    * `z` — the standard structural edge scores (Liben-Nowell &
+    * Kleinberg 2003; RA is Zhou/Lü/Zhang 2009's strongest simple
+    * predictor, down-weighting promiscuous common neighbours); exact
+    * integers (RA's per-z division floors BEFORE the sum, so any
+    * engine and order agree), replayed by q78's oracle. For an
     * ADJACENT pair, `|N(a)∩N(b)|` is the number of triangles through
-    * the edge, and `|N(a)∪N(b)∖{a,b}| = deg(a)+deg(b)−2−cn`.
+    * the edge — and the triangle's third vertex IS the common
+    * neighbour, which is how RA gets each `z`'s degree without ever
+    * materialising a neighbourhood list.
     *
     * Scale shape: triangles enumerate via the same degree-oriented
     * wedge join as [[triangleStats]] (arboricity-bounded fan-out), each
@@ -335,14 +341,20 @@ object Analytics {
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val triFrame = tris.getOrElse(
       triangles(e0, "a", "b", assumeCanonical = true))
-    // each triangle lies on its 3 canonical edges
+    // each triangle lies on its 3 canonical edges; the third vertex is
+    // that edge's common neighbour z
     val cn = triFrame.select(explode(array(
-        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
-        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")),
-        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))))
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"), col("w").as("z")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"), col("u").as("z")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b"), col("v").as("z"))))
         .as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.z").as("z"))
+      .join(deg.select(col("id").as("z"), col("deg").as("dz")), Seq("z"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"),
+        sum(expr(s"${jScale}L div dz")).as("ra"))
     e0.join(cn, Seq("a", "b"), "left")
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
@@ -350,6 +362,7 @@ object Analytics {
         coalesce(col("cn"), lit(0L)).as("cn_cnt"),
         when(col("da") + col("db") - lit(2) - coalesce(col("cn"), lit(0L)) > 0,
           expr(s"coalesce(cn, 0L) * ${jScale}L div (da + db - 2L - coalesce(cn, 0L))"))
-          .otherwise(lit(0L)).as("jac_fp"))
+          .otherwise(lit(0L)).as("jac_fp"),
+        coalesce(col("ra"), lit(0L)).as("ra_fp"))
   }
 }

@@ -195,17 +195,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(s(10L) > s(11L))
   }
 
-  /** Naive per-edge common-neighbour count + scaled Jaccard. */
+  /** Naive per-edge common-neighbour count + scaled Jaccard + RA. */
   private def naiveEdgeJaccard(
-      edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+      edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long, Long)] = {
     val es = edges.map { case (a, b) => (a min b, a max b) }
       .filter { case (a, b) => a != b }.distinct
     val nbrs = (es ++ es.map(_.swap)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     es.map { case (a, b) =>
-      val cn = (nbrs(a) intersect nbrs(b)).size.toLong
+      val common = nbrs(a) intersect nbrs(b)
+      val cn = common.size.toLong
       val un = (nbrs(a) union nbrs(b) diff Set(a, b)).size.toLong
-      (a, b) -> (cn, if (un > 0) cn * 1000000L / un else 0L)
+      val ra = common.toSeq.map(z => 1000000L / nbrs(z).size).sum
+      (a, b) -> (cn, if (un > 0) cn * 1000000L / un else 0L, ra)
     }.toMap
   }
 
@@ -214,11 +216,13 @@ class AnalyticsSpec extends SparkSpec {
     val edges = k4 ++ Seq((3L, 10L), (10L, 11L)) // pendant path
     val run = (df: DataFrame) =>
       Analytics.edgeJaccard(df).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val got = run(edges.toDF("src", "dst"))
     assert(got === naiveEdgeJaccard(edges))
-    assert(got((0L, 1L)) === ((2L, 1000000L))) // N∩={2,3}, N∪\{0,1}={2,3}
-    assert(got((10L, 11L)) === ((0L, 0L)))     // pendant edge: no common nbr
+    // N∩={2,3}; z=2 has deg 3, z=3 has deg 4 → ra = 333333 + 250000
+    assert(got((0L, 1L)) === ((2L, 1000000L, 583333L)))
+    assert(got((10L, 11L)) === ((0L, 0L, 0L)))  // pendant edge: no common nbr
     assert(run(edges.toDF("src", "dst").repartition(7)) === got)
   }
 
@@ -226,7 +230,8 @@ class AnalyticsSpec extends SparkSpec {
     val rnd = new scala.util.Random(17)
     val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
     val got = Analytics.edgeJaccard(edges.toDF("src", "dst")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got === naiveEdgeJaccard(edges))
   }
 
