@@ -35,6 +35,23 @@ object SparkEntry {
         .localCheckpoint(eager = true)
     }
 
+  /** Support-WEIGHTED co-purchase pairs `(a < b, w = co-occurrence
+    * count)` — q79's support base and q83's edge weights, memoised and
+    * checkpointed like [[partPairs]] so the second consumer rides the
+    * first's build. */
+  private def partPairsWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-pairs-weighted", dir)) {
+      val bi = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
+        .filter(col("it") < col("it2"))
+        .groupBy(col("it").as("a"), col("it2").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .coalesce(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(eager = true)
+    }
+
   /** Part co-purchase graph (parts sharing an order), canonical a<b
     * DISTINCT pairs — the shared substrate of the q74/q76/q77/q78 graph
     * analytics, memoised per session ([[graft.functions.Memos]]) and
@@ -856,7 +873,8 @@ r2o AS (
     // the co-occurrence weights q74-q78's unweighted graph drops
     "q79_assoc_rules" -> ((s, dir) =>
       graft.ext.Association.pairRules(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        pairSupports = Some(partPairsWeighted(s, dir)))),
     // bigram-LM fluency score (the CCNet/KenLM quality-filter shape) in
     // exact scaled integers — Laplace-smoothed corpus bigram MLE, per-doc
     // floored mean; see ext.Selection.lmScore
@@ -883,13 +901,7 @@ r2o AS (
     // proportionally to how often the parts co-occur; scale 10^9
     // leaves 17·|V|·scale·wmax comfortably inside 2^63
     "q83_pagerank_weighted" -> ((s, dir) => {
-      val bi = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val pw = bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
-        .filter(col("it") < col("it2"))
-        .groupBy(col("it").as("a"), col("it2").as("b"))
-        .agg(count(lit(1)).as("w"))
+      val pw = partPairsWeighted(s, dir)
       val sym = pw.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .unionByName(pw.select(col("b").as("src"), col("a").as("dst"), col("w")))
       graft.graph.Analytics.pageRankFixed(

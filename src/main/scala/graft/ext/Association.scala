@@ -35,12 +35,19 @@ import org.apache.spark.sql.functions._
   * far below the worst case). */
 object Association {
 
+  /** @param pairSupports optional precomputed co-occurrence counts
+    *   `(a < b, w)` over the SAME (basket, item) relation — the shared-
+    *   build hook ([[graft.graph.Analytics.triangleStats]]'s `tris`
+    *   pattern): q79 and q83 ride one session-memoised frame instead of
+    *   each paying the basket self-join. Item counts and the basket
+    *   total still derive from the deduped (basket, item) frame. */
   def pairRules(
       baskets: DataFrame,
       basketCol: String,
       itemCol: String,
       minSupport: Long = 2L,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      pairSupports: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
     val bi = baskets.select(
         col(basketCol).cast("long").as("bk"),
@@ -48,10 +55,13 @@ object Association {
       .distinct()
     val n = bi.select(countDistinct(col("bk")).as("n"))
     val cnt = bi.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
-    val pairs = bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
-      .filter(col("it") < col("it2"))
-      .groupBy(col("it").as("a"), col("it2").as("b"))
-      .agg(count(lit(1)).as("supp"))
+    val pairs = pairSupports
+      .map(_.select(col("a"), col("b"), col("w").as("supp")))
+      .getOrElse(
+        bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
+          .filter(col("it") < col("it2"))
+          .groupBy(col("it").as("a"), col("it2").as("b"))
+          .agg(count(lit(1)).as("supp")))
       .filter(col("supp") >= minSupport)
     pairs
       .join(cnt.select(col("it").as("a"), col("cnt").as("ca")), Seq("a"))

@@ -57,6 +57,22 @@ class AssociationSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("pairRules: a precomputed pairSupports frame ≡ the internal self-join") {
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(20).toLong))
+    val df = rows.toDF("bk", "it")
+    val bi = df.distinct()
+    val pw = bi.join(bi.select($"bk", $"it".as("it2")), Seq("bk"))
+      .filter($"it" < $"it2")
+      .groupBy($"it".as("a"), $"it2".as("b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+    val viaShared = Association.pairRules(df, "bk", "it", 2L, 1000000L, Some(pw))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(viaShared === run(df))
+  }
+
   test("pairRules: a perfectly co-occurring pair has confidence = lift basis") {
     // items 7 and 8 appear in exactly the same 3 baskets and nowhere else
     val rows: Seq[(Long, Long)] = Seq(
