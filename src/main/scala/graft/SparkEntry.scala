@@ -849,6 +849,63 @@ r2o AS (
     "q72_knn_refine" -> ((s, dir) =>
       graft.ext.Similarity.knnRefineFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+    // SQL OLAP surface: ROLLUP over (returnflag, linestatus) — detail,
+    // subtotal, and grand-total rows in ONE pass with the grouping_id
+    // disambiguator. Catalyst plans rollup as a single Expand + one
+    // map-side-combined aggregate exchange, so the three grouping
+    // levels cost one shuffle, not three scans — at 100 TB the Expand
+    // triples rows BEFORE the partial agg collapses them per partition
+    "q84_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"))),
+    // BM25 term ranking (ext.Ranking): the Okapi tf-saturation ×
+    // integer idf, every factor in exact scaled-long arithmetic with
+    // documented floor points — the retrieval-indexing twin of q49's
+    // TF-IDF, same one-exchange plan shape
+    "q85_bm25" -> ((s, dir) =>
+      graft.ext.Ranking.bm25TopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // bounded HashMin connected components (5 min-label rounds) over
+    // the co-purchase graph — the DataFrame-native recurrence twin of
+    // q58's converged GraphX components, exact for components of
+    // diameter ≤ 5, oracle-unrolled like the q76/q77 family
+    "q86_cc_bounded" -> ((s, dir) =>
+      graft.graph.Analytics.connectedComponentsBounded(
+        partPairs(s, dir), rounds = 5, assumeCanonical = true)),
+    // per-source corpus card (the "data card" audit every training mix
+    // ships with): docs, chars, tokens, language spread, exact-dup
+    // incidence, floored mean length — the dup probe joins on sha2(text)
+    // so the shuffle key is 32 bytes, never the document payload
+    "q87_corpus_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("h"))
+      val dup = d.groupBy("h").agg(count(lit(1)).as("c"))
+      d.join(dup, Seq("h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tok")).as("sum_tok"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_tok"), col("n_langs"), col("n_dup_docs"),
+          expr("sum_tok div n_docs").as("mean_tok"))
+    }),
+    // trailing-window z-test anomaly flags per user (ext.Anomaly): the
+    // integer-exact  (n·x−s1)² > θ²(n·s2−s1²)  test — no division, no
+    // sqrt, so the flag hash-verifies where a float stddev never could
+    "q88_anomaly" -> ((s, dir) =>
+      graft.ext.Anomaly.zFlags(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("n_win"), col("dev_sq"), col("var_thresh"),
+          col("is_anomaly").cast("long").as("is_anomaly"))),
     // daily cohort retention: first-activity-day cohorts × active-day
     // offsets, exact distinct-user counts (UTC day convention both sides)
     "q82_retention" -> ((s, dir) =>
@@ -1818,6 +1875,92 @@ r2o AS (
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM rsc)
         |WHERE rk <= 10""".stripMargin,
+    // one ROLLUP pass; GROUPING() carries Spark's grouping_id bit order
+    // (leftmost column = most significant bit — both engines follow the
+    // SQL standard encoding)
+    "q84_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // the exact-integer BM25: idf_fp = (N·1e6) div df, tf saturation as
+    // one rational with the documented floor points (k1 = 6/5, b = 3/4;
+    // see ext.Ranking) — every factor replays in BIGINT arithmetic
+    "q85_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |corp AS (SELECT COUNT(*) AS d_cnt, SUM(dl) AS t_cnt FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ((n.n * 1000000) // dfreq.df) *
+        |      ((22 * tf.tf * 1000000000000) //
+        |       (10 * tf.tf * 1000000 + 3000000 +
+        |        9 * ((dl.dl * corp.d_cnt * 1000000) // corp.t_cnt))) // 1000000 AS score
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |  JOIN dfreq ON dfreq.term = tf.term, n, corp)
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
+    // 5 unrolled HashMin rounds: each round min-folds a node's own
+    // label with its neighbours' previous-round labels
+    "q86_cc_bounded" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS (SELECT id, MIN(lab) AS lab FROM (
+           |  SELECT id, lab FROM l${i - 1}
+           |  UNION ALL
+           |  SELECT e.u AS id, l.lab FROM e0 e JOIN l${i - 1} l ON l.id = e.v)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e0),
+         |$rounds
+         |SELECT id AS node_id, lab AS component FROM l5""".stripMargin
+    },
+    // sha256(text) stands in for the payload as the dup-join key on
+    // both sides (q66 establishes the sha2 parity)
+    "q87_corpus_card" ->
+      """WITH d AS (SELECT doc_id, source, lang, n_chars,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+        |    sha256(text) AS h
+        |  FROM documents),
+        |c AS (SELECT h, COUNT(*) AS c FROM d GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM(n_tok) // COUNT(*) AS BIGINT) AS mean_tok
+        |FROM d JOIN c ON c.h = d.h GROUP BY source""".stripMargin,
+    // cents via DECIMAL lift (exact), one window pass for (n, Σx, Σx²)
+    // over the 20 events STRICTLY BEFORE each row (empty-frame sums are
+    // NULL in both engines — first events carry NULL test terms and a
+    // FALSE flag), then the division-free z² test in BIGINT
+    "q88_anomaly" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, cents,
+        |    COUNT(*) OVER win AS n_win, SUM(cents) OVER win AS s1,
+        |    SUM(cents * cents) OVER win AS s2
+        |  FROM x WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, cents, CAST(n_win AS BIGINT) AS n_win,
+        |  CAST((n_win * cents - s1) * (n_win * cents - s1) AS BIGINT) AS dev_sq,
+        |  CAST(9 * (n_win * s2 - s1 * s1) AS BIGINT) AS var_thresh,
+        |  CAST(CASE WHEN n_win >= 5 AND
+        |      (n_win * cents - s1) * (n_win * cents - s1) > 9 * (n_win * s2 - s1 * s1)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM w""".stripMargin,
     // per-day dedup first, then cohort min + day-diff counts
     "q82_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

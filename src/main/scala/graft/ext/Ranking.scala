@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-style term ranking over a document corpus: BM25 (Robertson &
+  * Spärck Jones's probabilistic weighting in the Okapi formulation) with
+  * every factor in exact scaled-integer arithmetic, so the scores are
+  * bit-replayable by a second engine ([[graft.SparkEntry]] q85's DuckDB
+  * oracle) — the corpus-indexing tier that sits next to the TF-IDF
+  * feature (q49) in a training-data pipeline: score the terms that make
+  * a document distinctive, weight retrieval-augmented mixes, or build
+  * the keyword index a dedup/decontamination audit queries.
+  *
+  * The classical formula is
+  * `idf(t) × tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with float idf
+  * `ln((N−df+0.5)/(df+0.5))`. Graft's exactness contract replaces the
+  * libm-dependent log with the same scaled integer idf the TF-IDF tier
+  * uses — `idf_fp = (N×10⁶) div df`, monotone in the true idf — and
+  * evaluates the tf saturation as one exact rational with floored
+  * divisions at documented points (`k1 = 6/5`, `b = 3/4`):
+  *
+  *   `r_fp  = (dl·D×10⁶) div T`                 (dl/avgdl, avgdl = T/D)
+  *   `tfc   = (22·tf×10¹²) div (10·tf×10⁶ + 3×10⁶ + 9·r_fp)`
+  *   `score = (idf_fp · tfc) div 10⁶`
+  *
+  * Monotone in tf, decreasing in document length — BM25's shape, exact
+  * in any engine and any order. Overflow bounds: `22·tf×10¹² < 2⁶³`
+  * needs `tf < 4×10⁵` occurrences of one term in one document;
+  * `idf_fp·tfc` needs `N·tfc < 2.2×10⁶·N×10⁶ < 2⁶³`, i.e. corpora to
+  * ~4×10⁶ docs at these scales — size the two 10⁶ factors down together
+  * for bigger corpora (the oracle carries them symbolically).
+  *
+  * Scale shape — identical to the TF-IDF plan, which is the point: one
+  * tokenise+explode pass, a map-side-combined `(doc, term)` count, the
+  * O(|vocab|) df aggregate broadcast back, and a per-doc top-k that
+  * plans as `WindowGroupLimit` (partial top-k before the exchange, so
+  * hot documents never materialise their full term list). The corpus
+  * scalars (N, D, T) are one tiny aggregate cross-joined in — at 100 TB
+  * nothing shuffles beyond the tf exchange. */
+object Ranking {
+
+  /** Top-`k` terms per document by exact-integer BM25; ties break
+    * lexicographically. Returns `(idCol, term, score, rk)`.
+    * `dl` counts ALL token occurrences of the document (the BM25
+    * length), tokens are [[Dedup.tokens]]'s `[a-z0-9]+` runs. */
+  def bm25TopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val terms = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus scalars: N = docs (for idf), D = non-empty docs / T = tokens
+    // (for avgdl) — dl derives from tf so D counts docs with ≥1 token,
+    // and the oracle counts them the same way
+    val nDocs = docs.count()
+    val corpus = dl.agg(count(lit(1)).as("d_cnt"), sum(col("dl")).as("t_cnt"))
+    val scored = tf
+      .join(dl, Seq(idCol))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), col("term"),
+        expr(s"((${nDocs}L * 1000000L) div df) * " +
+          "((22L * tf * 1000000000000L) div " +
+          "(10L * tf * 1000000L + 3000000L + 9L * ((dl * d_cnt * 1000000L) div t_cnt))) " +
+          "div 1000000L").as("score"))
+    val w = Window.partitionBy(idCol).orderBy(desc("score"), asc("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+}

@@ -256,6 +256,55 @@ object Analytics {
       .select(col("u").as("node_id"), col("core_deg"))
   }
 
+  /** Bounded-round HashMin connected components: `rounds` synchronous
+    * rounds of `lab'(v) = min(lab(v), min_{u∈N(v)} lab(u))` starting
+    * from `lab(v) = v` — the distributed min-label recurrence (Rastogi
+    * et al. 2013's HashMin; the MapReduce folklore algorithm). After
+    * `rounds` rounds every node carries the minimum id within graph
+    * distance `rounds`, so components of diameter ≤ `rounds` are exact
+    * and larger ones are the documented bounded semantics (same
+    * contract as [[kCoreBounded]]); full convergence needs
+    * diameter-many rounds (the log-round star-contraction variants
+    * trade that for asymmetric moves that don't replay as one SQL
+    * recurrence). Returns `(node_id, component)`.
+    *
+    * Complements [[graft.ext.Dedup.dedupGroups]]'s GraphX
+    * `connectedComponents` (the converged tier): this is the
+    * DataFrame-native recurrence a second engine replays exactly —
+    * q86 unrolls it in DuckDB and hash-compares.
+    *
+    * Scale shape: a round is one |E|-side equi-join (neighbour labels
+    * onto the symmetrized edge list), unioned with the node's own
+    * label, then one map-side-combined `min` per node — the combine
+    * collapses each partition to O(|V|) rows before the exchange, so
+    * per-round shuffle volume is |V|-scale, not |E|. Each round's
+    * label frame pins behind a barrier ([[pageRankFixed]]'s
+    * checkpoint rationale). The symmetrized edge list is built once. */
+  def connectedComponentsBounded(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 5,
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
+    val sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v"))))
+    var lab = pin(sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
+    for (_ <- 1 to rounds) {
+      lab = pin(lab
+        .union(sym.join(lab.select(col("id").as("v"), col("lab")), Seq("v"))
+          .select(col("u").as("id"), col("lab")))
+        .groupBy("id").agg(min(col("lab")).as("lab")))
+    }
+    lab.select(col("id").as("node_id"), col("lab").as("component"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
     * rounds, fully deterministic: every node starts labelled with its
     * own id and each round adopts the most frequent label among its

@@ -292,4 +292,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === run(edges.toDF("src", "dst").coalesce(1)))
     assert(a === want)
   }
+
+  /** Naive HashMin: `rounds` rounds of min over self + neighbours. */
+  private def naiveCc(
+      edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2) }
+    var lab = adj.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      lab = lab.map { case (n, l) =>
+        n -> (adj(n).map(lab) :+ l).min
+      }
+    }
+    lab
+  }
+
+  test("connectedComponentsBounded: exact components within the round bound") {
+    // two components: a clique (diameter 1) and a 7-path (diameter 6)
+    val clique = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val path = (10L until 16L).map(i => (i, i + 1))
+    val edges = clique ++ path
+    val got = Analytics.connectedComponentsBounded(
+        edges.toDF("src", "dst"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveCc(edges, 5))
+    assert((0L to 3L).forall(got(_) === 0L))
+    assert((10L to 15L).forall(got(_) === 10L)) // within distance 5 of 10
+    assert(got(16L) === 11L) // distance 6 — the documented bounded residue
+    val converged = Analytics.connectedComponentsBounded(
+        edges.toDF("src", "dst"), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 16L).forall(converged(_) === 10L))
+  }
+
+  test("connectedComponentsBounded random graph ≡ naive, partition-independent") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(250)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val want = naiveCc(edges, 5)
+    val run = (df: DataFrame) =>
+      Analytics.connectedComponentsBounded(df, rounds = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges.toDF("src", "dst").repartition(7))
+    assert(a === run(edges.toDF("src", "dst").coalesce(1)))
+    assert(a === want)
+  }
 }
