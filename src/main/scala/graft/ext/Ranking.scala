@@ -32,29 +32,35 @@ import org.apache.spark.sql.functions._
   * ~4×10⁶ docs at these scales — size the two 10⁶ factors down together
   * for bigger corpora (the oracle carries them symbolically).
   *
-  * Scale shape — identical to the TF-IDF plan, which is the point: one
-  * tokenise+explode pass, a map-side-combined `(doc, term)` count, the
-  * O(|vocab|) df aggregate broadcast back, and a per-doc top-k that
+  * Scale shape — TF-IDF's plan with the corpus pass made explicit: the
+  * tokenise+explode runs ONCE into the compact `(doc, term, tf)` frame
+  * (map-side-combined; materialised behind an eager localCheckpoint —
+  * FOUR consumers derive from it: dl, df, the corpus scalars, and the
+  * scoring join, and lazily each would re-run the corpus scan), the
+  * O(|vocab|) df aggregate broadcasts back, and the per-doc top-k
   * plans as `WindowGroupLimit` (partial top-k before the exchange, so
   * hot documents never materialise their full term list). The corpus
-  * scalars (N, D, T) are one tiny aggregate cross-joined in — at 100 TB
-  * nothing shuffles beyond the tf exchange. */
+  * scalars (N, D, T) are one tiny aggregate cross-joined in — at
+  * 100 TB nothing shuffles beyond the tf exchange. */
 object Ranking {
 
   /** Top-`k` terms per document by exact-integer BM25; ties break
     * lexicographically. Returns `(idCol, term, score, rk)`.
     * `dl` counts ALL token occurrences of the document (the BM25
-    * length), tokens are [[Dedup.tokens]]'s `[a-z0-9]+` runs. */
+    * length), tokens are [[Dedup.tokens]]'s `[a-z0-9]+` runs.
+    * `checkpointTf=false` keeps the pipeline lazy (plan audits). */
   def bm25TopTerms(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      checkpointTf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val terms = docs.select(col(idCol),
       explode(Dedup.tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term"))
+    val tfRaw = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (checkpointTf) tfRaw.localCheckpoint(eager = true) else tfRaw
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus scalars: N = docs (for idf), D = non-empty docs / T = tokens
