@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   * pass computes count, `Σx` and `Σx²` over `ROWS win−1 PRECEDING`
   * in one frame traversal — per-entity history never leaves its
   * partition, hot entities cost their own event count, nothing is
-  * driver-side. The same frame semantics port to the streaming tier as
-  * a `flatMapGroupsWithState` ring buffer per key. */
+  * driver-side. The streaming twin is
+  * [[graft.streaming.EventStream.anomalyFlags]] — a
+  * `flatMapGroupsWithState` ring buffer per key, parity-proved in
+  * StreamingSpec. */
 object Anomaly {
 
   /** Per-event trailing-window z-test flags. Input must provide an

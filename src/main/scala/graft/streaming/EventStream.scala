@@ -214,6 +214,62 @@ object EventStream {
       }
   }
 
+  /** One emitted flag row of [[anomalyFlags]] — the streaming image of
+    * [[graft.ext.Anomaly.zFlags]]'s schema (None where the batch window
+    * frame is empty and SQL yields NULL). */
+  final case class ZFlag(
+      user_id: Long, event_id: Long, cents: Long, n_win: Long,
+      dev_sq: Option[Long], var_thresh: Option[Long], is_anomaly: Boolean)
+
+  /** Streaming twin of the batch trailing-window z-test
+    * ([[graft.ext.Anomaly.zFlags]], q88): per-user ring buffer of the
+    * last `win` cent values in `flatMapGroupsWithState`, every incoming
+    * event tested against its buffered history with the same
+    * division-free integer inequality — bit-identical flags to the
+    * batch operator on in-order input (StreamingSpec proves parity on
+    * the fixture stream). Same in-order contract as
+    * [[purchaseAttribution]]: rows within a micro-batch sort by
+    * (ts, event_id); cross-batch reordering needs the watermark-buffered
+    * pattern of [[purchaseAttributionLate]].
+    *
+    * State is O(win) longs per user — constant — and the plan is one
+    * hash exchange on user_id feeding the state store, the same shape
+    * as the batch operator's single window exchange. The cents lift
+    * happens in DataFrame-land (DECIMAL cast) so stream and batch share
+    * the exact same rounding. */
+  def anomalyFlags(
+      events: DataFrame, win: Int = 20, minN: Int = 5, theta: Long = 3L)(
+      implicit spark: SparkSession): Dataset[ZFlag] = {
+    import spark.implicits._
+    require(win >= 2 && minN >= 2 && minN <= win && theta >= 1,
+      s"bad params: win=$win minN=$minN theta=$theta")
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Long], ZFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Vector[Long]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty[Long])
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, _, eid, x) =>
+              val n = buf.size.toLong
+              val s1 = buf.sum
+              val s2 = buf.iterator.map(c => c * c).sum
+              val dev = if (n >= 1) Some { val d = n * x - s1; d * d } else None
+              val vt = if (n >= 1) Some(theta * theta * (n * s2 - s1 * s1))
+                else None
+              val flag = n >= minN && dev.get > vt.get
+              buf = (buf :+ x).takeRight(win)
+              ZFlag(uid, eid, x, n, dev, vt, flag)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   def runningUserTotals(
       events: DataFrame)(implicit spark: SparkSession): Dataset[UserTotals] = {
     import spark.implicits._

@@ -216,6 +216,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyFlags stream equals the batch z-test (q88) across micro-batches") {
+    val batch = graft.ext.Anomaly.zFlags(
+        Tables.load(spark, sf(), "events"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getBoolean(6))).toSet
+
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
+    val streamDf = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.anomalyFlags(streamDf)(spark)
+      .writeStream.format("memory").queryName("zflags")
+      .outputMode("append").start()
+    try {
+      // in event-time order, split across four micro-batches — the ring
+      // buffer must carry each user's history between batches
+      val rows = Tables.load(spark, sf(), "events")
+        .orderBy("ts", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+      for (chunk <- rows.grouped((rows.length + 3) / 4)) {
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("zflags")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          r.getBoolean(6))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dedupStream drops cross-batch duplicate ids within the watermark") {
     val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark)
     val streamDf = EventStream.withEventTime(
