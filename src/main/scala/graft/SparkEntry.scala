@@ -906,6 +906,13 @@ r2o AS (
         .select(col("user_id"), col("event_id"), col("cents"),
           col("n_win"), col("dev_sq"), col("var_thresh"),
           col("is_anomaly").cast("long").as("is_anomaly"))),
+    // SymSpell fuzzy entity matching (ext.Fuzzy): all customer-name
+    // pairs within edit distance 1 via complete deletion-neighbourhood
+    // candidates + exact levenshtein verify — the string-side complement
+    // of q58's id-graph entity resolution
+    "q89_fuzzy_names" -> ((s, dir) =>
+      graft.ext.Fuzzy.editOnePairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")),
     // daily cohort retention: first-activity-day cohorts × active-day
     // offsets, exact distinct-user counts (UTC day convention both sides)
     "q82_retention" -> ((s, dir) =>
@@ -1082,7 +1089,12 @@ r2o AS (
       val docs = t(s, dir, "documents")
       val terms = docs.select(col("doc_id"),
           explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("term"))
+      // the compact (doc, term, tf) frame feeds BOTH the df aggregate and
+      // the scoring join — lazily each would re-run the corpus tokenise
+      // (q85's audited lazy dump shows exactly that shape); one corpus
+      // pass at any scale, same barrier as ext.Ranking/ext.Selection
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.count()
       val scored = tf.join(dfreq, Seq("term"))
@@ -1961,6 +1973,19 @@ r2o AS (
         |      (n_win * cents - s1) * (n_win * cents - s1) > 9 * (n_win * s2 - s1 * s1)
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM w""".stripMargin,
+    // deletion-neighbourhood variants (UNION dedups like array_distinct),
+    // variant equi-join, exact levenshtein verify — replayed literally
+    "q89_fuzzy_names" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS id, c_name AS s, c_name AS v FROM customer
+        |  UNION
+        |  SELECT c_custkey, c_name,
+        |    substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
+        |  FROM customer, UNNEST(range(1, length(c_name) + 1)) AS t(i)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM v a JOIN v b ON a.v = b.v AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin,
     // per-day dedup first, then cohort min + day-diff counts
     "q82_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
