@@ -30,9 +30,13 @@ object SparkEntry {
     * are cheap aggregates over it. */
   private def partTriangles(s: SparkSession, dir: String): DataFrame =
     graft.functions.Memos.getOrElseUpdate(s, ("part-triangles", dir)) {
-      graft.graph.Analytics.triangles(partPairs(s, dir), assumeCanonical = true)
-        .coalesce(s.sessionState.conf.numShufflePartitions)
-        .localCheckpoint(eager = true)
+      // phase-tagged so the bench shows the first toucher's (q74's)
+      // number is mostly the shared enumeration, not its tiny count agg
+      graft.functions.Phases.time("tri enum") {
+        graft.graph.Analytics.triangles(partPairs(s, dir), assumeCanonical = true)
+          .coalesce(s.sessionState.conf.numShufflePartitions)
+          .localCheckpoint(eager = true)
+      }
     }
 
   /** Support-WEIGHTED co-purchase pairs `(a < b, w = co-occurrence
@@ -61,14 +65,16 @@ object SparkEntry {
     * stays linear-ish at any corpus scale. */
   private[graft] def partPairs(s: SparkSession, dir: String): DataFrame =
     graft.functions.Memos.getOrElseUpdate(s, ("part-pairs", dir)) {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("src"), col("pk2").as("dst"))
-        .distinct()
-        .coalesce(s.sessionState.conf.numShufflePartitions)
-        .localCheckpoint(eager = true)
+      graft.functions.Phases.time("pairs build") {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+          .distinct()
+          .coalesce(s.sessionState.conf.numShufflePartitions)
+          .localCheckpoint(eager = true)
+      }
     }
 
   /** Exact order-independent sum of a 2-dp double column, as double. */
@@ -913,6 +919,15 @@ r2o AS (
     "q89_fuzzy_names" -> ((s, dir) =>
       graft.ext.Fuzzy.editOnePairs(
         t(s, dir, "customer"), "c_custkey", "c_name")),
+    // the composition: q89's edit-distance pairs collapsed into entity
+    // GROUPS by 3 bounded HashMin rounds — fuzzy-match → cluster →
+    // canonical id, the full entity-resolution flow in two operators;
+    // only matched names appear (isolated names need no resolution)
+    "q90_fuzzy_groups" -> ((s, dir) =>
+      graft.graph.Analytics.connectedComponentsBounded(
+        graft.ext.Fuzzy.editOnePairs(
+          t(s, dir, "customer"), "c_custkey", "c_name"),
+        srcCol = "id_a", dstCol = "id_b", rounds = 3)),
     // daily cohort retention: first-activity-day cohorts × active-day
     // offsets, exact distinct-user counts (UTC day convention both sides)
     "q82_retention" -> ((s, dir) =>
@@ -1986,6 +2001,30 @@ r2o AS (
         |  FROM v a JOIN v b ON a.v = b.v AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 1""".stripMargin,
+    // q89's pair CTEs + 3 unrolled HashMin rounds (q86's recurrence)
+    "q90_fuzzy_groups" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (SELECT id, MIN(lab) AS lab FROM (
+           |  SELECT id, lab FROM l${i - 1}
+           |  UNION ALL
+           |  SELECT e.u AS id, l.lab FROM e0 e JOIN l${i - 1} l ON l.id = e.v)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (
+         |  SELECT c_custkey AS id, c_name AS s, c_name AS v FROM customer
+         |  UNION
+         |  SELECT c_custkey, c_name,
+         |    substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
+         |  FROM customer, UNNEST(range(1, length(c_name) + 1)) AS t(i)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+         |  FROM v a JOIN v b ON a.v = b.v AND a.id < b.id),
+         |p AS (SELECT id_a, id_b FROM cand WHERE levenshtein(sa, sb) <= 1),
+         |e0 AS (SELECT id_a AS u, id_b AS v FROM p
+         |  UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e0),
+         |$rounds
+         |SELECT id AS node_id, lab AS component FROM l3""".stripMargin
+    },
     // per-day dedup first, then cohort min + day-diff counts
     "q82_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
