@@ -928,6 +928,25 @@ r2o AS (
         graft.ext.Fuzzy.editOnePairs(
           t(s, dir, "customer"), "c_custkey", "c_name"),
         srcCol = "id_a", dstCol = "id_b", rounds = 3)),
+    // recency-weighted engagement (the freshness weighting a training
+    // mix applies to interaction data): per user, event values decayed
+    // by one halving per 7 days of age — weight 2^-(age div 7d) as an
+    // integer shift, so the decayed sum is exact where exponential
+    // float decay never replays. The corpus max-ts anchor is a 1-row
+    // broadcast; one groupBy, no window, no join on data rows
+    "q91_decayed_engagement" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        expr("ts div 1000").as("us"))
+      val mx = e.agg(max(col("us")).as("mx"))
+      e.crossJoin(broadcast(mx))
+        .select(col("user_id"), col("cents"),
+          expr("(mx - us) div 604800000000").as("k"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("cents_total"),
+          sum(expr("cents div shiftleft(1L, cast(k as int))")).as("cents_decayed"))
+    }),
     // daily cohort retention: first-activity-day cohorts × active-day
     // offsets, exact distinct-user counts (UTC day convention both sides)
     "q82_retention" -> ((s, dir) =>
@@ -2025,6 +2044,18 @@ r2o AS (
          |$rounds
          |SELECT id AS node_id, lab AS component FROM l3""".stripMargin
     },
+    // micros-epoch age (Spark's nanos-long div 1000 ≡ DuckDB epoch_us),
+    // one halving per started 7-day week, integer shift both engines
+    "q91_decayed_engagement" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |mx AS (SELECT MAX(us) AS mx FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_total,
+        |  CAST(SUM(cents // (CAST(1 AS BIGINT) << ((mx - us) // 604800000000))) AS BIGINT) AS cents_decayed
+        |FROM e, mx GROUP BY user_id""".stripMargin,
     // per-day dedup first, then cohort min + day-diff counts
     "q82_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
