@@ -81,6 +81,19 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** q89's edit-distance-1 customer-name pairs, memoised + checkpointed
+    * like [[partPairs]] — q90's grouping rides the same build instead of
+    * re-running the variant join + levenshtein verify. */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("fuzzy-pairs", dir)) {
+      graft.functions.Phases.time("fuzzy pairs") {
+        graft.ext.Fuzzy.editOnePairs(
+            t(s, dir, "customer"), "c_custkey", "c_name")
+          .coalesce(s.sessionState.conf.numShufflePartitions)
+          .localCheckpoint(eager = true)
+      }
+    }
+
   /** The extra edge type the std topology can't derive (lineitem's 2nd PK
     * col is no FK — FIXTURES.md §A): orders—hasPart—part via lineitem. */
   val ordersPartEdge: EdgeSpec =
@@ -916,18 +929,28 @@ r2o AS (
     // pairs within edit distance 1 via complete deletion-neighbourhood
     // candidates + exact levenshtein verify — the string-side complement
     // of q58's id-graph entity resolution
-    "q89_fuzzy_names" -> ((s, dir) =>
-      graft.ext.Fuzzy.editOnePairs(
-        t(s, dir, "customer"), "c_custkey", "c_name")),
+    "q89_fuzzy_names" -> ((s, dir) => fuzzyPairs(s, dir)),
     // the composition: q89's edit-distance pairs collapsed into entity
     // GROUPS by 3 bounded HashMin rounds — fuzzy-match → cluster →
     // canonical id, the full entity-resolution flow in two operators;
     // only matched names appear (isolated names need no resolution)
     "q90_fuzzy_groups" -> ((s, dir) =>
       graft.graph.Analytics.connectedComponentsBounded(
-        graft.ext.Fuzzy.editOnePairs(
-          t(s, dir, "customer"), "c_custkey", "c_name"),
+        fuzzyPairs(s, dir),
         srcCol = "id_a", dstCol = "id_b", rounds = 3)),
+    // bounded multi-source BFS: hop distance ≤ 3 from the 10 hottest
+    // co-purchase hubs (deg desc, id tie-break) — measures the k-hop
+    // receptive field the propagation family's restrictTo carves out;
+    // textbook frontier rounds, oracle-unrolled layers
+    "q92_bfs_hops" -> ((s, dir) => {
+      val pp = partPairs(s, dir)
+      val deg = pp.select(col("src").as("id"))
+        .union(pp.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val seeds = deg.orderBy(desc("deg"), asc("id")).limit(10).select("id")
+      graft.graph.Analytics.bfsBounded(
+        pp, seeds, rounds = 3, assumeCanonical = true)
+    }),
     // recency-weighted engagement (the freshness weighting a training
     // mix applies to interaction data): per user, event values decayed
     // by one halving per 7 days of age — weight 2^-(age div 7d) as an
@@ -2043,6 +2066,27 @@ r2o AS (
          |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e0),
          |$rounds
          |SELECT id AS node_id, lab AS component FROM l3""".stripMargin
+    },
+    // top-10-degree seeds, then 3 unrolled frontier layers, each
+    // anti-joined against the visited set
+    "q92_bfs_hops" -> {
+      val layers = (1 to 3).map { i =>
+        s"""l$i AS (SELECT x.id, $i AS dist FROM (
+           |    SELECT DISTINCT e.u AS id FROM e0 e JOIN l${i - 1} f ON f.id = e.v) x
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} w WHERE w.id = x.id)),
+           |v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM l$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT a AS id FROM pp UNION ALL SELECT b FROM pp) GROUP BY id),
+         |l0 AS (SELECT id, 0 AS dist FROM
+         |  (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 10)),
+         |v0 AS (SELECT * FROM l0),
+         |$layers
+         |SELECT id AS node_id, CAST(dist AS BIGINT) AS dist FROM v3""".stripMargin
     },
     // micros-epoch age (Spark's nanos-long div 1000 ≡ DuckDB epoch_us),
     // one halving per started 7-day week, integer shift both engines

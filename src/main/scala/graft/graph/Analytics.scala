@@ -273,13 +273,22 @@ object Analytics {
     * DataFrame-native recurrence a second engine replays exactly —
     * q86 unrolls it in DuckDB and hash-compares.
     *
-    * Scale shape: a round is one |E|-side equi-join (neighbour labels
-    * onto the symmetrized edge list), unioned with the node's own
-    * label, then one map-side-combined `min` per node — the combine
-    * collapses each partition to O(|V|) rows before the exchange, so
-    * per-round shuffle volume is |V|-scale, not |E|. Each round's
-    * label frame pins behind a barrier ([[pageRankFixed]]'s
-    * checkpoint rationale). The symmetrized edge list is built once. */
+    * Scale shape — FRONTIER rounds: labels only decrease, so a
+    * neighbour that did not change last round has nothing new to say
+    * (its label was already folded into this node's min a round ago —
+    * the standard delta argument; dropping unchanged senders provably
+    * never alters any round's labels, and AnalyticsSpec pins
+    * bit-equality with the naive full recurrence). Round 1 therefore
+    * joins the full |E| edge list against all |V| initial labels; round
+    * r > 1 joins only the CHANGED label set Δ — message volume is
+    * |edges incident to Δ| and collapses geometrically as components
+    * settle, exactly like [[kCoreBounded]]'s shrinking edge list. Each
+    * round: one equi-join (messages from Δ), one map-side-combined
+    * `min` per receiver (the combine makes the exchange O(receivers),
+    * not O(messages)), and one |V|-side left join folding the
+    * improvements in while computing the next Δ. Every round's label
+    * and Δ frames pin behind barriers ([[pageRankFixed]]'s checkpoint
+    * rationale). The symmetrized edge list is built once. */
   def connectedComponentsBounded(
       edges: DataFrame,
       srcCol: String = "src",
@@ -296,13 +305,73 @@ object Analytics {
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
     var lab = pin(sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lab")))
+    // Δ: the senders whose label is news to their neighbours — all of
+    // them initially, then only last round's improvements
+    var delta = lab
     for (_ <- 1 to rounds) {
-      lab = pin(lab
-        .union(sym.join(lab.select(col("id").as("v"), col("lab")), Seq("v"))
-          .select(col("u").as("id"), col("lab")))
-        .groupBy("id").agg(min(col("lab")).as("lab")))
+      val msgs = sym
+        .join(delta.select(col("id").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("lab")).as("m"))
+      val next = pin(lab
+        .join(msgs.select(col("u").as("id"), col("m")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("m"), col("lab"))).as("lab"),
+          (col("m") < col("lab")).as("__chg")))
+      delta = pin(next.filter(col("__chg")).select(col("id"), col("lab")))
+      lab = next.select(col("id"), col("lab"))
     }
     lab.select(col("id").as("node_id"), col("lab").as("component"))
+  }
+
+  /** Bounded multi-source BFS: hop distance from a seed set over the
+    * undirected graph, `rounds` synchronous frontier expansions —
+    * `(node_id, dist)` for every node within `rounds` hops (unreached
+    * nodes are absent, the natural sparse representation at scale).
+    * Distances are exact for every emitted node (BFS layers are
+    * definitionally complete per round); the round budget bounds cost
+    * like the whole fixed-round family, and the recurrence unrolls in
+    * SQL (q92's oracle) as `dist_r = min(dist_{r-1}, 1 + min over
+    * neighbours)` from a seed base.
+    *
+    * The audit use: the k-hop receptive field of a seed set IS what the
+    * propagation family restricts to (`HeteroGraph.restrictTo`) — this
+    * measures it: how many nodes, at what depth, from e.g. the hub
+    * parts a curation query anchors on.
+    *
+    * Scale shape: textbook frontier BFS — round r joins ONLY the layer
+    * discovered at r−1 against the edge list (message volume = edges
+    * incident to the frontier), one map-side-combined `min` per
+    * candidate, an anti-join drops already-visited nodes, and the new
+    * layer unions into the pinned visited frame. No round ever touches
+    * the whole |V|. */
+  def bfsBounded(
+      edges: DataFrame,
+      sources: DataFrame, // one column: the seed node ids
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 3,
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
+    val sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v"))))
+    val seeds = sources.toDF("id").select(col("id").cast("long")).distinct()
+    var visited = pin(seeds.select(col("id"), lit(0L).as("dist")))
+    var frontier = visited
+    for (r <- 1 to rounds) {
+      val layer = pin(sym
+        .join(frontier.select(col("id").as("v")), Seq("v"))
+        .select(col("u").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("dist")))
+      visited = pin(visited.union(layer))
+      frontier = layer
+    }
+    visited.select(col("id").as("node_id"), col("dist"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`

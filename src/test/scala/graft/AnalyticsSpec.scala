@@ -327,6 +327,50 @@ class AnalyticsSpec extends SparkSpec {
     assert((10L to 16L).forall(converged(_) === 10L))
   }
 
+  /** Naive BFS layers from the seed set, `rounds` expansions. */
+  private def naiveBfs(
+      edges: Seq[(Long, Long)], seeds: Set[Long], rounds: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    (1 to rounds).foreach { r =>
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> r.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsBounded: exact layers, unreached absent, multi-source min") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus an island 90-91; seeds {0, 4}
+    val edges = (0L until 5L).map(i => (i, i + 1)) :+ (90L, 91L)
+    val got = Analytics.bfsBounded(edges.toDF("src", "dst"),
+        Seq(0L, 4L).toDF("id"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveBfs(edges, Set(0L, 4L), 2))
+    assert(got === Map(0L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L))
+    // island never reached; node 2 takes the MIN over both seeds' layers
+  }
+
+  test("bfsBounded random graph ≡ naive, partition-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val seeds = Set(0L, 1L, 2L)
+    val want = naiveBfs(edges, seeds, 3)
+    val run = (df: DataFrame) =>
+      Analytics.bfsBounded(df, seeds.toSeq.toDF("id"), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges.toDF("src", "dst").repartition(7))
+    assert(a === run(edges.toDF("src", "dst").coalesce(1)))
+    assert(a === want)
+  }
+
   test("connectedComponentsBounded random graph ≡ naive, partition-independent") {
     val rnd = new scala.util.Random(29)
     val edges = Seq.fill(250)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
