@@ -374,6 +374,81 @@ object Analytics {
     visited.select(col("id").as("node_id"), col("dist"))
   }
 
+  /** Bounded weighted single/multi-source shortest paths: `rounds`
+    * synchronous Bellman-Ford relaxations (Bellman 1958's recurrence,
+    * the synchronous distributed form) over an undirected edge list
+    * with integer costs — `(node_id, dist)` where `dist` is EXACTLY the
+    * cheapest cost over paths of ≤ `rounds` edges from the seed set
+    * (the recurrence's defining invariant, so the bounded semantics are
+    * a statement, not an approximation; unreached nodes are absent).
+    * Integer costs keep every relaxation exact in any engine and any
+    * order — q94's DuckDB oracle unrolls the rounds as
+    * `d_r(v) = min(d_{r-1}(v), min_{(u,v,c)} d_{r-1}(u) + c)`.
+    *
+    * The curation use: [[bfsBounded]] measures the receptive field by
+    * hop COUNT; this weighs the hops — e.g. cost = `scale div support`
+    * over the co-purchase graph makes strongly-supported associations
+    * cheap, so the distance ranks how tightly a node is tethered to the
+    * hub set, not merely whether it is within k hops.
+    *
+    * Multi-edges collapse to their MINIMUM cost up front (the shortest-
+    * path-relevant reduction; `assumeCanonical=true` inputs must
+    * already be simple `a < b` lists, one cost per pair). Costs must be
+    * non-negative for the bounded distances to be monotone in rounds.
+    *
+    * Scale shape: the Δ pattern of [[connectedComponentsBounded]] —
+    * round r relaxes ONLY edges incident to nodes improved at r−1
+    * (all seeds initially), one map-side-combined `min` per candidate
+    * (the combine makes the exchange O(receivers), not O(messages)),
+    * then one full-outer |reached|-side join folds improvements in and
+    * computes the next Δ. Message volume collapses as distances settle;
+    * no round touches the whole graph once the wave passes. */
+  def ssspBounded(
+      edges: DataFrame,
+      sources: DataFrame, // one column: the seed node ids
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      costCol: String = "cost",
+      rounds: Int = 3,
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e0 =
+      if (assumeCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"),
+          col(costCol).cast("long").as("c"))
+      else
+        edges.select(
+            least(col(srcCol), col(dstCol)).cast("long").as("a"),
+            greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+            col(costCol).cast("long").as("c"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(min(col("c")).as("c"))
+    val sym = pin(e0.select(col("a").as("u"), col("b").as("v"), col("c"))
+      .union(e0.select(col("b").as("u"), col("a").as("v"), col("c"))))
+    val seeds = sources.toDF("id").select(col("id").cast("long")).distinct()
+    var dist = pin(seeds.select(col("id"), lit(0L).as("dist")))
+    var delta = dist
+    for (_ <- 1 to rounds) {
+      val best = sym
+        .join(delta.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(min(col("du") + col("c")).as("m"))
+      val next = pin(dist.join(best, Seq("id"), "full")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("m")),
+            coalesce(col("m"), col("dist"))).as("dist"),
+          (col("dist").isNull || col("m") < col("dist")).as("__chg")))
+      delta = pin(next.filter(col("__chg")).select(col("id"), col("dist")))
+      dist = next.select(col("id"), col("dist"))
+    }
+    dist.select(col("id").as("node_id"), col("dist"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
     * rounds, fully deterministic: every node starts labelled with its
     * own id and each round adopts the most frequent label among its
