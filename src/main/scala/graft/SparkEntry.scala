@@ -951,6 +951,43 @@ r2o AS (
       graft.graph.Analytics.bfsBounded(
         pp, seeds, rounds = 3, assumeCanonical = true)
     }),
+    // bounded weighted shortest paths (3 Bellman-Ford relaxations) from
+    // the same 10 hubs as q92, over the co-purchase graph with integer
+    // cost 10^6 div support — strongly-supported associations are cheap,
+    // so dist ranks how tightly a part is tethered to the hub set (q92
+    // weighs the hops it merely counts). partPairsWeighted's (a,b) set
+    // IS partPairs' set, so the degree-ranked seeds coincide with q92's
+    // and both rides share the memoised pair build
+    "q94_sssp_support" -> ((s, dir) => {
+      val pw = partPairsWeighted(s, dir)
+      val deg = pw.select(col("a").as("id"))
+        .union(pw.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val seeds = deg.orderBy(desc("deg"), asc("id")).limit(10).select("id")
+      graft.graph.Analytics.ssspBounded(
+        pw.select(col("a"), col("b"), expr("1000000L div w").as("cost")),
+        seeds, srcCol = "a", dstCol = "b", rounds = 3,
+        assumeCanonical = true)
+    }),
+    // distribution drift between the stream's first two weeks (ext.Drift):
+    // per event type, hour-of-day histograms of week 0 vs week 1 in ppm
+    // rates, scored as exact total-variation + χ²-shaped divergence —
+    // the admit-this-period? monitor, log-free so the oracle replays it.
+    // Later weeks (incl. the partial trailing one) fall outside {0,1}
+    // and are ignored by contract; the corpus min-ts anchor is a 1-row
+    // broadcast; the input is scanned once
+    "q95_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("ts div 1000").as("us"))
+      val mn = e.agg(min(col("us")).as("mn"))
+      val binned = e.crossJoin(broadcast(mn)).select(
+        col("event_type"),
+        expr("(us div 3600000000) % 24").as("hour_bin"),
+        expr("(us - mn) div 604800000000").as("week"))
+      graft.ext.Drift.score(binned, "event_type", "hour_bin", "week")
+        .select(col("grp").as("event_type"), col("n1"), col("n2"),
+          col("n_bins"), col("tv_ppm"), col("chi2_fp"))
+    }),
     // recency-weighted engagement (the freshness weighting a training
     // mix applies to interaction data): per user, event values decayed
     // by one halving per 7 days of age — weight 2^-(age div 7d) as an
@@ -2088,6 +2125,50 @@ r2o AS (
          |$layers
          |SELECT id AS node_id, CAST(dist AS BIGINT) AS dist FROM v3""".stripMargin
     },
+    // weighted pairs + 3 unrolled Bellman-Ford relaxations
+    // d_r(v) = min(d_{r-1}(v), min over (u,v,c) of d_{r-1}(u) + c)
+    "q94_sssp_support" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""d$i AS (SELECT id, MIN(dist) AS dist FROM (
+           |  SELECT id, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.v AS id, d.dist + e.c AS dist
+           |  FROM e0 e JOIN d${i - 1} d ON d.id = e.u)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         |pw AS (SELECT b1.it AS a, b2.it AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM bi b1 JOIN bi b2 ON b1.bk = b2.bk AND b1.it < b2.it GROUP BY 1, 2),
+         |e0 AS (SELECT a AS u, b AS v, 1000000 // w AS c FROM pw
+         |  UNION ALL SELECT b, a, 1000000 // w FROM pw),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT a AS id FROM pw UNION ALL SELECT b FROM pw) GROUP BY id),
+         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM
+         |  (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 10)),
+         |$rounds
+         |SELECT id AS node_id, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin
+    },
+    // hour-of-day histograms of week 0 vs week 1 per event type, ppm
+    // rates, exact TV + χ²-shaped divergences (epoch_us ≡ ts div 1000)
+    "q95_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |mn AS (SELECT MIN(us) AS mn FROM e),
+        |b AS (SELECT event_type AS grp, (us // 3600000000) % 24 AS bin,
+        |    (us - mn) // 604800000000 AS p FROM e, mn),
+        |c AS (SELECT grp, bin,
+        |    CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM b WHERE p IN (0, 1) GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM c GROUP BY 1),
+        |r AS (SELECT c.grp, t.n1, t.n2,
+        |    c.c1 * 1000000 // t.n1 AS r1, c.c2 * 1000000 // t.n2 AS r2
+        |  FROM c JOIN t ON t.grp = c.grp WHERE t.n1 > 0 AND t.n2 > 0)
+        |SELECT grp AS event_type, n1, n2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(ABS(r1 - r2)) // 2 AS BIGINT) AS tv_ppm,
+        |  CAST(SUM((r1 - r2) * (r1 - r2) // (r1 + r2 + 1)) AS BIGINT) AS chi2_fp
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     // micros-epoch age (Spark's nanos-long div 1000 ≡ DuckDB epoch_us),
     // one halving per started 7-day week, integer shift both engines
     "q91_decayed_engagement" ->

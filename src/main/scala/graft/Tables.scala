@@ -23,13 +23,26 @@ object Tables {
     * Fixture data is immutable for a session. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.functions.Memos.getOrElseUpdate(spark, ("tables", dir, name)) {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read it as raw nanos-since-epoch long (callers convert with
-      // timestamp_micros). Runtime-settable legacy conf, so this works under
-      // any session, including the driver's.
+      // events.ts arrives as either parquet TIMESTAMP(NANOS) (older
+      // fixture generations — Spark 4 rejects it by default, hence the
+      // runtime-settable legacy conf to read it as a raw nanos long) or
+      // TIMESTAMP(MICROS) (current generation). Either way the engine's
+      // contract is a nanos-since-epoch LONG `ts` column: every consumer
+      // and every DuckDB oracle equivalence (`ts div 1000` ≡ `epoch_us`)
+      // is written against it, so a timestamp-typed read is normalised
+      // here, once, instead of in ~10 call sites. All graft sessions pin
+      // spark.sql.session.timeZone=UTC, making the NTZ cast below the
+      // identity instant mapping DuckDB applies to the same naive value.
       if (name == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" &&
+          raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+            * 1000L)
+      else raw
     }
 
   /** Register every fixture table as a temp view so `spark.sql` works over

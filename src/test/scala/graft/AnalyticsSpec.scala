@@ -383,4 +383,77 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === run(edges.toDF("src", "dst").coalesce(1)))
     assert(a === want)
   }
+
+  /** Naive bounded Bellman-Ford: `rounds` synchronous relaxations over
+    * the min-cost-collapsed undirected edge list. */
+  private def naiveSssp(
+      edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b, c) => ((a min b, a max b), c) }
+      .filter { case ((a, b), _) => a != b }
+      .groupBy(_._1).map { case (k, cs) => k -> cs.map(_._2).min }
+    val sym = canon.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    var dist = seeds.map(_ -> 0L).toMap
+    (1 to rounds).foreach { _ =>
+      val relaxed = sym.flatMap { case (u, v, c) => dist.get(u).map(d => v -> (d + c)) }
+        .groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+      dist = (dist.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(
+          dist.getOrElse(v, Long.MaxValue), relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("ssspBounded: cheap detour beats direct hop, multi-edge min, unreached absent") {
+    import spark.implicits._
+    // 0-1 direct cost 10, but 0-2-1 costs 2+3=5; duplicate 0-1 edge at
+    // cost 20 must collapse to 10; island 90-91 never reached
+    val edges = Seq((0L, 1L, 10L), (0L, 1L, 20L), (0L, 2L, 2L), (2L, 1L, 3L),
+      (1L, 3L, 1L), (90L, 91L, 7L))
+    val got = Analytics.ssspBounded(edges.toDF("src", "dst", "cost"),
+        Seq(0L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveSssp(edges, Set(0L), 3))
+    // after 1 round 1 costs 10; round 2 finds the 0-2-1 detour at 5
+    assert(got === Map(0L -> 0L, 2L -> 2L, 1L -> 5L, 3L -> 6L))
+  }
+
+  test("ssspBounded: bounded means ≤ rounds edges — improvement arrives with depth") {
+    import spark.implicits._
+    // long cheap path 0-10-11-12-1 (cost 4) vs direct 0-1 (cost 9)
+    val edges = Seq((0L, 1L, 9L), (0L, 10L, 1L), (10L, 11L, 1L),
+      (11L, 12L, 1L), (12L, 1L, 1L))
+    def at(r: Int): Map[Long, Long] =
+      Analytics.ssspBounded(edges.toDF("src", "dst", "cost"),
+          Seq(0L).toDF("id"), rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(at(1)(1L) === 9L)   // only the direct hop is within 1 edge
+    assert(at(4)(1L) === 4L)   // the 4-edge detour becomes visible
+    assert(at(1) === naiveSssp(edges, Set(0L), 1))
+    assert(at(4) === naiveSssp(edges, Set(0L), 4))
+  }
+
+  test("ssspBounded random graph ≡ naive, partition-independent; cost=1 ≡ bfs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val edges = Seq.fill(220)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong,
+      (rnd.nextInt(9) + 1).toLong)).filter { case (a, b, _) => a != b }
+    val seeds = Set(0L, 1L)
+    val want = naiveSssp(edges, seeds, 3)
+    val run = (df: DataFrame) =>
+      Analytics.ssspBounded(df, seeds.toSeq.toDF("id"), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges.toDF("src", "dst", "cost").repartition(7))
+    assert(a === run(edges.toDF("src", "dst", "cost").coalesce(1)))
+    assert(a === want)
+    // unit costs: distances must equal hop counts from bfsBounded
+    val unit = edges.map { case (a, b, _) => (a, b, 1L) }
+    val viaSssp = run(unit.toDF("src", "dst", "cost"))
+    val viaBfs = Analytics.bfsBounded(
+        unit.map { case (a, b, _) => (a, b) }.toDF("src", "dst"),
+        seeds.toSeq.toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSssp === viaBfs)
+  }
 }
