@@ -988,6 +988,34 @@ r2o AS (
         .select(col("grp").as("event_type"), col("n1"), col("n2"),
           col("n_bins"), col("tv_ppm"), col("chi2_fp"))
     }),
+    // per-dimension corpus feature audit (ext.Stats.dimStats): exact
+    // integer n/sum/mean/min/max/second-moment per embedding dimension
+    // over the scaled-long image — dead-dim and scale-imbalance checks
+    // before clustering/quantizing; one posexplode + one map-side-
+    // combined groupBy(dim), the exchange moves O(dims) rows
+    "q93_dim_stats" -> ((s, dir) =>
+      graft.ext.Stats.dimStats(t(s, dir, "embeddings"), "embedding")),
+    // symmetric int8 quantization of the embedding corpus (ext.Quantize):
+    // per-vector amax scale, sign-folded integer code and reconstruction
+    // error — the ANN index-compression codec as a pure row-local
+    // codegen projection (no exchange anywhere), oracle-replayed per
+    // (vector, dimension) element
+    "q96_quantize_int8" -> ((s, dir) =>
+      graft.ext.Quantize.int8Rows(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // the dedup RETENTION policy (ext.Dedup.canonicalDocs): q58's
+    // components collapsed to their best representative — highest
+    // n_chars, doc_id tiebreak — with exact group totals; the winner
+    // rank plans as WindowGroupLimit so hot groups never materialise
+    "q97_canonical_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val groups = graft.ext.Dedup.dedupGroups(
+        docs.select(col("doc_id")),
+        graft.ext.Dedup.nearDupJaccardExact(docs, "doc_id", "text"))
+      graft.ext.Dedup.canonicalDocs(groups,
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("quality")),
+        "quality")
+    }),
     // recency-weighted engagement (the freshness weighting a training
     // mix applies to interaction data): per user, event values decayed
     // by one halving per 7 days of age — weight 2^-(age div 7d) as an
@@ -1332,6 +1360,29 @@ r2o AS (
     * floor-mean updates (empty centroid keeps its position). Ends with
     * CTEs `asg` (id, v, cid), `qv`, and `probes` for the callers' final
     * SELECT. */
+  /** q58/q97's shared oracle chain: exact-Jaccard near-dup pairs →
+    * recursive transitive closure → per-doc min-id component label
+    * (`g (doc_id, canon_id)`), tractable at oracle scale. */
+  private val dedupGroupsCtes: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |g AS (
+      |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS canon_id
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
+
   private val kmeansFixedIters = 3
   private def kmeansFixedCtes: String = {
     val score = (v: String, c: String) =>
@@ -1730,23 +1781,22 @@ r2o AS (
     // dedups, so the fixpoint terminates), canon = min over self + all
     // reachable docs — the SQL twin of GraphX min-label propagation.
     "q58_dedup_groups" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
-        |),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS canon_id
-        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin,
+      s"""$dedupGroupsCtes
+        |SELECT doc_id, canon_id FROM g""".stripMargin,
+    // q58's group CTE chain + per-group best-quality winner (n_chars,
+    // doc_id tiebreak) and exact group totals
+    "q97_canonical_docs" ->
+      s"""$dedupGroupsCtes,
+        |j AS (SELECT g.doc_id, g.canon_id, CAST(d.n_chars AS BIGINT) AS quality
+        |  FROM g JOIN documents d ON d.doc_id = g.doc_id)
+        |SELECT canon_id, doc_id AS kept_doc, quality AS kept_quality,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_quality AS BIGINT) AS sum_quality
+        |FROM (
+        |  SELECT canon_id, doc_id, quality,
+        |    row_number() OVER (PARTITION BY canon_id ORDER BY quality DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY canon_id) AS n_docs,
+        |    SUM(quality) OVER (PARTITION BY canon_id) AS sum_quality
+        |  FROM j) WHERE rk = 1""".stripMargin,
     "q44_dedup_jaccard" -> jaccardPairsSql,
     "q38_token_bpeish" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
@@ -2169,6 +2219,35 @@ r2o AS (
         |  CAST(SUM(ABS(r1 - r2)) // 2 AS BIGINT) AS tv_ppm,
         |  CAST(SUM((r1 - r2) * (r1 - r2) // (r1 + r2 + 1)) AS BIGINT) AS chi2_fp
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // scaled-long image per dim; sign-folded mean so truncation agrees
+    "q93_dim_stats" ->
+      """WITH w AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS w
+        |  FROM embeddings),
+        |u AS (SELECT generate_subscripts(w, 1) - 1 AS i, unnest(w) AS x FROM w)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sum_fp,
+        |  CAST(CASE WHEN SUM(x) < 0 THEN -((-SUM(x)) // COUNT(*))
+        |       ELSE SUM(x) // COUNT(*) END AS BIGINT) AS mean_fp,
+        |  CAST(MIN(x) AS BIGINT) AS min_fp, CAST(MAX(x) AS BIGINT) AS max_fp,
+        |  CAST(SUM(x * x) AS BIGINT) AS ss_fp
+        |FROM u GROUP BY i""".stripMargin,
+    // per-element code + reconstruction error, divisions sign-folded
+    "q96_quantize_int8" ->
+      """WITH w AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS w
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, w,
+        |    GREATEST(list_aggregate(list_transform(w, x -> abs(x)), 'max'), 1) AS amax
+        |  FROM w),
+        |u AS (SELECT vec_id, amax, generate_subscripts(w, 1) - 1 AS i, unnest(w) AS x FROM a),
+        |qq AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    CASE WHEN x < 0 THEN -((-x) * 127 // amax) ELSE (x * 127) // amax END AS q,
+        |    amax, x FROM u)
+        |SELECT vec_id, i, CAST(q AS BIGINT) AS q, CAST(amax AS BIGINT) AS amax,
+        |  CAST(ABS(x - CASE WHEN q < 0 THEN -((-q) * amax // 127)
+        |       ELSE q * amax // 127 END) AS BIGINT) AS err
+        |FROM qq""".stripMargin,
     // micros-epoch age (Spark's nanos-long div 1000 ≡ DuckDB epoch_us),
     // one halving per started 7-day week, integer shift both engines
     "q91_decayed_engagement" ->

@@ -530,6 +530,41 @@ object Dedup {
       .toDF("doc_id", "canon_id")
   }
 
+  /** Canonical-DOCUMENT selection: collapse each [[dedupGroups]]
+    * component to its best representative — the retention policy a
+    * dedup pass actually ships (drop the copies, keep the highest-
+    * quality one), not just the group labels. Winner per group =
+    * highest `qualityCol` (an exact integer score — e.g. length,
+    * q31's stats, or q75's LM score), ties to the SMALLEST id so the
+    * choice is deterministic and both engines agree.
+    *
+    * Returns one row per group: `(canon_id, kept_doc, kept_quality,
+    * n_docs, sum_quality)` — the audit view: what survived, what mass
+    * the group held.
+    *
+    * Scale shape: groups ⨝ quality on the id (one equi-join), then a
+    * per-group rank planned as WindowGroupLimit (at most one row per
+    * group survives each map partition before the exchange) plus one
+    * map-side-combined aggregate for the group totals — hot groups
+    * never materialise. */
+  def canonicalDocs(
+      groups: DataFrame, // (doc_id, canon_id) from dedupGroups
+      quality: DataFrame, // (doc_id, <qualityCol>)
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = groups.join(quality, Seq("doc_id"))
+    val best = joined
+      .withColumn("__rk", row_number().over(Window.partitionBy("canon_id")
+        .orderBy(desc(qualityCol), asc("doc_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("canon_id"), col("doc_id").as("kept_doc"),
+        col(qualityCol).as("kept_quality"))
+    val totals = joined.groupBy("canon_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(qualityCol)).as("sum_quality"))
+    best.join(totals, Seq("canon_id"))
+  }
+
   /** Signature frame for incremental/streaming dedup: one row per
     * (doc, band) with the banded MinHash key, plus the shingle set for the
     * exact verify — the unit a streaming ingest appends to its signature

@@ -214,4 +214,34 @@ object Stats {
       out
     } finally mapped.unpersist()
   }
+
+  /** Per-dimension corpus statistics over an embedding column — the
+    * feature-audit pass a pipeline runs before clustering/quantizing
+    * (dead dimensions, scale imbalance, outlier ranges), on the
+    * shift-free scaled-long image `w_i = floor(x_i·10^6)` so every
+    * statistic is an exact integer the oracle replays: per dimension
+    * `n`, `sum_fp`, `mean_fp` (sum div n with the sign folded out of the
+    * division — truncation toward zero, identical in both engines where
+    * a signed floor/truncate would diverge), `min_fp`,
+    * `max_fp`, and `ss_fp = Σ w_i²` (the raw second moment; |w| ≤ ~10^6
+    * keeps the squared sum < 2^63 up to ~10^6-row corpora per dim — at
+    * larger scale lift to DECIMAL(38,0), same plan shape).
+    *
+    * Scale shape: one `posexplode` to (dim, w) followed by one
+    * map-side-combined `groupBy(i)` — the exchange moves
+    * O(dims × partitions) partial rows, never the corpus; the result is
+    * |dims| rows. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(expr(
+        s"transform($vecCol, x -> cast(floor(x * 1000000.0) as bigint))")))
+      .select(col("pos").cast("long").as("i"), col("col").as("w"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w")).as("sum_fp"),
+        min(col("w")).as("min_fp"),
+        max(col("w")).as("max_fp"),
+        sum(col("w") * col("w")).as("ss_fp"))
+      .select(col("i"), col("n"), col("sum_fp"),
+        expr("if(sum_fp < 0, -((-sum_fp) div n), sum_fp div n)").as("mean_fp"),
+        col("min_fp"), col("max_fp"), col("ss_fp"))
 }

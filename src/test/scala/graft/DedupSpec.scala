@@ -296,4 +296,28 @@ class DedupSpec extends SparkSpec {
       assert(gotClean === naiveClean, s"removal diverged at seed $seed")
     }
   }
+
+  test("canonicalDocs: best-quality winner, smallest-id tie-break, exact totals") {
+    import spark.implicits._
+    // group 1: docs 1,2,3 with quality 10, 30, 30 → 2 wins the tie vs 3.
+    // group 7: singleton keeps itself.
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "canon_id")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L))
+      .toDF("doc_id", "quality")
+    val got = Dedup.canonicalDocs(groups, quality, "quality")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 30L, 3L, 70L)),
+      7L -> ((7L, 5L, 1L, 5L))))
+    // partition independence
+    val got7 = Dedup.canonicalDocs(groups.repartition(7), quality.repartition(3),
+        "quality")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got7 === got)
+  }
 }

@@ -109,4 +109,29 @@ class StatsSpec extends SparkSpec {
     val got = byKey(Stats.quantilesDiscSelect(df, "g", "v", qs, fanout = 2))
     assert(got === want)
   }
+
+  test("dimStats ≡ naive over random vectors (negative sums), partition-independent") {
+    val rnd = new scala.util.Random(47)
+    // bias negative so some dims exercise the sign-folded mean
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(8)((rnd.nextFloat() - 0.7f) * 2f)))
+    val w = vecs.map { case (_, v) =>
+      v.map(x => math.floor(x.toDouble * 1000000.0).toLong) }
+    val want = (0 until 8).map { d =>
+      val xs = w.map(_(d))
+      val s = xs.sum
+      val mean = if (s < 0) -((-s) / xs.size) else s / xs.size
+      d.toLong -> (xs.size.toLong, s, mean, xs.min, xs.max,
+        xs.map(x => x * x).sum)
+    }.toMap
+    assert(want.values.exists(_._2 < 0), "fixture grew no negative-sum dim")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.dimStats(df, "embedding").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+    val a = run(vecs.toDF("vec_id", "embedding").repartition(7))
+    assert(a === run(vecs.toDF("vec_id", "embedding").coalesce(1)))
+    assert(a === want)
+  }
 }
