@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: each string explodes into `len + 1` variant keys (a
   * bounded, payload-proportional fan-out — no quadratic blow-up), the
   * self-join keys on the variant with `id_a < id_b` as a JOIN condition,
-  * and the verify is a row-local codegen'd `levenshtein` over the
-  * deduplicated candidate set. Buckets are deletion variants, so their
-  * size is the number of strings one slip apart — data skew means real
-  * near-duplicates, exactly where the work should go; a pathological
-  * hot variant is an AQE skew-join case like any hot LSH bucket. */
+  * and the verify is the THRESHOLDED `levenshtein(a, b, 1)` — the
+  * banded DP that walks O(len) cells instead of the full len² table —
+  * applied row-local INSIDE the join stage, before any exchange: the
+  * over-generated distance-2 candidates die where they are born, and
+  * the one dedup exchange afterwards moves only surviving `(id, id,
+  * dist)` triples, never candidate strings. Buckets are deletion
+  * variants, so their size is the number of strings one slip apart —
+  * data skew means real near-duplicates, exactly where the work should
+  * go; a pathological hot variant is an AQE skew-join case like any
+  * hot LSH bucket. */
 object Fuzzy {
 
   /** All unordered pairs `(id_a < id_b)` whose strings are within
@@ -52,11 +57,12 @@ object Fuzzy {
       col("__s").as("__s2"), col("__v").as("__v2"))
     variants.join(right,
         col("__v") === col("__v2") && col("__id") < col("__id2"))
+      // bounded-band DP: O(len) per candidate, -1 when the distance
+      // exceeds 1 — evaluated inside the join stage so false candidates
+      // never reach the dedup exchange (and the strings never shuffle)
       .select(col("__id").as("id_a"), col("__id2").as("id_b"),
-        col("__s").as("s_a"), col("__s2").as("s_b"))
+        levenshtein(col("__s"), col("__s2"), 1).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
       .distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
   }
 }
