@@ -113,6 +113,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.values.map(_._2).sum % 3 === 0)
   }
 
+  test("triangles: broadcast-edge path ≡ shuffle-join path") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    def tris(threshold: Long): Set[(Long, Long, Long)] =
+      Analytics.triangles(edges.toDF("src", "dst"),
+          broadcastEdgesBelow = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBcast = tris(Long.MaxValue) // forced broadcast joins
+    val viaShuffle = tris(0L)          // forced shuffle joins
+    assert(viaBcast === viaShuffle)
+    assert(viaBcast.nonEmpty)
+  }
+
   /** Naive bounded peel: survivors of `rounds` rounds with induced degree. */
   private def naiveKCore(
       edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
