@@ -37,6 +37,25 @@ object Analytics {
           greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
         .filter(col("a") =!= col("b")).distinct()
 
+  /** Gated broadcast hint for the per-round |V|-scale state side of the
+    * bounded-round family (ranks, labels, frontiers, Δ sets, survivor
+    * sets). Every round joins the pinned |E| frame against a state
+    * frame that is at most |V| rows — but checkpointed frames carry no
+    * size statistics, so Catalyst plans a SortMergeJoin and every round
+    * pays an |E|-side exchange for a join whose build side is tiny.
+    * When the measured edge count (already materialised by the pin —
+    * counting it is an O(cached partitions) job, and |V| ≤ 2|E| bounds
+    * every state frame) is under `below`, the state side broadcasts and
+    * the |E| frame never moves; past the gate the shuffle join stands —
+    * the only choice at cluster-scale graphs. Disabled when
+    * `checkpoint` is off so the lazy plan-audit path neither triggers
+    * jobs nor hides the general shuffle shape. */
+  private def stateHint(
+      edgeCount: => Long, checkpoint: Boolean,
+      below: Long): DataFrame => DataFrame =
+    if (checkpoint && edgeCount <= below) (df: DataFrame) => broadcast(df)
+    else identity[DataFrame] _
+
   /** Fixed-point PageRank: `iters` synchronous rounds of
     * `r'(v) = base + Σ_{u→v} (αN·r(u)) div (αD·outdeg(u))` over scaled
     * integers, `base = (αD−αN)·scale div αD`, `r0 = scale` — the classic
@@ -88,7 +107,8 @@ object Analytics {
       alphaNum: Long = 17L,
       alphaDen: Long = 20L,
       checkpoint: Boolean = true,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(alphaDen > alphaNum && alphaNum > 0,
       s"need 0 < alphaNum < alphaDen: $alphaNum/$alphaDen")
@@ -102,16 +122,18 @@ object Analytics {
     val eDeg = pin(e.join(deg, Seq("src")))
     val nodes = pin(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
+    val st = stateHint(eDeg.count(), checkpoint, broadcastStateBelow)
     val base = (alphaDen - alphaNum) * scale / alphaDen
     var r = nodes.select(col("id"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = eDeg
-        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
+        .join(st(r.select(col("id").as("src"), col("r"))), Seq("src"))
         .select(col("dst"),
           expr(s"${alphaNum}L * r * w div (${alphaDen}L * deg)").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
       r = pin(nodes
-        .join(contrib.select(col("dst").as("id"), col("c")), Seq("id"), "left")
+        .join(st(contrib.select(col("dst").as("id"), col("c"))),
+          Seq("id"), "left")
         .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("r")))
       // ^ per-round barrier truncates lineage (Propagate's barrier scaladoc)
     }
@@ -252,7 +274,8 @@ object Analytics {
       k: Int = 10,
       rounds: Int = 3,
       checkpoint: Boolean = true,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -261,12 +284,13 @@ object Analytics {
     val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
     var sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
+    val st = stateHint(sym.count(), checkpoint, broadcastStateBelow)
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy("u").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("u"))
       sym = pin(sym
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(st(keep), Seq("u"), "left_semi")
+        .join(st(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
     }
     sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
@@ -312,7 +336,8 @@ object Analytics {
       dstCol: String = "dst",
       rounds: Int = 5,
       checkpoint: Boolean = true,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     def pin(df: DataFrame): DataFrame =
@@ -322,15 +347,16 @@ object Analytics {
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
     var lab = pin(sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lab")))
+    val st = stateHint(sym.count(), checkpoint, broadcastStateBelow)
     // Δ: the senders whose label is news to their neighbours — all of
     // them initially, then only last round's improvements
     var delta = lab
     for (_ <- 1 to rounds) {
       val msgs = sym
-        .join(delta.select(col("id").as("v"), col("lab")), Seq("v"))
+        .join(st(delta.select(col("id").as("v"), col("lab"))), Seq("v"))
         .groupBy(col("u")).agg(min(col("lab")).as("m"))
       val next = pin(lab
-        .join(msgs.select(col("u").as("id"), col("m")), Seq("id"), "left")
+        .join(st(msgs.select(col("u").as("id"), col("m"))), Seq("id"), "left")
         .select(col("id"),
           least(col("lab"), coalesce(col("m"), col("lab"))).as("lab"),
           (col("m") < col("lab")).as("__chg")))
@@ -368,7 +394,8 @@ object Analytics {
       dstCol: String = "dst",
       rounds: Int = 3,
       checkpoint: Boolean = true,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     def pin(df: DataFrame): DataFrame =
@@ -376,14 +403,15 @@ object Analytics {
     val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
     val sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
+    val st = stateHint(sym.count(), checkpoint, broadcastStateBelow)
     val seeds = sources.toDF("id").select(col("id").cast("long")).distinct()
     var visited = pin(seeds.select(col("id"), lit(0L).as("dist")))
     var frontier = visited
     for (r <- 1 to rounds) {
       val layer = pin(sym
-        .join(frontier.select(col("id").as("v")), Seq("v"))
+        .join(st(frontier.select(col("id").as("v"))), Seq("v"))
         .select(col("u").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .join(st(visited.select(col("id"))), Seq("id"), "left_anti")
         .select(col("id"), lit(r.toLong).as("dist")))
       visited = pin(visited.union(layer))
       frontier = layer
@@ -428,7 +456,8 @@ object Analytics {
       costCol: String = "cost",
       rounds: Int = 3,
       checkpoint: Boolean = true,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     def pin(df: DataFrame): DataFrame =
@@ -447,12 +476,14 @@ object Analytics {
           .groupBy("a", "b").agg(min(col("c")).as("c"))
     val sym = pin(e0.select(col("a").as("u"), col("b").as("v"), col("c"))
       .union(e0.select(col("b").as("u"), col("a").as("v"), col("c"))))
+    val st = stateHint(sym.count(), checkpoint, broadcastStateBelow)
     val seeds = sources.toDF("id").select(col("id").cast("long")).distinct()
     var dist = pin(seeds.select(col("id"), lit(0L).as("dist")))
     var delta = dist
     for (_ <- 1 to rounds) {
       val best = sym
-        .join(delta.select(col("id").as("u"), col("dist").as("du")), Seq("u"))
+        .join(st(delta.select(col("id").as("u"), col("dist").as("du"))),
+          Seq("u"))
         .groupBy(col("v").as("id"))
         .agg(min(col("du") + col("c")).as("m"))
       val next = pin(dist.join(best, Seq("id"), "full")
@@ -490,7 +521,8 @@ object Analytics {
       dstCol: String = "dst",
       rounds: Int = 3,
       checkpoint: Boolean = true,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -501,10 +533,11 @@ object Analytics {
       .union(e0.select(col("b").as("u"), col("a").as("v"))))
     var lab = pin(sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lab")))
+    val st = stateHint(sym.count(), checkpoint, broadcastStateBelow)
     val top1 = Window.partitionBy("u").orderBy(desc("n"), asc("lab"))
     for (_ <- 1 to rounds) {
       lab = pin(sym
-        .join(lab.select(col("id").as("v"), col("lab")), Seq("v"))
+        .join(st(lab.select(col("id").as("v"), col("lab"))), Seq("v"))
         .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("n"))
         .withColumn("__rn", row_number().over(top1))
         .filter(col("__rn") === 1)

@@ -113,6 +113,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.values.map(_._2).sum % 3 === 0)
   }
 
+  test("bounded-round family: broadcast-state path ≡ shuffle path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(250)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val wdf = edges.map { case (a, b) => (a, b, (a + b) % 7 + 1) }
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(0L, 1L).toDF("id")
+    def rows(d: DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(Analytics.pageRankFixed(df, iters = 2)) ===
+      rows(Analytics.pageRankFixed(df, iters = 2, broadcastStateBelow = 0)))
+    assert(rows(Analytics.connectedComponentsBounded(df, rounds = 3)) ===
+      rows(Analytics.connectedComponentsBounded(df, rounds = 3,
+        broadcastStateBelow = 0)))
+    assert(rows(Analytics.labelPropagation(df, rounds = 2)) ===
+      rows(Analytics.labelPropagation(df, rounds = 2, broadcastStateBelow = 0)))
+    assert(rows(Analytics.kCoreBounded(df, k = 3, rounds = 2)) ===
+      rows(Analytics.kCoreBounded(df, k = 3, rounds = 2,
+        broadcastStateBelow = 0)))
+    assert(rows(Analytics.bfsBounded(df, seeds, rounds = 3)) ===
+      rows(Analytics.bfsBounded(df, seeds, rounds = 3,
+        broadcastStateBelow = 0)))
+    assert(rows(Analytics.ssspBounded(wdf, seeds, rounds = 3)) ===
+      rows(Analytics.ssspBounded(wdf, seeds, rounds = 3,
+        broadcastStateBelow = 0)))
+  }
+
   test("triangles: broadcast-edge path ≡ shuffle-join path") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
