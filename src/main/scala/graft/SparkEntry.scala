@@ -45,36 +45,37 @@ object SparkEntry {
     * first's build. */
   private def partPairsWeighted(s: SparkSession, dir: String): DataFrame =
     graft.functions.Memos.getOrElseUpdate(s, ("part-pairs-weighted", dir)) {
-      val bi = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
-        .filter(col("it") < col("it2"))
-        .groupBy(col("it").as("a"), col("it2").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .coalesce(s.sessionState.conf.numShufflePartitions)
-        .localCheckpoint(eager = true)
-    }
-
-  /** Part co-purchase graph (parts sharing an order), canonical a<b
-    * DISTINCT pairs — the shared substrate of the q74/q76/q77/q78 graph
-    * analytics, memoised per session ([[graft.functions.Memos]]) and
-    * checkpointed so four analytics pay the self-join + dedup exchange
-    * once, not each (the consumers pass `assumeCanonical = true`).
-    * Per-order pair fan-out is bounded by order size, so the self-join
-    * stays linear-ish at any corpus scale. */
-  private[graft] def partPairs(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Memos.getOrElseUpdate(s, ("part-pairs", dir)) {
       graft.functions.Phases.time("pairs build") {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
+        val bi = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
           .distinct()
+        bi.join(bi.select(col("bk"), col("it").as("it2")), Seq("bk"))
+          .filter(col("it") < col("it2"))
+          .groupBy(col("it").as("a"), col("it2").as("b"))
+          .agg(count(lit(1)).as("w"))
           .coalesce(s.sessionState.conf.numShufflePartitions)
           .localCheckpoint(eager = true)
       }
+    }
+
+  /** Part co-purchase graph (parts sharing an order), canonical a<b
+    * DISTINCT pairs — the shared substrate of the q74/q76/q77/q78/q86/
+    * q92 graph analytics (the consumers pass `assumeCanonical = true`),
+    * served as a projection of [[partPairsWeighted]]'s memoised
+    * checkpoint so the whole graph family pays ONE basket self-join per
+    * session+pass. Per-order pair fan-out is bounded by order size, so
+    * the self-join stays linear-ish at any corpus scale. */
+  private[graft] def partPairs(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-pairs", dir)) {
+      // a projection of the weighted build: the (a,b) set of
+      // partPairsWeighted IS the distinct pair set (the count replaces
+      // the distinct at the same shuffle), so the six unweighted
+      // analytics and the three weighted ones share ONE basket
+      // self-join per session+pass instead of two. No second
+      // checkpoint: the projection rescans the weighted frame's cached
+      // partitions, never its lineage.
+      partPairsWeighted(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
     }
 
   /** Exact order-independent sum of a 2-dp double column, as double. */
