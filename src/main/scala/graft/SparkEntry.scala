@@ -1017,6 +1017,14 @@ r2o AS (
         docs.select(col("doc_id"), col("n_chars").cast("long").as("quality")),
         "quality")
     }),
+    // JL random projection to 8 dims with ±1 signs (ext.Projection,
+    // Achlioptas 2003) — the cheap-sketch reduction before prefiltering
+    // or routing; the DetRandom-derived sign matrix is dims×8 constants
+    // folded into the expression tree, the projection a pure row-local
+    // codegen pass (no join, no shuffle), exact integers both engines
+    "q98_random_projection" -> ((s, dir) =>
+      graft.ext.Projection.project(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = 64, outDims = 8, seed = 77L)),
     // recency-weighted engagement (the freshness weighting a training
     // mix applies to interaction data): per user, event values decayed
     // by one halving per 7 days of age — weight 2^-(age div 7d) as an
@@ -2249,6 +2257,25 @@ r2o AS (
         |  CAST(ABS(x - CASE WHEN q < 0 THEN -((-q) * amax // 127)
         |       ELSE q * amax // 127 END) AS BIGINT) AS err
         |FROM qq""".stripMargin,
+    // the SAME sign matrix as the Spark side (DetRandom.mixLong), the
+    // dot written out as a literal-sign sum — pure BIGINT both engines
+    "q98_random_projection" -> {
+      val signs = graft.ext.Projection.signMatrix(64, 8, 77L)
+      val ds = signs.map { sj =>
+        val body = sj.zipWithIndex.map { case (sg, i) =>
+          val term = s"w[${i + 1}]"
+          if (sg < 0) s"- $term" else s"+ $term"
+        }.mkString(" ").stripPrefix("+ ")
+        s"CAST(($body) AS BIGINT)"
+      }
+      s"""WITH w AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS w
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  unnest(CAST([${(0 until 8).mkString(", ")}] AS BIGINT[])) AS j,
+         |  unnest([${ds.mkString(", ")}]) AS proj_fp
+         |FROM w""".stripMargin
+    },
     // micros-epoch age (Spark's nanos-long div 1000 ≡ DuckDB epoch_us),
     // one halving per started 7-day week, integer shift both engines
     "q91_decayed_engagement" ->

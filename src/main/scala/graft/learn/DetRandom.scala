@@ -38,6 +38,18 @@ object DetRandom {
   def uniform(a: Column, b: Column, seed: Long): Column =
     mix(a, b, seed).cast("double") / lit(M.toDouble)
 
+  /** Driver-side twin of [[mix]] for CONSTANT inputs (e.g. the
+    * [[graft.ext.Projection]] sign matrix, whose cells depend only on
+    * literal (dim, out-dim) indices): identical arithmetic over plain
+    * longs, so a value computed here, by the Column expression, and by
+    * [[mixSql]] in DuckDB is the same number — DetRandomSpec asserts
+    * the three-way parity. */
+  def mixLong(a: Long, b: Long, seed: Long): Long = {
+    def pm(x: Long): Long = ((x % M) + M) % M
+    val x = (pm(a) * A + pm(b) * B + seed % M) % M
+    (x * A + seed % M) % M
+  }
+
   /** The same expression as ANSI SQL text, for DuckDB oracle parity. */
   def mixSql(a: String, b: String, seed: Long): String = {
     val x = s"(((($a) % $M + $M) % $M) * $A + ((($b) % $M + $M) % $M) * $B + ${seed % M}) % $M"
