@@ -1025,6 +1025,13 @@ r2o AS (
     "q98_random_projection" -> ((s, dir) =>
       graft.ext.Projection.project(t(s, dir, "embeddings"),
         "vec_id", "embedding", dims = 64, outDims = 8, seed = 77L)),
+    // collocation mining (ext.Ranking.collocations): adjacent-bigram
+    // lift — the exact monotone image of PMI — with slot-count
+    // marginals and a ≥5 support floor; ONE tokenise pass into the
+    // checkpointed bigram count frame, marginals derive from it
+    "q99_collocations" -> ((s, dir) =>
+      graft.ext.Ranking.collocations(
+        t(s, dir, "documents"), "doc_id", "text")),
     // recency-weighted engagement (the freshness weighting a training
     // mix applies to interaction data): per user, event values decayed
     // by one halving per 7 days of age — weight 2^-(age div 7d) as an
@@ -2276,6 +2283,22 @@ r2o AS (
          |  unnest([${ds.mkString(", ")}]) AS proj_fp
          |FROM w""".stripMargin
     },
+    // adjacent bigrams via the q75 range trick (tokens are space-free);
+    // slot marginals sum over the bigram count frame, never the corpus
+    "q99_collocations" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |  FROM toks WHERE len(ts) >= 2),
+        |f AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n_12) AS BIGINT) AS n_1 FROM f GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(SUM(n_12) AS BIGINT) AS n_2 FROM f GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n_12) AS BIGINT) AS n FROM f)
+        |SELECT f.w1, f.w2, f.n_12, c1.n_1, c2.n_2,
+        |  f.n_12 * nn.n * 1000000 // (c1.n_1 * c2.n_2) AS lift_fp
+        |FROM f JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
+        |WHERE f.n_12 >= 5""".stripMargin,
     // micros-epoch age (Spark's nanos-long div 1000 ≡ DuckDB epoch_us),
     // one halving per started 7-day week, integer shift both engines
     "q91_decayed_engagement" ->

@@ -83,4 +83,52 @@ object Ranking {
       .select(col(idCol), col("term"), col("score"),
         col("rk").cast("long").as("rk"))
   }
+
+  /** Collocation mining over adjacent token bigrams — the phrase-
+    * extraction pass (Church & Hanks 1990's association-ratio frame,
+    * here as the log-free LIFT `n_12·N·scale div (n_1·n_2)`, the exact
+    * monotone image of pointwise mutual information at fixed pair
+    * frequency — the same trade as q75/q79: `ln` never hash-verifies,
+    * the ratio does). Marginals are SLOT counts (`n_1` = bigrams with
+    * w1 on the left, `n_2` = w2 on the right), the textbook bigram
+    * normalisation — they sum to N exactly, so lift is a true
+    * probability ratio. Pairs below `minCount` are dropped (PMI's
+    * low-frequency pathology: a hapax pair maxes the score).
+    *
+    * Bound: `n_12·N·scale < 2^63` needs N·scale ≲ 9·10^18/n_12 — at
+    * scale 10^6 that holds to ~10^6-bigram corpora even for the
+    * hottest pair (n_12 ≤ N); larger corpora lower `scale` or lift to
+    * DECIMAL, same plan.
+    *
+    * Scale shape: ONE tokenise+explode pass into the (w1, w2, n_12)
+    * count frame (map-side combined, checkpointed behind
+    * `checkpointTf` like [[bm25TopTerms]]'s tf); the slot marginals
+    * and the corpus total are O(vocab) aggregates OVER that frame —
+    * the corpus is never re-scanned — and the final scoring joins are
+    * model-sized with the 1-row total broadcast. */
+  def collocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      scale: Long = 1000000L,
+      checkpointTf: Boolean = true): DataFrame = {
+    val toks = docs.select(Dedup.tokens(col(textCol)).as("__ts"))
+    val fullRaw = toks.filter(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ts) - 2)," +
+          " i -> struct(__ts[i] AS w1, __ts[i + 1] AS w2))")).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_12"))
+    val full = if (checkpointTf) fullRaw.localCheckpoint(eager = true)
+      else fullRaw
+    val c1 = full.groupBy("w1").agg(sum(col("n_12")).as("n_1"))
+    val c2 = full.groupBy("w2").agg(sum(col("n_12")).as("n_2"))
+    val nn = full.agg(sum(col("n_12")).as("n"))
+    full.filter(col("n_12") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(nn))
+      .select(col("w1"), col("w2"), col("n_12"), col("n_1"), col("n_2"),
+        expr(s"n_12 * n * ${scale}L div (n_1 * n_2)").as("lift_fp"))
+  }
 }

@@ -82,4 +82,41 @@ class RankingSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  /** Naive collocation lift over adjacent bigrams with slot marginals. */
+  private def naiveColloc(
+      docs: Seq[(Long, String)], minCount: Long): Map[(String, String), (Long, Long, Long, Long)] = {
+    val bigrams = docs.flatMap { case (_, text) =>
+      val ts = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      ts.zip(ts.drop(1))
+    }
+    val f = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = f.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = f.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = f.values.sum
+    f.collect { case ((w1, w2), n12) if n12 >= minCount =>
+      (w1, w2) -> (n12, c1(w1), c2(w2), n12 * n * 1000000L / (c1(w1) * c2(w2)))
+    }.toMap
+  }
+
+  test("collocations: frozen pair maxes lift, naive replay, partition-independent") {
+    // "ice cream" always collocates; "the" pairs with everything
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "the ice cream and the dog saw the ice cream"),
+      (2L, "ice cream for the dog and the cat"),
+      (3L, "the dog and the cat saw ice cream"))
+    val want = naiveColloc(docs, minCount = 2L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ranking.collocations(df, "doc_id", "text", minCount = 2L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+    val a = run(docs.toDF("doc_id", "text").repartition(5))
+    assert(a === run(docs.toDF("doc_id", "text").coalesce(1)))
+    assert(a === want)
+    // ice→cream is deterministic given "ice" (slot-conditional prob 1):
+    // its lift must exceed the promiscuous the→dog pair's
+    assert(a(("ice", "cream"))._4 > a(("the", "dog"))._4)
+  }
 }
