@@ -34,7 +34,14 @@ object Projection {
     Seq.tabulate(outDims)(j =>
       Seq.tabulate(dims)(i => 1L - 2L * (DetRandom.mixLong(i, j, seed) % 2L)))
 
-  /** One row per (vector, output dim): `(idCol, j, proj_fp)`. */
+  /** One row per (vector, output dim): `(idCol, j, proj_fp)`.
+    *
+    * A vector whose length differs from `dims` RAISES at runtime
+    * rather than silently diverging: `zip_with` pads the shorter side
+    * with nulls, so a short vector would yield a NULL projection here
+    * while the oracle (which sums only its `dims` literal terms) would
+    * return a finite number for a long one — a size guard turns that
+    * engine divergence into a loud error. */
   def project(
       df: DataFrame,
       idCol: String,
@@ -47,9 +54,13 @@ object Projection {
       s"aggregate(zip_with(__w, array(${sj.mkString("L,")}L)," +
         " (x, s) -> x * s), 0L, (a, y) -> a + y)"
     }
-    df.select(col(idCol), expr(
-        s"transform($vecCol, x -> cast(floor(x * 1000000.0) as bigint))")
-        .as("__w"))
+    df.select(col(idCol),
+        when(size(col(vecCol)) === dims, expr(
+          s"transform($vecCol, x -> cast(floor(x * 1000000.0) as bigint))"))
+          .otherwise(raise_error(concat(
+            lit(s"Projection.project: $vecCol has size "),
+            size(col(vecCol)).cast("string"), lit(s", expected $dims"))))
+          .as("__w"))
       .select(col(idCol), posexplode(expr(s"array(${outs.mkString(",")})")))
       .select(col(idCol), col("pos").cast("long").as("j"),
         col("col").as("proj_fp"))

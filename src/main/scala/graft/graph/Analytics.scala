@@ -53,7 +53,8 @@ object Analytics {
   private def stateHint(
       edgeCount: => Long, checkpoint: Boolean,
       below: Long): DataFrame => DataFrame =
-    if (checkpoint && edgeCount <= below) (df: DataFrame) => broadcast(df)
+    if (checkpoint && below > 0L && edgeCount <= below)
+      (df: DataFrame) => broadcast(df)
     else identity[DataFrame] _
 
   /** Fixed-point PageRank: `iters` synchronous rounds of

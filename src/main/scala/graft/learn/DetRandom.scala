@@ -42,7 +42,7 @@ object DetRandom {
     * [[graft.ext.Projection]] sign matrix, whose cells depend only on
     * literal (dim, out-dim) indices): identical arithmetic over plain
     * longs, so a value computed here, by the Column expression, and by
-    * [[mixSql]] in DuckDB is the same number — DetRandomSpec asserts
+    * [[mixSql]] in DuckDB is the same number — ProjectionSpec asserts
     * the three-way parity. */
   def mixLong(a: Long, b: Long, seed: Long): Long = {
     def pm(x: Long): Long = ((x % M) + M) % M

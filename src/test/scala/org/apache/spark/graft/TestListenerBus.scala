@@ -1,0 +1,29 @@
+package org.apache.spark.graft
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.SparkListenerApplicationEnd
+
+import scala.jdk.CollectionConverters._
+
+/** Test-only accessor for the `private[spark]` listener bus, so MemosSpec
+  * can exercise the `onApplicationEnd` eviction path WITHOUT stopping the
+  * suite-shared SparkContext (local mode allows one context per JVM —
+  * a literal two-context stop/start would tear down every other suite's
+  * session). Posting the real `SparkListenerApplicationEnd` event through
+  * the real bus drives the exact listener Memos registered; only the
+  * context teardown itself is elided. */
+object TestListenerBus {
+
+  /** Fire ApplicationEnd through the live bus and wait for delivery. */
+  def postApplicationEnd(sc: SparkContext): Unit = {
+    sc.listenerBus.post(
+      SparkListenerApplicationEnd(java.lang.System.currentTimeMillis()))
+    sc.listenerBus.waitUntilEmpty()
+  }
+
+  /** How many registered listeners belong to `ownerClassPrefix` (e.g. the
+    * anonymous eviction listener class `graft.functions.Memos$$anon…`). */
+  def countListeners(sc: SparkContext, ownerClassPrefix: String): Int =
+    sc.listenerBus.listeners.asScala
+      .count(_.getClass.getName.startsWith(ownerClassPrefix))
+}
