@@ -687,19 +687,20 @@ r2o AS (
         t(s, dir, "documents").select(col("doc_id")),
         graft.ext.Dedup.nearDupJaccardExact(
           t(s, dir, "documents"), "doc_id", "text"))),
-    // 100 TB profiling sketches (rows-only by design: sketch encodings
-    // are engine-specific): per event type, HLL++ approximate distinct
-    // users (rsd 1%), approximate p50/p95 of value, and the exact row
-    // count — ONE partial-aggregable pass with constant per-group state,
-    // where exact distinct/quantiles over 100 TB would shuffle the
-    // world. SketchSpec bounds both sketches against the exact answers
-    // on the fixture (HLL within 5%, percentile rank within ±1%).
+    // 100 TB profiling sketches, machine-checked: the raw one-pass
+    // HLL++/approx-percentile profile (ext.Sketches.profile — constant
+    // per-group state where exact distinct/quantiles over 100 TB would
+    // shuffle the world) is rows-only by nature (sketch encodings are
+    // engine-specific), so the QUERY ships its error-envelope audit
+    // instead: exact n + exact distinct users + 1/0 flags that every
+    // sketch sits within its documented error (HLL within 5%, each
+    // percentile inside the exact q±0.01 rank neighbourhood). The
+    // oracle replays the exact side and literal-true flags — a sketch
+    // outside its envelope flips a flag and fails the hash, which
+    // upgrades q59 from rows-only to a CORRECTNESS-visible bounds
+    // check. SketchSpec still bounds the raw profile values directly.
     "q59_sketch_profile" -> ((s, dir) =>
-      t(s, dir, "events").groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        expr("approx_percentile(value, 0.5, 10000)").as("value_p50"),
-        expr("approx_percentile(value, 0.95, 10000)").as("value_p95"))),
+      graft.ext.Sketches.envelopeAudit(t(s, dir, "events"))),
     // vocabulary builder: top-100 BPE-ish tokens by corpus frequency — the
     // tokenizer-training primitive of an LLM data pipeline. Deterministic
     // total order (freq DESC, token ASC) makes the cut hash-exact; plans
@@ -1799,6 +1800,17 @@ r2o AS (
     "q58_dedup_groups" ->
       s"""$dedupGroupsCtes
         |SELECT doc_id, canon_id FROM g""".stripMargin,
+    // the sketch envelope audit: the oracle owns the exact side and
+    // asserts every sketch flag came back true — DuckDB cannot decode
+    // HLL/percentile sketches, but it CAN check that Spark's sketches
+    // landed inside their documented error of the exact answers
+    "q59_sketch_profile" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users_exact,
+        |  CAST(1 AS BIGINT) AS hll_ok,
+        |  CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p95_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     // q58's group CTE chain + per-group best-quality winner (n_chars,
     // doc_id tiebreak) and exact group totals
     "q97_canonical_docs" ->

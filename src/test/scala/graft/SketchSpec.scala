@@ -3,13 +3,32 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** q59's sketch profile: approximate answers must sit within their
-  * advertised error of the exact ones — the sketches are rows-only in the
-  * driver compare (engine-specific encodings), so THIS is their
-  * correctness gate. */
+  * advertised error of the exact ones. The raw sketches are
+  * engine-specific encodings, so the shipped q59 is the envelope AUDIT
+  * (exact side + 1/0 flags, hash-checked by the oracle); this spec
+  * bounds the raw profile values directly and pins the audit's flags. */
 class SketchSpec extends SparkSpec {
 
+  test("envelope audit: every flag true, exact side matches a naive replay") {
+    val rows = SparkEntry.queries("q59_sketch_profile")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) == 1L, s"${r.getString(0)} hll_ok")
+      assert(r.getLong(4) == 1L, s"${r.getString(0)} p50_ok")
+      assert(r.getLong(5) == 1L, s"${r.getString(0)} p95_ok")
+    }
+    val exact = Tables.load(spark, sf(), "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (r <- rows)
+      assert((r.getLong(1), r.getLong(2)) == exact(r.getString(0)))
+  }
+
   test("HLL distinct and approx percentiles sit within advertised error of exact") {
-    val approx = SparkEntry.queries("q59_sketch_profile")(spark, sf())
+    val approx = graft.ext.Sketches
+      .profile(Tables.load(spark, sf(), "events"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
 
