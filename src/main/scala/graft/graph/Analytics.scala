@@ -188,13 +188,6 @@ object Analytics {
       .groupBy("id").agg(count(lit(1)).as("deg")))
     // orient low-(deg,id) → high; a<b canonically, so deg ties keep (a,b)
     val lt = col("da") < col("db") || (col("da") === col("db"))
-    val oriented = pin(e0
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
-      .select(
-        when(lt, col("a")).otherwise(col("b")).as("u"),
-        when(lt, col("b")).otherwise(col("a")).as("v"),
-        when(lt, col("db")).otherwise(col("da")).as("dv")))
     // The wedge set is O(Σ outdeg²) — arboricity-bounded but still the
     // DOMINANT volume (at the fixture: 41M wedges from 1.2M edges). The
     // edge side is the SMALL side of both joins, so when it fits a
@@ -210,14 +203,62 @@ object Analytics {
     // the lazy plan-audit path never triggers a job).
     val bcast = checkpoint && e0.count() <= broadcastEdgesBelow
     def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
-    oriented.join(small(o2), Seq("u"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("u"), col("v"), col("w"))
-      .join(small(oriented.select(col("u").as("v"), col("v").as("w"))),
-        Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
+    // PACKED-KEY enumeration (r7, TRI_AB_r7.md): when node ids fit
+    // [0, 2^31) — measured on the pinned degree frame, one O(cached-
+    // partitions) job, same gating contract as `bcast` — the (deg, id)
+    // orientation rank packs into ONE long `ord = deg·S + id` (S =
+    // maxId+1 ≤ 2^31, so ord < S² < 2^63: deg ≤ |V|−1 < S), and the
+    // closure key packs as `pk = v·S + w`. The 41M-wedge stream then
+    // carries 2 longs per row instead of 5, the orientation filter is
+    // one long compare, and the closure probe hashes ONE long (Spark's
+    // LongHashedRelation fast path) instead of a 2-column row — and
+    // closes as a LEFT SEMI (oriented edges are unique on (v,w), so
+    // semi ≡ inner and skips materialising build-side columns). Ids
+    // outside the packable range (or the no-job audit path) take the
+    // unpacked shape below — same joins, wider keys.
+    val packS: Option[Long] = if (checkpoint) {
+      val r = deg.agg(min(col("id")).as("lo"), max(col("id")).as("hi")).head()
+      if (!r.isNullAt(0) && r.getLong(0) >= 0L && r.getLong(1) < (1L << 31))
+        Some(r.getLong(1) + 1L)
+      else None
+    } else None
+    packS match {
+      case Some(sS) =>
+        val oriented = pin(e0
+          .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+          .select(
+            when(lt, col("a")).otherwise(col("b")).as("u"),
+            when(lt, col("db") * sS + col("b"))
+              .otherwise(col("da") * sS + col("a")).as("ov")))
+        val o2 = oriented.select(col("u"), col("ov").as("ow"))
+        val closKeys = oriented
+          .select((col("u") * sS + col("ov") % sS).as("pk"))
+        oriented.join(small(o2), Seq("u"))
+          .filter(col("ov") < col("ow"))
+          .select(col("u"),
+            ((col("ov") % sS) * sS + col("ow") % sS).as("pk"))
+          .join(small(closKeys), Seq("pk"), "left_semi")
+          .select(col("u"), expr(s"pk div ${sS}L").as("v"),
+            (col("pk") % sS).as("w"))
+      case None =>
+        val oriented = pin(e0
+          .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+          .select(
+            when(lt, col("a")).otherwise(col("b")).as("u"),
+            when(lt, col("b")).otherwise(col("a")).as("v"),
+            when(lt, col("db")).otherwise(col("da")).as("dv")))
+        val o2 = oriented
+          .select(col("u"), col("v").as("w"), col("dv").as("dw"))
+        oriented.join(small(o2), Seq("u"))
+          .filter(col("dv") < col("dw") ||
+            (col("dv") === col("dw") && col("v") < col("w")))
+          .select(col("u"), col("v"), col("w"))
+          .join(small(oriented.select(col("u").as("v"), col("v").as("w"))),
+            Seq("v", "w"), "left_semi")
+          .select(col("u"), col("v"), col("w"))
+    }
   }
 
   def triangleStats(
