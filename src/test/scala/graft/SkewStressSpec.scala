@@ -1,0 +1,148 @@
+package graft
+
+import graft.graph.Analytics
+import org.apache.spark.ListenerDrain
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** Skew stress for the scaladoc'd robustness claims (r6 brief #6): the
+  * triangle enumeration's arboricity bound must hold against a real hub
+  * (a 1,500-degree node on a ~2k-node graph), demonstrably spreading
+  * work instead of exploding deg² wedges in one task; and the fuzzy
+  * matcher's hot deletion-variant bucket (546 strings sharing ONE
+  * variant key → ~149k candidate pairs born in one join bucket) must
+  * complete with the exact closed-form answer, its fan-out bounded at
+  * len+1 variants per string. */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded hub graph: node 0 joined to 1..1500 plus random background
+    * edges — canonical distinct (a < b) pairs. */
+  private lazy val hubEdges = {
+    val rnd = new scala.util.Random(4242)
+    val bg = Seq.fill(30000) {
+      val a = rnd.nextInt(2000); val b = rnd.nextInt(2000); (a.toLong, b.toLong)
+    }
+    val hub = (1 to 1500).map(i => (0L, i.toLong))
+    (bg ++ hub).filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .distinct
+  }
+
+  test("triangles: degree orientation caps the hub's wedge fan-out at 2E/deg") {
+    val e = hubEdges.toDF("a", "b")
+    val deg = e.select($"a".as("id")).union(e.select($"b".as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val degMap = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoE = 2L * hubEdges.size
+    // orient low-(deg,id) -> high exactly like Analytics.triangles
+    val outDeg = hubEdges.groupBy { case (a, b) =>
+      val (da, db) = (degMap(a), degMap(b))
+      if (da < db || da == db) a else b
+    }.map { case (u, es) => u -> es.size.toLong }
+    val maxOut = outDeg.values.max
+    val bound = math.ceil(math.sqrt(twoE.toDouble)).toLong
+    assert(maxOut <= bound, s"max oriented out-degree $maxOut > sqrt(2E)=$bound")
+    val hubDeg = degMap(0L)
+    val hubOut = outDeg.getOrElse(0L, 0L)
+    assert(hubDeg >= 1500L, s"fixture lost its hub: deg=$hubDeg")
+    assert(hubOut <= twoE / hubDeg,
+      s"hub out-degree $hubOut exceeds 2E/deg = ${twoE / hubDeg} " +
+        "(a raw-degree wedge join would emit deg^2 = " +
+        s"${hubDeg * hubDeg} hub wedges)")
+  }
+
+  test("triangles on the hub graph: exact counts, no straggler task") {
+    val e = hubEdges.toDF("a", "b")
+    // per-stage (totalTaskMs, maxTaskMs, nTasks) during the action
+    val stages = TrieMap.empty[Int, (Long, Long, Int)]
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          val ms = t.taskMetrics.executorRunTime
+          stages.updateWith(t.stageId) {
+            case Some((tot, mx, n)) => Some((tot + ms, math.max(mx, ms), n + 1))
+            case None               => Some((ms, ms, 1))
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val r = Analytics.triangleStats(e, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        ListenerDrain.drain(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    // exact per-node counts vs the naive a<b<c three-way join
+    val naive = e.as("e1")
+      .join(e.select($"a".as("b"), $"b".as("c")).as("e2"), "b")
+      .join(e.select($"a", $"b".as("c")).as("e3"), Seq("a", "c"))
+      .select(explode(array($"a", $"b", $"c")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0L) == naive, "triangle counts != naive replay")
+    assert(naive.values.sum > 0L, "fixture has no triangles to check")
+
+    // straggler audit: in every parallel stage that did real work, no
+    // single task may dominate — under the orientation the hub's wedges
+    // are capped (previous test), so work spreads; a deg^2 regression
+    // would put ~all wedge work in the hub's task
+    val parallel = stages.values.filter { case (tot, _, n) => n >= 4 && tot >= 200L }
+    assert(parallel.nonEmpty, "no parallel stage heavy enough to audit — grow the fixture")
+    for ((tot, mx, n) <- parallel)
+      assert(mx * 100L <= tot * 75L,
+        s"straggler: one of $n tasks took ${mx}ms of ${tot}ms stage total")
+  }
+
+  test("fuzzy: a 546-string hot deletion-variant bucket resolves exactly") {
+    // every string = one letter inserted into the same 20-digit core, so
+    // ALL of them share the deletion variant `core` (one hot join key
+    // carrying 546*545/2 ~ 149k candidate pairs); letters are disjoint
+    // from digits, so the only distance-1 pairs are same-position letter
+    // substitutions: 21 positions x C(26,2) = 6825 pairs, distance 1
+    val core = "12345678901234567890"
+    val hot = for {
+      p <- 0 to core.length
+      c <- 'a' to 'z'
+    } yield s"${core.substring(0, p)}$c${core.substring(p)}"
+    val bg = (0 until 100).map(i => s"background_name_number_$i")
+    val names = (hot ++ bg).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    assert(hot.size == 546)
+    val df = names.toDF("id", "name")
+
+    // bounded fan-out claim: each string emits at most ITS len+1 variants
+    val overFanout = df.select(size(array_distinct(concat(
+        array($"name"),
+        expr("transform(sequence(1, length(name))," +
+          " i -> concat(substring(name, 1, i - 1)," +
+          " substring(name, i + 1, length(name))))")))).as("nv"),
+        (length($"name") + 1).as("cap"))
+      .filter($"nv" > $"cap").count()
+    assert(overFanout == 0L, s"$overFanout strings exceed len+1 variant fan-out")
+
+    val pairs = graft.ext.Fuzzy.editOnePairs(df, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall(_._3 == 1L), "all pairs must be distance exactly 1")
+    val hotPairs = pairs.filter(p => p._1 < 546 && p._2 < 546)
+    val bgPairs = pairs.filter(p => p._1 >= 546 && p._2 >= 546)
+    // hot bucket: exactly the same-position letter substitutions
+    assert(hotPairs.length == 21 * 26 * 25 / 2,
+      s"expected 6825 hot distance-1 pairs, got ${hotPairs.length}")
+    val byId = names.toMap
+    assert(hotPairs.forall { case (a, b, _) =>
+      val (sa, sb) = (byId(a), byId(b))
+      sa.length == sb.length &&
+        sa.zip(sb).count { case (x, y) => x != y } == 1
+    })
+    // background "..._i" names have their own closed-form distance-1 set:
+    // 45 one-digit pairs + 171 one-vs-two-digit + 765 two-digit = 981
+    assert(bgPairs.length == 981, s"expected 981 bg pairs, got ${bgPairs.length}")
+    // and NOTHING crosses the bucket boundary (cores vs background)
+    assert(pairs.length == hotPairs.length + bgPairs.length,
+      "unexpected hot-background cross pairs")
+  }
+}
