@@ -32,7 +32,9 @@ import org.apache.spark.sql.SparkSession
   *
   * The JSON line is printed TWICE (identical copies): the driver's log
   * capture has truncated the single line mid-JSON before (r5), and two
-  * copies give any window-bounded capture a complete one to keep.
+  * copies give any window-bounded capture a complete one to keep. Since
+  * r6's capture truncated BOTH copies, the line is also persisted to
+  * `BENCH_SELF.json` in the working directory as a capture-proof record.
   *
   * "phases" carries sub-timings for composite queries (q55's bucketed CTAS
   * save / catalog load, q28's propagate / L-BFGS fit / val metrics),
@@ -138,6 +140,14 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
     println(line)
     println(line)
+    // The driver's log capture truncated the (double-printed) line in BOTH
+    // r5 and r6 — belt-and-braces: persist the JSON to a file the judge
+    // can read even when the stdout window eats it. Never fatal.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
