@@ -400,8 +400,12 @@ r2o AS (
     "q26_neighbor_sample" -> ((s, dir) =>
       graft.learn.NeighborSample.sample(
         edgesOrdersCustomer(s, dir), fanout = 5, seed = 11L)),
-    // G12: attention-weighted propagation (frozen GATv2 analogue) — exp
-    // softmax sums are float-order dependent, so rows-only (no oracle).
+    // G12: attention-weighted propagation (frozen GATv2 analogue).
+    // Float softmax sums are float-order dependent in general — but on
+    // the structural init every in-message source is a degree-1 node
+    // (init exactly 2.0), the softmax degenerates to a provable closed
+    // form, and the 6-dp rounding is boundary-free, so the query IS
+    // hash-exact: see the q27 oracle for the proof sketch.
     "q27_attention_embed" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // restrict BEFORE the degree init: it then counts only the two
@@ -1644,6 +1648,35 @@ r2o AS (
     // (degree+1)·1000 per degreeInitFixed. All arithmetic in BIGINT
     // (DuckDB promotes SUM to HUGEINT; values stay ≤ ~4e13), floor `//`
     // matches Spark's `div` on positives.
+    // One round of FLOAT softmax attention — hash-exact after all, by
+    // proof rather than by float-order luck: on the structural degree
+    // init every message source along both restricted edge types
+    // (orders→customer, events→customer) is a degree-1 node with init
+    // exactly 2.0, so the within-type softmax is a convex combination
+    // of equal values and the mathematically-forced answer is
+    // h = (init_c + 2·has_o + 2·has_e) / (1 + has_o + has_e) — thirds
+    // and halves, whose 6-dp rounding is boundary-free (repeating 3/6
+    // digits, never a trailing 5) and sits ≥5e-7 from Spark's ~1e-14
+    // float noise. The oracle replays that closed form; the hash then
+    // certifies the REAL softmax pipeline (leaky-relu scores, exp
+    // normalisation, weighted vector sums) landed on the provable
+    // value — the same upgrade q45/q54 got via integer Lloyd's (r6)
+    // and q59 via its envelope audit (r7).
+    "q27_attention_embed" ->
+      s"""WITH cm AS ($cmSql),
+        |no AS (SELECT o_custkey AS pk, COUNT(*) AS n FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |ne AS (SELECT user_id AS pk, COUNT(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT cm.id AS id,
+        |  ROUND((1.0 + COALESCE(no.n,0) + COALESCE(ne.n,0)
+        |       + 2*(CASE WHEN COALESCE(no.n,0)>0 THEN 1 ELSE 0 END)
+        |       + 2*(CASE WHEN COALESCE(ne.n,0)>0 THEN 1 ELSE 0 END))
+        |      / (1 + (CASE WHEN COALESCE(no.n,0)>0 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN COALESCE(ne.n,0)>0 THEN 1 ELSE 0 END)), 6) AS h
+        |FROM customer c JOIN cm ON cm.pk = c.c_custkey
+        |LEFT JOIN no ON no.pk = c.c_custkey
+        |LEFT JOIN ne ON ne.pk = c.c_custkey""".stripMargin,
     "q46_attention_fixed" ->
       s"""WITH cm AS ($cmSql),
         |nm AS (SELECT n_nationkey AS pk, row_number() OVER (ORDER BY n_nationkey) - 1 AS id FROM nation),
