@@ -40,24 +40,45 @@ object Sketches {
     * every sketch in [[profile]] sits within its documented error —
     * hash-exact against an engine that can only compute the exact side
     * (the oracle emits the exact columns and literal-true flags; a
-    * sketch outside its envelope flips a flag to 0 and fails the hash). */
-  def envelopeAudit(events: DataFrame): DataFrame =
-    events.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("users_exact"),
-        approx_count_distinct(col("user_id"), 0.01).as("__au"),
-        expr("approx_percentile(value, 0.5, 10000)").as("__p50"),
-        expr("approx_percentile(value, 0.95, 10000)").as("__p95"),
-        expr("percentile(value, 0.49)").as("__l50"),
-        expr("percentile(value, 0.51)").as("__h50"),
-        expr("percentile(value, 0.94)").as("__l95"),
-        expr("percentile(value, 0.96)").as("__h95"))
+    * sketch outside its envelope flips a flag to 0 and fails the hash).
+    *
+    * The percentile check is the two-sided RANK condition (robust to
+    * ties): writing nv = non-null count, a value x is an acceptable
+    * q-quantile within rank error ε iff `count(< x) ≤ (q+ε)·nv` and
+    * `count(≤ x) ≥ (q−ε)·nv`. That costs one broadcast join of the
+    * 5-row sketch frame back onto the scan and a map-side-combined
+    * conditional count — fully parallel codegen — where an exact
+    * `percentile()` would sort each group inside a single object-agg
+    * task (measured 6.7 s vs ~2 s at sf0.1). The exact distinct stays:
+    * it IS the certification of the HLL. */
+  def envelopeAudit(events: DataFrame): DataFrame = {
+    val sk = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("users_exact"),
+      approx_count_distinct(col("user_id"), 0.01).as("__au"),
+      expr("approx_percentile(value, 0.5, 10000)").as("__p50"),
+      expr("approx_percentile(value, 0.95, 10000)").as("__p95"))
+    val cnts = events
+      .join(broadcast(sk.select(col("event_type"), col("__p50"),
+        col("__p95"))), Seq("event_type"))
+      .groupBy("event_type").agg(
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("nv"),
+        sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("__p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("__p95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") < col("__p95"), 1L).otherwise(0L)).as("lt95"))
+    sk.join(cnts, Seq("event_type"))
       .select(
         col("event_type"), col("n"), col("users_exact"),
         when(abs(col("__au") - col("users_exact")) * 100 <=
           col("users_exact") * 5, 1L).otherwise(0L).as("hll_ok"),
-        when(col("__p50") >= col("__l50") && col("__p50") <= col("__h50"),
-          1L).otherwise(0L).as("p50_ok"),
-        when(col("__p95") >= col("__l95") && col("__p95") <= col("__h95"),
-          1L).otherwise(0L).as("p95_ok"))
+        when(col("nv") === 0L ||
+          (col("le50") * 100 >= col("nv") * 49 &&
+            col("lt50") * 100 <= col("nv") * 51), 1L).otherwise(0L)
+          .as("p50_ok"),
+        when(col("nv") === 0L ||
+          (col("le95") * 100 >= col("nv") * 94 &&
+            col("lt95") * 100 <= col("nv") * 96), 1L).otherwise(0L)
+          .as("p95_ok"))
+  }
 }
