@@ -39,7 +39,14 @@ object Fuzzy {
 
   /** All unordered pairs `(id_a < id_b)` whose strings are within
     * Levenshtein distance 1, with the exact distance (0 = identical
-    * strings under distinct ids). One row per pair. */
+    * strings under distinct ids). One row per pair.
+    *
+    * The join keys on `xxhash64(variant)` rather than the variant
+    * string: a 64-bit long exchanges, sorts, and probes for a fraction
+    * of a variable-length string's cost, completeness is untouched
+    * (equal variants hash equal), and the one-in-2⁶⁴ hash collision
+    * only ever ADDS a false candidate — which the exact `levenshtein`
+    * verify kills like any other distance-2 over-generation. */
   def editOnePairs(
       df: DataFrame,
       idCol: String,
@@ -52,7 +59,8 @@ object Fuzzy {
         array(col("__s")),
         expr("transform(sequence(1, length(__s))," +
           " i -> concat(substring(__s, 1, i - 1)," +
-          " substring(__s, i + 1, length(__s))))")))).as("__v"))
+          " substring(__s, i + 1, length(__s))))")))).as("__vs"))
+      .select(col("__id"), col("__s"), xxhash64(col("__vs")).as("__v"))
     val right = variants.select(col("__id").as("__id2"),
       col("__s").as("__s2"), col("__v").as("__v2"))
     variants.join(right,
