@@ -156,6 +156,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaBcast.nonEmpty)
   }
 
+  test("triangles: ids past 2^31 take the unpacked fallback, same triples") {
+    // the packed-key path requires ids in [0, 2^31); shifting the same
+    // graph past that bound must flip to the unpacked shape and list the
+    // (shifted) same triangles
+    val rnd = new scala.util.Random(12)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val shift = (1L << 31) + 17L
+    def tris(off: Long): Set[(Long, Long, Long)] =
+      Analytics.triangles(
+          edges.map { case (a, b) => (a + off, b + off) }.toDF("src", "dst"))
+        .collect()
+        .map(r => (r.getLong(0) - off, r.getLong(1) - off, r.getLong(2) - off))
+        .toSet
+    val packed = tris(0L)
+    val unpacked = tris(shift)
+    assert(packed === unpacked)
+    assert(packed.nonEmpty)
+  }
+
   /** Naive bounded peel: survivors of `rounds` rounds with induced degree. */
   private def naiveKCore(
       edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
