@@ -422,8 +422,9 @@ r2o AS (
     }),
     // G12 oracle witness: fixed-point (scaled-long, floor-mean) propagation.
     // Integer sums are exact and order-independent, so the L-round
-    // message-passing core gets a hash-exact DuckDB oracle; the double and
-    // attention variants stay rows-only under the float-order policy.
+    // message-passing core gets a hash-exact DuckDB oracle; the float
+    // softmax variant (q27) is hash-exact too via its provable
+    // degenerate value on the structural init.
     // Graph: reverse edges so messages flow both ways (customer ⇄ orders),
     // restricted to the 4 edge types incident to {customer, orders}.
     "q29_propagate_fixed" -> ((s, dir) => {
