@@ -26,6 +26,40 @@ class SketchSpec extends SparkSpec {
       assert((r.getLong(1), r.getLong(2)) == exact(r.getString(0)))
   }
 
+  test("envelope audit property: flags hold on random skewed frames") {
+    // randomised replay of the audit's contract: for groups small enough
+    // that both sketches are exact-by-construction (HLL regwidth covers
+    // the cardinality; approx_percentile buffers < accuracy rows), every
+    // flag must come back 1 and the exact side must match a naive count —
+    // including groups with one row, ties everywhere, negative values,
+    // and nulls
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 2000).map { i =>
+        val t = s"t${rnd.nextInt(4)}"
+        val u = rnd.nextInt(200).toLong
+        val v: java.lang.Double =
+          if (rnd.nextInt(20) == 0) null
+          else (rnd.nextInt(9) - 4).toDouble // heavy ties, negatives
+        (t, u, v)
+      } :+ (("lonely", 1L, 0.5: java.lang.Double))
+      val df = rows.toDF("event_type", "user_id", "value")
+      val got = graft.ext.Sketches.envelopeAudit(df).collect()
+      assert(got.nonEmpty, s"trial $trial empty")
+      for (r <- got) {
+        assert(r.getLong(3) == 1L && r.getLong(4) == 1L && r.getLong(5) == 1L,
+          s"trial $trial ${r.getString(0)} flags ${r.toSeq}")
+      }
+      val naive = rows.groupBy(_._1).map { case (t, rs) =>
+        t -> (rs.size.toLong, rs.map(_._2).distinct.size.toLong)
+      }
+      for (r <- got)
+        assert((r.getLong(1), r.getLong(2)) == naive(r.getString(0)),
+          s"trial $trial ${r.getString(0)} exact side")
+    }
+  }
+
   test("HLL distinct and approx percentiles sit within advertised error of exact") {
     val approx = graft.ext.Sketches
       .profile(Tables.load(spark, sf(), "events"))
