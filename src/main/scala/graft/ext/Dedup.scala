@@ -260,7 +260,21 @@ object Dedup {
     * collisions are frequent by chance at corpus scale (an 8-bit key has
     * 256 values), so candidates are hamming-prefiltered on the full
     * fingerprint — one XOR+popcount per pair — before the shingle-set
-    * verification touches any arrays. */
+    * verification touches any arrays.
+    *
+    * SHORT-DOC COMPLETENESS NET: simhash concentration needs features —
+    * over a ~10-shingle doc the fingerprint's variance is so high that a
+    * true τ=0.8 pair can differ in EVERY block (measured on the sf0.1
+    * fixture: 2 of 256 true pairs, at hamming 11 and 15 with all 8
+    * blocks touched, evaded the screen; both sides had ≤ 11 shingles).
+    * The fix is principled, not a wider screen: `J ≥ τ` with
+    * `min(|a|,|b|) < exactBelow` forces BOTH sides below
+    * `exactBelow/τ`, so running the GUARANTEED-complete prefix-filter
+    * pipeline over just that closed short-doc subset (cheap — few
+    * shingles per doc, near-linear join) restores full recall exactly
+    * where the probabilistic screen is weak, while long docs — where
+    * simhash concentrates — keep the cheap screen. Survivors of both
+    * arms pass the same exact verification at `tau`. */
   def nearDupSimhash(
       docs: DataFrame,
       idCol: String,
@@ -268,7 +282,8 @@ object Dedup {
       n: Int = 2,
       tau: Double = 0.8,
       blocks: Int = 8,
-      maxHamming: Int = 16): DataFrame = {
+      maxHamming: Int = 16,
+      exactBelow: Int = 24): DataFrame = {
     val hashed = prep(docs, idCol, textCol, n)
     val blocked = hashed
       .withColumn("r", simhashUdf(blocks)(col("hs")))
@@ -281,7 +296,16 @@ object Dedup {
       .filter(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= maxHamming)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, hashed.select(col("doc_id"), col("sh")), tau)
+    val screened = verifyJaccard(cand, hashed.select(col("doc_id"), col("sh")), tau)
+    // rational τ' = floor(τ·1000)/1000 ≤ τ keeps the net's prefix bound
+    // complete for J ≥ τ; its (possibly slightly looser) pair set is
+    // re-verified at the double τ so both arms share one criterion
+    val limit = math.ceil(exactBelow / tau).toInt
+    val netCand = jaccardPairsFromHashed(
+      hashed.filter(size(col("sh")) < limit),
+      math.floor(tau * 1000).toInt, 1000)
+    val net = verifyJaccard(netCand, hashed.select(col("doc_id"), col("sh")), tau)
+    screened.unionByName(net).distinct()
   }
 
   /** Pairs with exact Jaccard ≥ `tauNum/tauDen`, candidates from PREFIX
@@ -347,9 +371,19 @@ object Dedup {
       textCol: String,
       n: Int,
       tauNum: Int,
+      tauDen: Int): DataFrame =
+    jaccardPairsFromHashed(prep(docs, idCol, textCol, n), tauNum, tauDen)
+
+  /** The prefix-filter pipeline from an already-prepped `(doc_id, sh,
+    * hs)` frame — shared by [[nearDupJaccardExact]] (whole corpus) and
+    * [[nearDupSimhash]]'s short-doc completeness net (a filtered
+    * subset). Candidates are provably complete for `J ≥ tauNum/tauDen`
+    * over whatever rows `hashed` holds. */
+  private def jaccardPairsFromHashed(
+      hashed: DataFrame,
+      tauNum: Int,
       tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashed = prep(docs, idCol, textCol, n)
     // Global order = (document frequency ASC, shingle) — the AllPairs
     // ordering: prefixes then hold each document's RAREST shingles, so
     // prefix buckets stay near-singleton and the self-join near-linear.
