@@ -59,7 +59,11 @@ object Projection {
           s"transform($vecCol, x -> cast(floor(x * 1000000.0) as bigint))"))
           .otherwise(raise_error(concat(
             lit(s"Projection.project: $vecCol has size "),
-            size(col(vecCol)).cast("string"), lit(s", expected $dims"))))
+            // a NULL vector reaches this branch too (NULL condition picks
+            // otherwise); coalesce keeps the diagnostic readable instead of
+            // letting concat() null out the whole error message
+            coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+            lit(s", expected $dims"))))
           .as("__w"))
       .select(col(idCol), posexplode(expr(s"array(${outs.mkString(",")})")))
       .select(col(idCol), col("pos").cast("long").as("j"),

@@ -58,16 +58,20 @@ object Sketches {
       approx_count_distinct(col("user_id"), 0.01).as("__au"),
       expr("approx_percentile(value, 0.5, 10000)").as("__p50"),
       expr("approx_percentile(value, 0.95, 10000)").as("__p95"))
+    // joins are NULL-SAFE (<=>): a plain equi-join would silently drop a
+    // NULL event_type group that the oracle's GROUP BY retains — a latent
+    // hash mismatch the moment the fixture ever carries a null key
     val cnts = events
-      .join(broadcast(sk.select(col("event_type"), col("__p50"),
-        col("__p95"))), Seq("event_type"))
+      .join(broadcast(sk.select(col("event_type").as("__et"), col("__p50"),
+        col("__p95"))), col("event_type") <=> col("__et"))
       .groupBy("event_type").agg(
         sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("nv"),
         sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("le50"),
         sum(when(col("value") < col("__p50"), 1L).otherwise(0L)).as("lt50"),
         sum(when(col("value") <= col("__p95"), 1L).otherwise(0L)).as("le95"),
         sum(when(col("value") < col("__p95"), 1L).otherwise(0L)).as("lt95"))
-    sk.join(cnts, Seq("event_type"))
+    sk.join(cnts.withColumnRenamed("event_type", "__et2"),
+        col("event_type") <=> col("__et2"))
       .select(
         col("event_type"), col("n"), col("users_exact"),
         when(abs(col("__au") - col("users_exact")) * 100 <=

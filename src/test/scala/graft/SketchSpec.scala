@@ -43,7 +43,12 @@ class SketchSpec extends SparkSpec {
           if (rnd.nextInt(20) == 0) null
           else (rnd.nextInt(9) - 4).toDouble // heavy ties, negatives
         (t, u, v)
-      } :+ (("lonely", 1L, 0.5: java.lang.Double))
+      } :+ (("lonely", 1L, 0.5: java.lang.Double)) :+
+        // NULL group KEY: a plain equi-join inside the audit would drop
+        // this group while an oracle GROUP BY retains it — the audit
+        // joins null-safely (<=>) so the group must survive with flags
+        ((null: String, 7L, 1.0: java.lang.Double)) :+
+        ((null: String, 8L, null: java.lang.Double))
       val df = rows.toDF("event_type", "user_id", "value")
       val got = graft.ext.Sketches.envelopeAudit(df).collect()
       assert(got.nonEmpty, s"trial $trial empty")

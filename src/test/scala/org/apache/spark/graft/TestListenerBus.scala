@@ -11,7 +11,17 @@ import scala.jdk.CollectionConverters._
   * a literal two-context stop/start would tear down every other suite's
   * session). Posting the real `SparkListenerApplicationEnd` event through
   * the real bus drives the exact listener Memos registered; only the
-  * context teardown itself is elided. */
+  * context teardown itself is elided.
+  *
+  * Known blast radius (accepted, given the one-context-per-JVM
+  * constraint): the fake ApplicationEnd reaches EVERY listener on the
+  * shared context, not just the session under test — other concurrently
+  * running suites' Memos eviction listeners fire too (their memoised
+  * tables/preps drop and silently recompute on next touch), and Spark's
+  * internal listeners also observe the event. Harmless for correctness
+  * (memos are caches), but suites must never assert on cross-suite memo
+  * state; MemosSpec's assertions are deliberately local to its own
+  * freshly-registered entries. */
 object TestListenerBus {
 
   /** Fire ApplicationEnd through the live bus and wait for delivery. */
