@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * video travel as opaque `binary` columns with typed metadata, and
   * decode / feature-extraction runs batched per partition.
   *
-  * The container has no media codecs, so the decode KERNEL is stubbed with
-  * a deterministic fake ([[StubDecoder]]) — everything Spark-side is real
-  * and tested: the schema, the binary payload handling, the partition-
-  * batched invocation shape (the Scala analogue of `mapInPandas`: batch in,
-  * batch out, arbitrary batch size), and the frame-sampling arithmetic.
-  * Swapping in a real codec is implementing [[BatchDecoder.decode]].
+  * The decode KERNEL ships real for images ([[ImageIoDecoder]] — the
+  * JDK's `javax.imageio` PNG/BMP/GIF/JPEG readers plus a plain PPM/PGM
+  * parse; no new dependency), and everything Spark-side is tested: the
+  * schema, the binary payload handling, the partition-batched invocation
+  * shape (the Scala analogue of `mapInPandas`: batch in, batch out,
+  * arbitrary batch size), and the frame-sampling arithmetic. Audio/video
+  * codecs stay behind the same [[BatchDecoder]] seam (none exist in the
+  * JDK); MultimodalSpec's deterministic test double shows the plug shape.
   *
   * Scale shape: decode is embarrassingly parallel per partition with no
   * shuffle; batch size bounds peak memory per task (bytes stay off-heap in
@@ -92,18 +94,3 @@ trait BatchDecoder extends Serializable {
   def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia]
 }
 
-/** Deterministic stand-in for a media codec (the container ships no
-  * image/audio libraries — see the module doc): dimensions derived from
-  * byte length, matching [[Multimodal.fakeDims]], `ok=false` for empty
-  * payloads the way a real decoder fails on truncated files. */
-object StubDecoder extends BatchDecoder {
-  def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia] =
-    batch.map { bytes =>
-      val n = if (bytes == null) 0L else bytes.length.toLong
-      DecodedMedia(
-        width = (64 + n % 64).toInt,
-        height = (64 + (n * 7) % 64).toInt,
-        nChannels = (1 + n % 8).toInt,
-        ok = n > 0)
-    }
-}

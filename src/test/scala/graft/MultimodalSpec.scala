@@ -79,4 +79,66 @@ class MultimodalSpec extends SparkSpec {
     assert(colSide.except(decSide).count() == 0 &&
       decSide.except(colSide).count() == 0)
   }
+
+  // ---- the REAL image kernel (ImageIoDecoder, r8) -------------------
+
+  /** P6 PPM, 2×2, maxval 255, 12 raw samples with a known sum. */
+  private val ppmBytes: Array[Byte] = {
+    val header = "P6\n# test\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array[Int](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 255)
+    header ++ px.map(_.toByte)
+  }
+
+  test("ImageIoDecoder: PPM/PGM headers parse, pixel mean is exact") {
+    import graft.multimodal.ImageIoDecoder
+    val d = ImageIoDecoder.decode(Seq(ppmBytes)).head
+    assert(d == DecodedMedia(2, 2, 3, ok = true))
+    // hand-computed: (10+20+30+40+50+60+70+80+90+100+110+255)/12
+    assert(ImageIoDecoder.meanSample(ppmBytes).contains(915.0 / 12))
+    val pgm = "P5 3 1 255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 100.toByte, 200.toByte)
+    assert(ImageIoDecoder.decode(Seq(pgm)).head ==
+      DecodedMedia(3, 1, 1, ok = true))
+    assert(ImageIoDecoder.meanSample(pgm).contains(100.0))
+    // truncated raster / garbage / null fail CLOSED, never throw
+    val truncated = ppmBytes.dropRight(3)
+    val garbage = Array.fill[Byte](32)(7)
+    assert(ImageIoDecoder.decode(Seq(truncated, garbage, null))
+      .forall(!_.ok))
+  }
+
+  test("ImageIoDecoder: javax.imageio PNG roundtrip with known pixels") {
+    import graft.multimodal.ImageIoDecoder
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 3; y <- 0 until 2)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 100 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val d = ImageIoDecoder.decode(Seq(png)).head
+    assert(d == DecodedMedia(3, 2, 3, ok = true))
+    // PNG is lossless: mean over bands = mean of the set R/G/B values
+    val expected = (Seq(0, 40, 80).map(_ * 2).sum + // R appears twice (y=0,1)
+      Seq(0, 100).map(_ * 3).sum +                  // G appears thrice (x=0..2)
+      200 * 6).toDouble / 18
+    assert(ImageIoDecoder.meanSample(png).contains(expected))
+  }
+
+  test("ImageIoDecoder through decodePartitions: mixed formats, one pass") {
+    import graft.multimodal.ImageIoDecoder
+    val rows = Seq(
+      (1L, ppmBytes),
+      (2L, Array.fill[Byte](16)(3)),           // undecodable
+      (3L, "P6 1 1 255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val out = Multimodal.decodePartitions(df, "payload", ImageIoDecoder)
+      .select($"id", $"width", $"height", $"n_channels", $"ok")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 2, 2, 3, true)))
+    assert(out(1) == ((2L, 0, 0, 0, false)))
+    assert(out(2) == ((3L, 1, 1, 3, true)))
+  }
 }
