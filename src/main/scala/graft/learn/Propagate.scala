@@ -469,12 +469,27 @@ object Propagate {
       fixedMemoKey(g, init, rounds, s"mean-pertype-$checkpoint"))(
       meanRoundsFixedImpl(g, init, rounds, checkpoint))
 
+  /** Barrier the per-type INIT frames before the round loop — the
+    * per-type twin of the flat variants' `h0` checkpoint. The init plans
+    * (degree agg over every edge type's endpoints + the id left-join)
+    * are the most-reused subplan in the unrolled round DAG: round 1
+    * consumes h₀(t) once per edge type with src = t PLUS once as the
+    * self term, and with `checkpoint = false` round r's lazy plan
+    * multiplies that again — ReuseExchange cannot help because the
+    * bucketed-scan joins have no exchange to reuse. Materialising the
+    * ≤|V|-row init frames once removes every replay: measured on q55's
+    * bucketed graph at sf0.1 (BKT_AB_r8.md), 2-round propagate task time
+    * 80–157 s → 55–68 s and wall 4.1–9.3 s → 3.8–4.3 s including the
+    * barrier itself; round-1 checkpointing on top adds jobs for no gain. */
+  private def initBarrier(init: Map[String, DataFrame]): Map[String, DataFrame] =
+    barrier(init)
+
   private def meanRoundsFixedImpl(
       g: HeteroGraph,
       init: Map[String, DataFrame],
       rounds: Int,
       checkpoint: Boolean): Map[String, DataFrame] = {
-    var h = init
+    var h = initBarrier(init)
     for (r <- 1 to rounds) {
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
@@ -549,7 +564,7 @@ object Propagate {
       init: Map[String, DataFrame],
       rounds: Int,
       checkpoint: Boolean): Map[String, DataFrame] = {
-    var h = init
+    var h = initBarrier(init) // see initBarrier: same replay argument
     for (r <- 1 to rounds) {
       val perType: Seq[(String, DataFrame)] = g.edges.toSeq.collect {
         case (k, edges) if h.contains(k.src) && h.contains(k.dst) =>
