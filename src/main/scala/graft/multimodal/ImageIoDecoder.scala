@@ -46,7 +46,7 @@ object ImageIoDecoder extends BatchDecoder {
   def meanSample(bytes: Array[Byte]): Option[Double] = {
     if (bytes != null && bytes.length >= 2 &&
         bytes(0) == 'P' && (bytes(1) == '6' || bytes(1) == '5')) {
-      val h = parsePpmHeader(bytes)
+      val h = ppmHeader(bytes)
       return h.map { case (w, ht, bands, off) =>
         val n = w * ht * bands
         var s = 0L
@@ -72,7 +72,7 @@ object ImageIoDecoder extends BatchDecoder {
   /** Binary PPM (P6, 3 bands) / PGM (P5, 1 band), maxval ≤ 255:
     * whitespace-and-comment tolerant header, then raw samples. */
   private def decodePpm(bytes: Array[Byte]): DecodedMedia =
-    parsePpmHeader(bytes) match {
+    ppmHeader(bytes) match {
       case Some((w, h, bands, off))
           if off + w.toLong * h * bands <= bytes.length =>
         DecodedMedia(w, h, bands, ok = true)
@@ -80,7 +80,7 @@ object ImageIoDecoder extends BatchDecoder {
     }
 
   /** Returns (width, height, bands, dataOffset) for a P5/P6 header. */
-  private def parsePpmHeader(
+  private[multimodal] def ppmHeader(
       bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     val bands = if (bytes(1) == '6') 3 else 1
     var i = 2

@@ -13,7 +13,10 @@ import org.apache.spark.sql.types._
   * parse; no new dependency), and everything Spark-side is tested: the
   * schema, the binary payload handling, the partition-batched invocation
   * shape (the Scala analogue of `mapInPandas`: batch in, batch out,
-  * arbitrary batch size), and the frame-sampling arithmetic. Audio/video
+  * arbitrary batch size), and the frame-sampling arithmetic; resize
+  * ships real too ([[ImageResizer]] — deterministic nearest-neighbor,
+  * re-emitted as PPM/PGM — behind the payload→payload
+  * [[BatchTransformer]] seam of [[transformPartitions]]). Audio/video
   * codecs stay behind the same [[BatchDecoder]] seam (none exist in the
   * JDK); MultimodalSpec's deterministic test double shows the plug shape.
   *
@@ -82,10 +85,48 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Partition-batched payload → payload transform (resize, re-encode,
+    * thumbnail …) — same batching/order contract as [[decodePartitions]],
+    * same scale shape (row-local, no shuffle, batch-bounded memory).
+    * Appends ONE nullable binary column `outCol`: a None from the
+    * transformer (undecodable input) lands as SQL NULL, so downstream
+    * stages filter quarantined rows with `outCol IS NULL` instead of
+    * handling exceptions. */
+  def transformPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      transformer: BatchTransformer,
+      outCol: String = "payload_out",
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val out = transformer.transform(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        require(out.length == batch.length,
+          s"transformer returned ${out.length} results for ${batch.length} inputs")
+        batch.zip(out).map { case (row, o) =>
+          Row.fromSeq(row.toSeq :+ o.orNull)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }
 
 /** Decoded media record produced per payload. */
 final case class DecodedMedia(width: Int, height: Int, nChannels: Int, ok: Boolean)
+
+/** Batch payload-to-payload transform contract (the resize twin of
+  * [[BatchDecoder]]): exactly one output per input, in order; None marks
+  * an undecodable input (becomes SQL NULL in
+  * [[Multimodal.transformPartitions]]). */
+trait BatchTransformer extends Serializable {
+  def transform(batch: Seq[Array[Byte]]): Seq[Option[Array[Byte]]]
+}
 
 /** Batch decode contract — implement with a real codec (JNI/FFI image or
   * audio library) in production. Must return exactly one record per input,

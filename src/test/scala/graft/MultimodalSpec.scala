@@ -141,4 +141,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((2L, 0, 0, 0, false)))
     assert(out(2) == ((3L, 1, 1, 3, true)))
   }
+
+  // ---- the resize kernel (ImageResizer, r8) -------------------------
+
+  test("ImageResizer: 4x4 PGM -> 2x2 picks exactly the (0,0)(2,0)(0,2)(2,2) samples") {
+    import graft.multimodal.ImageResizer
+    // P5 4x4: sample value = 10*y + x, so every pick is hand-checkable
+    val px = (for (y <- 0 until 4; x <- 0 until 4) yield (10 * y + x).toByte).toArray
+    val pgm = "P5\n4 4\n255\n".getBytes("US-ASCII") ++ px
+    val out = ImageResizer(2, 2).transform(Seq(pgm)).head.get
+    // floor mapping: srcX = x*4/2 -> {0, 2}; srcY likewise
+    assert(new String(out.take(10), "US-ASCII") == "P5\n2 2\n255")
+    assert(out.takeRight(4).toSeq == Seq[Byte](0, 2, 20, 22))
+    // upscale 1x1 -> 2x2 replicates the single sample
+    val one = "P5 1 1 255\n".getBytes("US-ASCII") ++ Array[Byte](9)
+    assert(ImageResizer(2, 2).transform(Seq(one)).head.get
+      .takeRight(4).toSeq == Seq[Byte](9, 9, 9, 9))
+  }
+
+  test("ImageResizer: PPM color resize roundtrips through ImageIoDecoder") {
+    import graft.multimodal.{ImageIoDecoder, ImageResizer}
+    val resized = ImageResizer(1, 1).transform(Seq(ppmBytes)).head.get
+    // 2x2 -> 1x1 nearest picks pixel (0,0) = RGB(10, 20, 30)
+    assert(ImageIoDecoder.decode(Seq(resized)).head ==
+      DecodedMedia(1, 1, 3, ok = true))
+    assert(ImageIoDecoder.meanSample(resized).contains(60.0 / 3))
+    // a PNG input comes out as PPM with the imageio raster's samples
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0x010203); img.setRGB(1, 0, 0x040506)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val fromPng = ImageResizer(2, 1).transform(Seq(bos.toByteArray)).head.get
+    assert(fromPng.takeRight(6).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // garbage and truncated rasters map to None, never throw
+    assert(ImageResizer(2, 2).transform(
+      Seq(Array.fill[Byte](8)(5), ppmBytes.dropRight(3), null)).forall(_.isEmpty))
+  }
+
+  test("transformPartitions: appended binary column, NULL quarantine, batch contract") {
+    import graft.multimodal.{BatchTransformer, ImageResizer}
+    val rows = Seq(
+      (1L, ppmBytes),
+      (2L, Array.fill[Byte](16)(3)))           // undecodable -> NULL
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val out = Multimodal.transformPartitions(
+      df, "payload", ImageResizer(1, 1), outCol = "thumb")
+    assert(out.schema("thumb").dataType.typeName == "binary" &&
+      out.schema("thumb").nullable)
+    val got = out.select($"id", $"thumb").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).sortBy(_._1)
+    assert(got(0)._2.isDefined && got(1)._2.isEmpty)
+    assert(out.filter($"thumb".isNull).select("id").head().getLong(0) == 2L)
+    // a transformer that drops records is rejected, same as the decoder
+    val bad = new BatchTransformer {
+      def transform(batch: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] =
+        batch.drop(1).map(_ => None)
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.transformPartitions(df, "payload", bad).collect()
+    }
+    assert(e.getMessage.contains("transformer returned") ||
+      e.getCause.getMessage.contains("transformer returned"))
+  }
 }
