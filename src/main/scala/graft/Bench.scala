@@ -43,6 +43,20 @@ import org.apache.spark.sql.SparkSession
   * Failures are not swallowed: a failed query records its error class in the
   * "errors" map and forces a nonzero exit code, so a broken query can never
   * masquerade as a fast one.
+  *
+  * AMBIENT CALIBRATION ("calib" + "pass_totals"): two rounds of cross-run
+  * comparison have now been spent separating ambient VM state from code
+  * movement (r6's q73 17.2 s phantom, r7's ANN/LSH family "drift" that
+  * ANN_AB_r8.md traced to the VM, not the build). So every pass first runs
+  * two fixed-work probes whose cost is independent of the engine's code:
+  * `calib_cpu_sec` — a single-threaded deterministic integer-mix loop
+  * (captures raw CPU speed / steal), and `calib_spark_sec` — a constant
+  * 64M-row range-hash-aggregate across the session's full parallelism
+  * (captures scheduler + shuffle-machinery ambient state). Per-PASS values
+  * are reported raw (not medians): elevation that drifts within a session
+  * is visible, and a future reader normalises movement against the same
+  * run's calibration instead of guessing. "pass_totals" (sum of all query
+  * walls per pass, raw) gives the board-level shape the same way.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -50,6 +64,32 @@ object Bench {
     if (s.isEmpty) 0.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Single-threaded fixed-work spin: 1<<27 rounds of a 64-bit mix
+    * (splitmix64 finalizer). The result is folded into the returned value
+    * so the JIT cannot elide the loop; wall seconds returned. */
+  private def calibCpu(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var acc = 0x9e3779b97f4a7c15L; var i = 0
+    while (i < (1 << 27)) {
+      var z = acc + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      acc = z ^ (z >>> 31)
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** Fixed Spark job: hash-aggregate 1<<26 generated rows through the
+    * session's full parallelism. No input data, no engine code — the cost
+    * is the session's scheduling + codegen + aggregation machinery. */
+  private def calibSpark(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 26).selectExpr("sum(hash(id)) AS s")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,12 +125,16 @@ object Bench {
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     val phasesByQuery = scala.collection.mutable.Map
       .empty[(String, String), Vector[Double]].withDefaultValue(Vector.empty)
+    val calibCpuByPass = Vector.newBuilder[Double]
+    val calibSparkByPass = Vector.newBuilder[Double]
     for (pass <- 1 to reps) {
       // cold data structures per pass: memo hits would otherwise make
       // passes 2+ measure cache lookups, not queries
       graft.functions.Memos.clear(spark)
       spark.catalog.clearCache()
       graft.functions.Phases.drain() // discard anything stray
+      calibCpuByPass += calibCpu()._1
+      calibSparkByPass += calibSpark(spark)
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -137,7 +181,13 @@ object Bench {
     val noiseMed = if (spreads.isEmpty) 0.0 else median(spreads)
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.max
     val warmup = if (pass1Extra.isEmpty) 0.0 else median(pass1Extra)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
+    def arr(xs: Seq[Double]) =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val passTotals = (0 until reps).map(p =>
+      names.map(n => timesByQuery(n).lift(p).getOrElse(0.0)).sum)
+    val calib = s"""{"cpu_sec":${arr(calibCpuByPass.result())},""" +
+      s""""spark_sec":${arr(calibSparkByPass.result())}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"calib":$calib,"pass_totals":${arr(passTotals)},"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
     println(line)
     println(line)
     // The driver's log capture truncated the (double-printed) line in BOTH
