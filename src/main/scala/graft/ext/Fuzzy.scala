@@ -61,9 +61,23 @@ object Fuzzy {
           " i -> concat(substring(__s, 1, i - 1)," +
           " substring(__s, i + 1, length(__s))))")))).as("__vs"))
       .select(col("__id"), col("__s"), xxhash64(col("__vs")).as("__v"))
+    // Spread the probe side across the session's parallelism, hashed on
+    // the JOIN key. The verify is the expensive slice (~4 µs of banded
+    // DP per candidate — measured 4.2 s of task time on 977k candidates
+    // at sf0.1), and it runs INSIDE the join stage: a small input (one
+    // parquet scan partition + a broadcast right side) would execute the
+    // whole thing in ONE task (measured: 4.5 s wall ≈ task time, a 32×
+    // parallelism loss). Hashing on `__v` with an explicit partition
+    // count both spreads that CPU and satisfies the join's required
+    // distribution, so at scale the sort-merge path pays NO extra
+    // exchange — the repartition IS the join's left exchange. A hot
+    // variant key concentrating in one partition is the documented AQE
+    // skew-join case.
+    val spread = variants.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("__v"))
     val right = variants.select(col("__id").as("__id2"),
       col("__s").as("__s2"), col("__v").as("__v2"))
-    variants.join(right,
+    spread.join(right,
         col("__v") === col("__v2") && col("__id") < col("__id2"))
       // bounded-band DP: O(len) per candidate, -1 when the distance
       // exceeds 1 — evaluated inside the join stage so false candidates
