@@ -747,9 +747,16 @@ object Dedup {
       .withColumn("dup_ppm", expr("covered_tok * 1000000 div n_tok"))
   }
 
-  /** Tokenised non-empty documents: `(id, __ts, __n)`. */
+  /** Tokenised non-empty documents: `(id, __ts, __n)`. Repartitioned on
+    * the id BEFORE tokenising: a small corpus is one scan partition, so
+    * the per-gram HOF transform + posexplode downstream would run in one
+    * task (ParProbe: q67 maxTask ≈ 0.6 × wall) — and the id hashing is
+    * the distribution the per-doc window and final join need anyway, so
+    * at scale the exchange is the one those operators would insert. */
   private def spanBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
       .withColumn("__n", size(col("__ts")).cast("long"))
       .filter(col("__n") > 0)
 

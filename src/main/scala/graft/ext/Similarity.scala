@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Spread a (small) embedding frame across the session's parallelism,
+    * hashed on the id, BEFORE per-row signature compute. A small corpus
+    * is one parquet scan partition, so the tables×bits hyperplane dots
+    * of [[bucketKeys]] — and everything fused after them — would run in
+    * ONE task (the serial-stage shape FUZZ_AB_r8.md measured on q89;
+    * ParProbe showed q40/q41 maxTask ≈ 0.6–0.7 × wall). The exchange
+    * carries the raw `(id, vec)` rows — narrower than the ×tables
+    * exploded signature frame — and at 100 TB, where the scan is already
+    * wide, it is one bounded extra exchange next to the self-join's own
+    * exchanges, paid for full-width signature compute. */
+  private def spreadById(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+
   /** `count` Rademacher hyperplanes of dimension `dim`: entries ±1 drawn
     * from `java.util.Random(seed)` in row-major order. Sign-projection LSH
     * with ±1 coordinates preserves angular locality like Gaussian planes
@@ -64,7 +78,7 @@ object Similarity {
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim = 64, count = tables * bits, seed = seed)
-    val sigs = emb.select(
+    val sigs = Similarity.spreadById(emb, idCol).select(
       col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"),
       explode(bucketKeys(col(vecCol), planes, tables, bits)).as("key"))
@@ -99,7 +113,7 @@ object Similarity {
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim = 64, count = tables * bits, seed = seed)
-    val sigs = emb.select(
+    val sigs = Similarity.spreadById(emb, idCol).select(
       col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"),
       explode(bucketKeys(col(vecCol), planes, tables, bits)).as("key"))
