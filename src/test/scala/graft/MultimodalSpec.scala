@@ -179,6 +179,20 @@ class MultimodalSpec extends SparkSpec {
       Seq(Array.fill[Byte](8)(5), ppmBytes.dropRight(3), null)).forall(_.isEmpty))
   }
 
+  test("ImageResizer: same-size resize is the identity; resize is idempotent") {
+    import graft.multimodal.ImageResizer
+    // floor mapping at outW == w is x*w/w = x, so a same-size resize of a
+    // canonical-header PPM must reproduce the raster byte-for-byte
+    val px = (0 until 24).map(_.toByte).toArray // 4x2 P6
+    val ppm = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ px
+    val same = ImageResizer(4, 2).transform(Seq(ppm)).head.get
+    assert(same.toSeq == ppm.toSeq)
+    // idempotence: a second resize to the same target changes nothing
+    val once = ImageResizer(3, 2).transform(Seq(ppm)).head.get
+    val twice = ImageResizer(3, 2).transform(Seq(once)).head.get
+    assert(twice.toSeq == once.toSeq)
+  }
+
   test("transformPartitions: appended binary column, NULL quarantine, batch contract") {
     import graft.multimodal.{BatchTransformer, ImageResizer}
     val rows = Seq(
