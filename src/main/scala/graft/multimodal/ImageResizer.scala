@@ -16,7 +16,10 @@ import java.io.ByteArrayInputStream
   * Sampling is integer nearest-neighbor — `srcX = x * w / outW` (floor)
   * — deterministic across JVMs (no float rounding, no AWT rescale-op
   * kernels whose coefficients vary by platform), so specs can assert
-  * exact output bytes against hand-computed values.
+  * exact output bytes against hand-computed values. Samples are emitted
+  * verbatim on the 0–255 scale (a sub-255-maxval PGM keeps its raw
+  * values under the canonical 255 header; deeper rasters saturate at
+  * 255 rather than alias).
   *
   * Scale shape: per-row CPU inside a partition batch via
   * [[Multimodal.transformPartitions]] — no shuffle, memory bounded by
@@ -46,7 +49,10 @@ final case class ImageResizer(outW: Int, outH: Int) extends BatchTransformer {
           val sx = x * w / outW
           var b = 0
           while (b < outBands) {
-            out(i) = sample(sx, sy, b).toByte
+            // 8-bit samples pass through exactly; a deeper raster (e.g. a
+            // 16-bit PNG) saturates at 255 instead of aliasing mod 256
+            val s = sample(sx, sy, b)
+            out(i) = (if (s > 255) 255 else if (s < 0) 0 else s).toByte
             i += 1
             b += 1
           }
