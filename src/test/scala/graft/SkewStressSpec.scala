@@ -164,4 +164,32 @@ class SkewStressSpec extends SparkSpec {
     assert(pairs.length == hotPairs.length + bgPairs.length,
       "unexpected hot-background cross pairs")
   }
+
+  test("minhash LSH: a hot band bucket emits all C(H,2) true pairs exactly") {
+    // The LSH hot-band case (CurScaleProbe's skew leg, in-suite at H=200):
+    // H near-identical docs — one shared 40-token template + a unique
+    // trailing token each — share ~all band keys, so every band bucket
+    // holds ~H members and the C(H,2) pair pile is born on a handful of
+    // keys. Per-pair exact Jaccard is closed-form: 40 bigram shingles per
+    // doc, 39 shared, J = 39/41 ≈ 0.951 ≥ τ = 0.8 — so the TRUE answer is
+    // exactly C(H,2), and any bucket-level shortcut (sampling, truncation,
+    // per-key caps) would show up as a missing pair. Background docs use
+    // disjoint token vocabularies (zero shared shingles): a chance band-key
+    // collision only adds candidates the exact verify kills.
+    val h = 200
+    val template = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+    val hot = (0 until h).map(i => (i.toLong, s"$template tail$i"))
+    val bg = (0 until 50).map(i =>
+      (1000L + i, (1 to 30).map(j => s"bg${i}x$j").mkString(" ")))
+    val docs = (hot ++ bg).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.nearDupMinhash(
+        docs, "doc_id", "text", bands = 32, rows = 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == h * (h - 1) / 2,
+      s"expected C($h,2) = ${h * (h - 1) / 2} pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a < b && b < h },
+      "every pair must be within the hot cluster, canonical (a < b)")
+    assert(pairs.distinct.length == pairs.length, "pairs must be unique")
+  }
 }
