@@ -1234,6 +1234,18 @@ r2o AS (
     "q45_ann_ivf_kmeans" -> ((s, dir) =>
       graft.ext.Similarity.ivfTopKKMeansFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // PQ/ADC top-k (Jégou et al. 2011): per-block integer codebooks,
+    // 8-byte codes, query-side asymmetric-distance table — the
+    // memory-bounded ANN serving tier above the IVF pair; codebooks,
+    // codes, ADC table and ranking are all integer-exact, so the oracle
+    // replays the entire pipeline (8 unrolled per-block Lloyd's chains)
+    "q100_ann_pq" -> ((s, dir) =>
+      graft.ext.Similarity.pqTopKFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // PQ recall vs the exact brute-force top-k — the q51/q54 discipline
+    "q101_ann_pq_recall" -> ((s, dir) =>
+      graft.ext.Similarity.pqRecallFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
     // window pass, one shuffle on the key, no range join (ext.AsOf).
@@ -1499,6 +1511,58 @@ r2o AS (
        |  SELECT $cLast.cid,
        |    row_number() OVER (ORDER BY 2 * list_dot_product((SELECT vi FROM qi), $cLast.cv) - list_dot_product($cLast.cv, $cLast.cv) DESC, $cLast.cid) AS rk
        |  FROM $cLast) WHERE rk <= 4)""".stripMargin
+  }
+
+  /** PQ oracle CTEs (q100/q101): the same `s`/`si` scaled image as
+    * [[kmeansFixedCtes]], then per block b ∈ 0..7 an unrolled integer
+    * Lloyd's chain over `list_slice(vi, b·8+1, (b+1)·8)` seeded 42+b,
+    * per-vector codes (argmax, cid tiebreak), and the query's ADC terms;
+    * a vector's approximate score is the sum of its 8 ADC entries.
+    * MATERIALIZED on the reused CTEs — inlined references would expand
+    * the per-block subtrees combinatorially (the q58 lesson). */
+  private def pqCtes: String = {
+    val blocks = 8; val width = 8; val nCodes = 16
+    val score = (v: String, c: String) =>
+      s"2 * list_dot_product($v, $c.cv) - list_dot_product($c.cv, $c.cv)"
+    def chain(b: Int): String = {
+      val lo = b * width + 1; val hi = (b + 1) * width
+      val init =
+        s"""pb${b}_s AS MATERIALIZED (SELECT id, list_slice(vi, $lo, $hi) AS vi FROM si),
+           |pb${b}_c0 AS MATERIALIZED (SELECT id AS cid, vi AS cv FROM (
+           |  SELECT id, vi, row_number() OVER (ORDER BY ${graft.learn.DetRandom.uniformSql("id", "id", 42L + b)}, id) AS rn FROM pb${b}_s)
+           |  WHERE rn <= $nCodes)""".stripMargin
+      val steps = (1 to kmeansFixedIters).map { i =>
+        val prev = s"pb${b}_c${i - 1}"
+        s"""pb${b}_a$i AS (SELECT cid, vi FROM (
+           |  SELECT s.vi, s.id, $prev.cid,
+           |    row_number() OVER (PARTITION BY s.id ORDER BY ${score("s.vi", prev)} DESC, $prev.cid) AS rk
+           |  FROM pb${b}_s s CROSS JOIN $prev) WHERE rk = 1),
+           |pb${b}_u$i AS (SELECT cid, list(sd ORDER BY d) AS cv FROM (
+           |  SELECT cid, t.d AS d, CAST(SUM(vi[t.d]) // COUNT(*) AS BIGINT) AS sd
+           |  FROM pb${b}_a$i, UNNEST(range(1, len(vi) + 1)) AS t(d) GROUP BY cid, t.d) GROUP BY cid),
+           |pb${b}_c$i AS MATERIALIZED (SELECT $prev.cid, COALESCE(pb${b}_u$i.cv, $prev.cv) AS cv FROM $prev LEFT JOIN pb${b}_u$i USING (cid))"""
+          .stripMargin
+      }.mkString(",\n")
+      val last = s"pb${b}_c$kmeansFixedIters"
+      val tail =
+        s"""pb${b}_code AS (SELECT id, cid FROM (
+           |  SELECT s.id, c.cid,
+           |    row_number() OVER (PARTITION BY s.id ORDER BY ${score("s.vi", "c")} DESC, c.cid) AS rk
+           |  FROM pb${b}_s s CROSS JOIN $last c) WHERE rk = 1),
+           |pb${b}_adc AS (SELECT k.id, ${score(s"(SELECT vi FROM pb${b}_s WHERE id = 0)", "c")} AS a
+           |  FROM pb${b}_code k JOIN $last c USING (cid))""".stripMargin
+      Seq(init, steps, tail).mkString(",\n")
+    }
+    val adcUnion = (0 until blocks)
+      .map(b => s"SELECT id, a FROM pb${b}_adc").mkString(" UNION ALL ")
+    s"""s AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |si AS MATERIALIZED (SELECT id,
+       |  list_transform(v, x -> CAST(floor((CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN x ELSE x / sqrt(list_dot_product(v, v)) END) * 1000000) AS BIGINT) + 1000000) AS vi
+       |  FROM s),
+       |${(0 until blocks).map(chain).mkString(",\n")},
+       |pqscore AS (SELECT id, SUM(a) AS score FROM ($adcUnion) GROUP BY id),
+       |pqtop AS (SELECT id FROM pqscore WHERE id <> 0 ORDER BY score DESC, id LIMIT 10)"""
+      .stripMargin
   }
 
   /** Appends to [[kmeansFixedCtes]] the per-vector IVF probe ranking
@@ -2737,6 +2801,17 @@ r2o AS (
         |SELECT id FROM asg JOIN probes USING (cid)
         |WHERE id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
+    "q100_ann_pq" ->
+      s"""WITH $pqCtes
+        |SELECT id FROM pqtop""".stripMargin,
+    "q101_ann_pq_recall" ->
+      s"""WITH $pqCtes,
+        |bf AS (
+        |  SELECT id FROM s
+        |  WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM s WHERE id = 0)) DESC, id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM pqtop JOIN bf USING (id)) AS n_overlap""".stripMargin,
     "q54_ann_recall_kmeans" ->
       s"""WITH $kmeansFixedCtes,
         |ivf AS (

@@ -247,36 +247,50 @@ object Similarity {
       ("kmeans-fixed-centroids",
         emb.queryExecution.analyzed.canonicalized, idCol, vecCol,
         nCentroids, iters, seed)) {
-      import org.apache.spark.sql.expressions.Window
       val spark = emb.sparkSession
       import spark.implicits._
       // barrier: every iteration re-reads the scaled image
       val si = emb.select(col(idCol).cast("long").as("id"),
           scaledIntVec(col(vecCol)).as("vi"))
         .localCheckpoint(eager = true)
-      var cents: Seq[(Long, Seq[Long])] = si
-        .withColumn("r", graft.learn.DetRandom.uniform(col("id"), col("id"), seed))
-        .orderBy(col("r"), col("id")).limit(nCentroids)
-        .select(col("id"), col("vi")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
-      for (_ <- 1 to iters) {
-        val cDf = cents.toDF("cid", "cv")
-        val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
-        val updated = si.crossJoin(broadcast(cDf))
-          .withColumn("score",
-            lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
-              ArrayOps.dot(col("cv"), col("cv")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .groupBy(col("cid"))
-          .agg(ArrayOps.vecSumLongAgg(col("vi")).as("s"), count(lit(1)).as("n"))
-          .select(col("cid"), expr("transform(s, x -> x div n)").as("cv"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-        // an empty centroid keeps its previous position (same in the oracle)
-        cents = cents.map { case (cid, cv) => cid -> updated.getOrElse(cid, cv) }
-      }
-      cents.toDF("cid", "cv")
+      lloydFixed(si, nCentroids, iters, seed).toDF("cid", "cv")
     }
+
+  /** The integer Lloyd's loop over an already-scaled `(id, vi)` frame —
+    * the shared core of [[kmeansFixedCentroids]] (full vectors) and
+    * [[pqCodebooksFixed]] (per-block sub-vectors). Only centroid rows
+    * ever reach the driver; the caller owns the input barrier. */
+  private def lloydFixed(
+      si: DataFrame,
+      nCentroids: Int,
+      iters: Int,
+      seed: Long): Seq[(Long, Seq[Long])] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = si.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Long])] = si
+      .withColumn("r", graft.learn.DetRandom.uniform(col("id"), col("id"), seed))
+      .orderBy(col("r"), col("id")).limit(nCentroids)
+      .select(col("id"), col("vi")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val cDf = cents.toDF("cid", "cv")
+      val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+      val updated = si.crossJoin(broadcast(cDf))
+        .withColumn("score",
+          lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+            ArrayOps.dot(col("cv"), col("cv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("cid"))
+        .agg(ArrayOps.vecSumLongAgg(col("vi")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), expr("transform(s, x -> x div n)").as("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // an empty centroid keeps its previous position (same in the oracle)
+      cents = cents.map { case (cid, cv) => cid -> updated.getOrElse(cid, cv) }
+    }
+    cents
+  }
 
   /** IVF top-k over the fixed-point k-means fit — the hash-exact quality
     * tier (q45): same inverted-file serving shape as [[ivfTopK]], but the
@@ -323,6 +337,136 @@ object Similarity {
       .orderBy(desc("score"), asc("id"))
       .limit(k)
       .select("id")
+  }
+
+  /** Product-quantization codebooks in EXACT integer arithmetic (Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): the 64-dim scaled image splits into `blocks` contiguous
+    * sub-vectors, and each block gets its own [[lloydFixed]] fit (seeded
+    * `seed + blk` so block inits decorrelate). Returns `(blk, cid, cv)`.
+    *
+    * The 100 TB point of PQ: a vector's ANN state compresses to `blocks`
+    * small code ids (here 8 codes ≈ 8 bytes vs 256 bytes of floats), and
+    * query scoring touches only a `blocks × nCodes` lookup table — the
+    * memory-bounded serving tier above [[ivfTopKKMeansFixed]]. The block
+    * fits are independent, so they run CONCURRENTLY (driver threads
+    * overlapping their stages, the [[graft.graph.GraphBuilder]]
+    * `denseProbeAll` pattern); per fit only centroid rows move to the
+    * driver. Every step is the same oracle-replayable integer arithmetic
+    * as the full-vector fit. Memoised per (session, plan, params). */
+  def pqCodebooksFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blocks: Int = 8,
+      dim: Int = 64,
+      nCodes: Int = 16,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(
+      emb.sparkSession,
+      ("pq-codebooks-fixed",
+        emb.queryExecution.analyzed.canonicalized, idCol, vecCol,
+        blocks, dim, nCodes, iters, seed)) {
+      require(dim % blocks == 0, s"dim $dim must split evenly into $blocks blocks")
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val bw = dim / blocks
+      val si = emb.select(col(idCol).cast("long").as("id"),
+          scaledIntVec(col(vecCol)).as("vi"))
+        .localCheckpoint(eager = true)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fits = (0 until blocks).map { b =>
+        Future {
+          val sb = si.select(col("id"),
+            slice(col("vi"), b * bw + 1, bw).as("vi"))
+          lloydFixed(sb, nCodes, iters, seed + b).map { case (cid, cv) =>
+            (b.toLong, cid, cv)
+          }
+        }
+      }.flatMap(f => Await.result(f, Duration.Inf))
+      fits.toDF("blk", "cid", "cv")
+    }
+
+  /** PQ/ADC approximate top-k (q100): every vector is coded once per
+    * block (argmax of the integer score against the block's codebook,
+    * centroid-id tiebreak), the query builds a `blocks × nCodes`
+    * asymmetric-distance table against the codebooks, and a vector's
+    * approximate score is the sum of its codes' table entries — the
+    * classic ADC scan, integer-exact end to end, so the DuckDB oracle
+    * replays codebooks, codes, table, and ranking bit-for-bit.
+    * Assignment is one broadcast join against `blocks·nCodes` centroid
+    * rows; the ADC table is `blocks·nCodes` scalars computed driver-side
+    * from the query row. */
+  def pqTopKFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      blocks: Int = 8,
+      dim: Int = 64,
+      nCodes: Int = 16,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bw = dim / blocks
+    val si = emb.select(col(idCol).cast("long").as("id"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val books = pqCodebooksFixed(emb, idCol, vecCol, blocks, dim, nCodes, iters, seed)
+    // per-(vector, block) code: argmax 2·v_b·c − ‖c‖², cid tiebreak
+    val w = Window.partitionBy("id", "blk").orderBy(desc("score"), asc("cid"))
+    val codes = si.crossJoin(broadcast(books))
+      .withColumn("vb",
+        slice(col("vi"), col("blk").cast("int") * bw + lit(1), lit(bw)))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vb"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("blk"), col("cid"))
+    // ADC table from the query row (blocks·nCodes scalar entries)
+    val qi = si.filter(col("id") === queryId)
+      .select(col("vi")).head().getSeq[Long](0)
+    val adc = books.collect().map { r =>
+      val (blk, cid, cv) = (r.getLong(0), r.getLong(1), r.getSeq[Long](2))
+      val qb = qi.slice(blk.toInt * bw, blk.toInt * bw + bw)
+      val dot = qb.zip(cv).map { case (a, b) => a * b }.sum
+      val cc = cv.map(x => x * x).sum
+      (blk, cid, 2L * dot - cc)
+    }.toSeq.toDF("blk", "cid", "adc")
+    codes.join(broadcast(adc), Seq("blk", "cid"))
+      .groupBy("id").agg(sum("adc").as("score"))
+      .filter(col("id") =!= queryId)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
+  }
+
+  /** PQ recall against the exact brute-force top-k (q101) — the same
+    * measured-recall discipline as [[ivfTopK]]'s q51/q54: one row
+    * `(k, n_overlap)`, both integers, hash-verifiable. */
+  def pqRecallFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    val pq = pqTopKFixed(emb, idCol, vecCol, queryId, k)
+    val s = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = s.filter(col("id") === queryId)
+    val bf = s.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q.select(col("v").as("qv"))))
+      .select(col("id"), ArrayOps.cosine(col("v"), col("qv")).as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
+    pq.join(bf, Seq("id"))
+      .agg(lit(k.toLong).as("k"), count(lit(1)).as("n_overlap"))
   }
 
   /** Shared IVF tail: assign every vector to its max-inner-product

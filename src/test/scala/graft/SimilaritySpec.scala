@@ -298,6 +298,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopKFixed: bounded, query-disjoint, partition-independent") {
+    val base = Similarity
+      .pqTopKFixed(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(base.size <= 10 && !base.contains(0L) && base.distinct == base)
+    // a different physical layout is a different memo key, so this is a
+    // REAL refit: init ranking, integer Lloyd's, codes, ADC must all be
+    // layout-invariant for the answer to survive
+    val alt = Similarity
+      .pqTopKFixed(emb.repartition(7), "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(alt == base, s"PQ answer changed under repartitioning: $base vs $alt")
+  }
+
+  test("pq on a clustered corpus: ADC ranking recovers the query's cluster") {
+    // same structured fixture rationale as the IVF clustered test: PQ's
+    // per-block codebooks can only show fidelity when there is structure
+    // to encode. 16 well-separated clusters; the query's true top-10 are
+    // its cluster-mates, and the 8x16 codebooks must keep enough of the
+    // geometry for the ADC scan to put mostly cluster-mates on top.
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(16)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(x => (x + 0.12 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity
+      .pqTopKFixed(df, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val mates = got.count(id => id % 16 == 0)
+    info(s"PQ top-10 from the query's cluster: $mates/10")
+    assert(mates >= 7, s"ADC ranking lost the cluster: only $mates/10 mates")
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
