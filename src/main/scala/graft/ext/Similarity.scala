@@ -430,7 +430,10 @@ object Similarity {
       .select(col("id"), col("blk"), col("cid"))
     // ADC table from the query row (blocks·nCodes scalar entries)
     val qi = si.filter(col("id") === queryId)
-      .select(col("vi")).head().getSeq[Long](0)
+      .select(col("vi")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqTopKFixed: query id $queryId not present in '$idCol'"))
+      .getSeq[Long](0)
     val adc = books.collect().map { r =>
       val (blk, cid, cv) = (r.getLong(0), r.getLong(1), r.getSeq[Long](2))
       val qb = qi.slice(blk.toInt * bw, blk.toInt * bw + bw)
