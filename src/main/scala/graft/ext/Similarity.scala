@@ -369,25 +369,65 @@ object Similarity {
         emb.queryExecution.analyzed.canonicalized, idCol, vecCol,
         blocks, dim, nCodes, iters, seed)) {
       require(dim % blocks == 0, s"dim $dim must split evenly into $blocks blocks")
+      import org.apache.spark.sql.expressions.Window
       val spark = emb.sparkSession
       import spark.implicits._
       val bw = dim / blocks
       val si = emb.select(col(idCol).cast("long").as("id"),
           scaledIntVec(col(vecCol)).as("vi"))
         .localCheckpoint(eager = true)
+      // one exploded (id, blk, vb) frame: each Lloyd's iteration is then
+      // ONE job over ONE pass of the data for ALL blocks (join on blk +
+      // per-(id, blk) argmax + per-(blk, cid) mean) instead of `blocks`
+      // separate per-block passes — 1 + iters corpus passes total vs
+      // blocks × iters (24 at the defaults) for per-block loops each
+      // re-reading the full-width image. Measured trade at fixture scale
+      // (BenchOne, refit per rep): batched 2.8–3.1 s vs per-block
+      // concurrent futures 2.2–2.6 s — locally the futures' overlapping
+      // mini-jobs win by ~0.5 s, but the 6× scan amplification they hide
+      // is the number a 100 TB corpus pays, so the batched shape ships.
+      // The math per block is identical to [[lloydFixed]] on the sliced
+      // frame, so the per-block unrolled oracle is untouched.
+      val sb = si.select(col("id"), explode(array((0 until blocks).map(b =>
+          struct(lit(b.toLong).as("blk"),
+            slice(col("vi"), b * bw + 1, bw).as("vb"))): _*)).as("p"))
+        .select(col("id"), col("p.blk").as("blk"), col("p.vb").as("vb"))
+        .localCheckpoint(eager = true)
+      // per-block seeded init (the oracle's per-block literal-seed
+      // ranking); independent limit-nCodes collects, run concurrently
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fits = (0 until blocks).map { b =>
+      var cents: Seq[(Long, Long, Seq[Long])] = (0 until blocks).map { b =>
         Future {
-          val sb = si.select(col("id"),
-            slice(col("vi"), b * bw + 1, bw).as("vi"))
-          lloydFixed(sb, nCodes, iters, seed + b).map { case (cid, cv) =>
-            (b.toLong, cid, cv)
-          }
+          si.withColumn("r",
+              graft.learn.DetRandom.uniform(col("id"), col("id"), seed + b))
+            .orderBy(col("r"), col("id")).limit(nCodes)
+            .select(col("id"), slice(col("vi"), b * bw + 1, bw).as("vb"))
+            .collect()
+            .map(r => (b.toLong, r.getLong(0), r.getSeq[Long](1)))
+            .toSeq.sortBy(_._2)
         }
       }.flatMap(f => Await.result(f, Duration.Inf))
-      fits.toDF("blk", "cid", "cv")
+      for (_ <- 1 to iters) {
+        val cDf = cents.toDF("blk", "cid", "cv")
+        val w = Window.partitionBy("id", "blk").orderBy(desc("score"), asc("cid"))
+        val updated = sb.join(broadcast(cDf), Seq("blk"))
+          .withColumn("score",
+            lit(2.0) * ArrayOps.dot(col("vb"), col("cv")) -
+              ArrayOps.dot(col("cv"), col("cv")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy(col("blk"), col("cid"))
+          .agg(ArrayOps.vecSumLongAgg(col("vb")).as("s"), count(lit(1)).as("n"))
+          .select(col("blk"), col("cid"), expr("transform(s, x -> x div n)").as("cv"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+        // an empty centroid keeps its previous position (same in the oracle)
+        cents = cents.map { case (blk, cid, cv) =>
+          (blk, cid, updated.getOrElse((blk, cid), cv))
+        }
+      }
+      cents.toDF("blk", "cid", "cv")
     }
 
   /** PQ/ADC approximate top-k (q100): every vector is coded once per
