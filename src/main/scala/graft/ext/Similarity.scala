@@ -257,9 +257,10 @@ object Similarity {
     }
 
   /** The integer Lloyd's loop over an already-scaled `(id, vi)` frame —
-    * the shared core of [[kmeansFixedCentroids]] (full vectors) and
-    * [[pqCodebooksFixed]] (per-block sub-vectors). Only centroid rows
-    * ever reach the driver; the caller owns the input barrier. */
+    * the core of [[kmeansFixedCentroids]], and the per-block semantic
+    * reference for [[pqCodebooksFixed]]'s batched all-blocks iteration
+    * (identical math over the sliced frame). Only centroid rows ever
+    * reach the driver; the caller owns the input barrier. */
   private def lloydFixed(
       si: DataFrame,
       nCentroids: Int,
