@@ -1246,6 +1246,13 @@ r2o AS (
     "q101_ann_pq_recall" -> ((s, dir) =>
       graft.ext.Similarity.pqRecallFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // IVF+PQ composed serving (FAISS's IVFPQ shape, non-residual): the
+    // coarse k-means fit prunes to nProbe inverted lists, the ADC table
+    // scores only the survivors — a query touches ~nProbe/nCentroids of
+    // the 8-byte codes and never a raw vector
+    "q102_ann_ivfpq" -> ((s, dir) =>
+      graft.ext.Similarity.ivfPqTopKFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
     // window pass, one shuffle on the key, no range join (ext.AsOf).
@@ -1513,14 +1520,26 @@ r2o AS (
        |  FROM $cLast) WHERE rk <= 4)""".stripMargin
   }
 
-  /** PQ oracle CTEs (q100/q101): the same `s`/`si` scaled image as
-    * [[kmeansFixedCtes]], then per block b ∈ 0..7 an unrolled integer
-    * Lloyd's chain over `list_slice(vi, b·8+1, (b+1)·8)` seeded 42+b,
-    * per-vector codes (argmax, cid tiebreak), and the query's ADC terms;
-    * a vector's approximate score is the sum of its 8 ADC entries.
-    * MATERIALIZED on the reused CTEs — inlined references would expand
-    * the per-block subtrees combinatorially (the q58 lesson). */
-  private def pqCtes: String = {
+  /** PQ oracle CTEs (q100/q101): the `s`/`si` scaled-image prelude (the
+    * same arithmetic as [[kmeansFixedCtes]]'s) + [[pqBlockCtes]]. */
+  private def pqCtes: String =
+    s"""s AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |si AS MATERIALIZED (SELECT id,
+       |  list_transform(v, x -> CAST(floor((CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN x ELSE x / sqrt(list_dot_product(v, v)) END) * 1000000) AS BIGINT) + 1000000) AS vi
+       |  FROM s),
+       |$pqBlockCtes"""
+      .stripMargin
+
+  /** The PQ block chains + ADC score, WITHOUT the `s`/`si` prelude — so
+    * q102 can graft them onto [[kmeansFixedCtes]] (whose `si` carries an
+    * extra `v` column the block CTEs simply ignore). Per block b ∈ 0..7:
+    * an unrolled integer Lloyd's chain over `list_slice(vi, b·8+1,
+    * (b+1)·8)` seeded 42+b, per-vector codes (argmax, cid tiebreak), and
+    * the query's ADC terms; a vector's approximate score (`pqscore`) is
+    * the sum of its 8 ADC entries. MATERIALIZED on the reused CTEs —
+    * inlined references would expand the per-block subtrees
+    * combinatorially (the q58 lesson). */
+  private def pqBlockCtes: String = {
     val blocks = 8; val width = 8; val nCodes = 16
     val score = (v: String, c: String) =>
       s"2 * list_dot_product($v, $c.cv) - list_dot_product($c.cv, $c.cv)"
@@ -1555,11 +1574,7 @@ r2o AS (
     }
     val adcUnion = (0 until blocks)
       .map(b => s"SELECT id, a FROM pb${b}_adc").mkString(" UNION ALL ")
-    s"""s AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |si AS MATERIALIZED (SELECT id,
-       |  list_transform(v, x -> CAST(floor((CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN x ELSE x / sqrt(list_dot_product(v, v)) END) * 1000000) AS BIGINT) + 1000000) AS vi
-       |  FROM s),
-       |${(0 until blocks).map(chain).mkString(",\n")},
+    s"""${(0 until blocks).map(chain).mkString(",\n")},
        |pqscore AS (SELECT id, SUM(a) AS score FROM ($adcUnion) GROUP BY id),
        |pqtop AS (SELECT id FROM pqscore WHERE id <> 0 ORDER BY score DESC, id LIMIT 10)"""
       .stripMargin
@@ -2804,6 +2819,11 @@ r2o AS (
     "q100_ann_pq" ->
       s"""WITH $pqCtes
         |SELECT id FROM pqtop""".stripMargin,
+    "q102_ann_ivfpq" ->
+      s"""WITH $kmeansFixedCtes,
+        |$pqBlockCtes
+        |SELECT id FROM asg JOIN probes USING (cid) JOIN pqscore USING (id)
+        |WHERE id <> 0 ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "q101_ann_pq_recall" ->
       s"""WITH $pqCtes,
         |bf AS (

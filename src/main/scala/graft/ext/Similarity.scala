@@ -451,7 +451,27 @@ object Similarity {
       dim: Int = 64,
       nCodes: Int = 16,
       iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    pqAdcScores(emb, idCol, vecCol, queryId, blocks, dim, nCodes, iters, seed)
+      .filter(col("id") =!= queryId)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
+
+  /** The full ADC scoring frame `(id, score)` — codes every vector
+    * against the codebooks and sums its query-ADC table entries; the
+    * shared core of [[pqTopKFixed]] (rank everything) and
+    * [[ivfPqTopKFixed]] (rank only the probed lists). */
+  private def pqAdcScores(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      blocks: Int,
+      dim: Int,
+      nCodes: Int,
+      iters: Int,
+      seed: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
@@ -473,7 +493,7 @@ object Similarity {
     val qi = si.filter(col("id") === queryId)
       .select(col("vi")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
-        s"pqTopKFixed: query id $queryId not present in '$idCol'"))
+        s"pqAdcScores: query id $queryId not present in '$idCol'"))
       .getSeq[Long](0)
     val adc = books.collect().map { r =>
       val (blk, cid, cv) = (r.getLong(0), r.getLong(1), r.getSeq[Long](2))
@@ -484,6 +504,51 @@ object Similarity {
     }.toSeq.toDF("blk", "cid", "adc")
     codes.join(broadcast(adc), Seq("blk", "cid"))
       .groupBy("id").agg(sum("adc").as("score"))
+  }
+
+  /** IVF+PQ serving (q102) — the two tiers composed the way a
+    * production ANN index deploys them (FAISS's IVFPQ shape, minus the
+    * residual encoding, which the +10⁶-shifted integer image cannot
+    * express without a second shift): the coarse quantizer
+    * ([[kmeansFixedCentroids]]) prunes the corpus to `nProbe` inverted
+    * lists, and the PQ ADC table scores ONLY the surviving candidates —
+    * at 100 TB a query touches ~nProbe/nCentroids of the codes (8 bytes
+    * each) and never a raw vector. Both tiers are the existing
+    * hash-exact fits, so the oracle is their CTE families joined. */
+  def ivfPqTopKFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val si = emb.select(col(idCol).cast("long").as("id"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val cents = kmeansFixedCentroids(emb, idCol, vecCol, nCentroids, iters, seed)
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+    val assigned = si.crossJoin(broadcast(cents))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("cid"))
+    val qRow = si.filter(col("id") === queryId)
+    val probes = cents.crossJoin(broadcast(qRow.select(col("vi").as("qi"))))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("qi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .orderBy(desc("score"), asc("cid")).limit(nProbe)
+      .select("cid")
+    // IVF pruning happens BEFORE the top-k: only probed-list members
+    // carry their ADC score into the ranking
+    assigned.join(broadcast(probes), Seq("cid"))
+      .join(pqAdcScores(emb, idCol, vecCol, queryId,
+        blocks = 8, dim = 64, nCodes = 16, iters = iters, seed = seed),
+        Seq("id"))
       .filter(col("id") =!= queryId)
       .orderBy(desc("score"), asc("id"))
       .limit(k)

@@ -338,6 +338,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mates >= 7, s"ADC ranking lost the cluster: only $mates/10 mates")
   }
 
+  test("ivfPqTopKFixed: results come from probed lists only, layout-invariant") {
+    val got = Similarity
+      .ivfPqTopKFixed(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size <= 10 && !got.contains(0L) && got.distinct == got)
+    // the IVF prune is real: every result must live in one of the query's
+    // nProbe=4 probed lists of the same coarse fit
+    val cents = Similarity.kmeansFixedCentroids(
+      emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+    val ivf = Similarity.ivfTopKKMeansFixed(
+      emb, "vec_id", "embedding", queryId = 0L, k = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    assert(cents.count() == 16)
+    assert(got.forall(ivf.contains),
+      s"IVF+PQ returned ids outside the probed lists: ${got.filterNot(ivf.contains)}")
+    val alt = Similarity
+      .ivfPqTopKFixed(emb.repartition(5), "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(alt == got, s"IVF+PQ answer changed under repartitioning: $got vs $alt")
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
