@@ -458,6 +458,37 @@ object Similarity {
       .limit(k)
       .select("id")
 
+  /** Per-vector PQ codes against FROZEN codebooks `(blk, cid, cv)`:
+    * returns `(id, codes)` with `codes[b]` = the block-b centroid id
+    * (argmax of the integer score, cid tiebreak). Public because this is
+    * the INDEXING half of a deployed PQ pipeline — code once at ingest
+    * (see [[graft.streaming.PqIngest]] for the incremental twin), serve
+    * via the ADC table ever after. One broadcast join, no shuffle beyond
+    * the per-(id, blk) argmax. */
+  def pqAssignCodes(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: DataFrame,
+      blocks: Int = 8,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bw = dim / blocks
+    val si = emb.select(col(idCol).cast("long").as("id"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val w = Window.partitionBy("id", "blk").orderBy(desc("score"), asc("cid"))
+    si.crossJoin(broadcast(books))
+      .withColumn("vb",
+        slice(col("vi"), col("blk").cast("int") * bw + lit(1), lit(bw)))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vb"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("blk"), col("cid")))).as("ps"))
+      .select(col("id"), expr("transform(ps, p -> p.cid)").as("codes"))
+  }
+
   /** The full ADC scoring frame `(id, score)` — codes every vector
     * against the codebooks and sums its query-ADC table entries; the
     * shared core of [[pqTopKFixed]] (rank everything) and
@@ -472,25 +503,17 @@ object Similarity {
       nCodes: Int,
       iters: Int,
       seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
     val bw = dim / blocks
-    val si = emb.select(col(idCol).cast("long").as("id"),
-      scaledIntVec(col(vecCol)).as("vi"))
     val books = pqCodebooksFixed(emb, idCol, vecCol, blocks, dim, nCodes, iters, seed)
-    // per-(vector, block) code: argmax 2·v_b·c − ‖c‖², cid tiebreak
-    val w = Window.partitionBy("id", "blk").orderBy(desc("score"), asc("cid"))
-    val codes = si.crossJoin(broadcast(books))
-      .withColumn("vb",
-        slice(col("vi"), col("blk").cast("int") * bw + lit(1), lit(bw)))
-      .withColumn("score",
-        lit(2.0) * ArrayOps.dot(col("vb"), col("cv")) -
-          ArrayOps.dot(col("cv"), col("cv")))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("id"), col("blk"), col("cid"))
+    val codes = pqAssignCodes(emb, idCol, vecCol, books, blocks, dim)
+      .select(col("id"), posexplode(col("codes")).as(Seq("blk", "cid")))
+      .select(col("id"), col("blk").cast("long").as("blk"), col("cid"))
     // ADC table from the query row (blocks·nCodes scalar entries)
-    val qi = si.filter(col("id") === queryId)
+    val qi = emb.select(col(idCol).cast("long").as("id"),
+        scaledIntVec(col(vecCol)).as("vi"))
+      .filter(col("id") === queryId)
       .select(col("vi")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         s"pqAdcScores: query id $queryId not present in '$idCol'"))

@@ -450,4 +450,52 @@ class StreamingSpec extends SparkSpec {
       assert(n == Tables.load(spark, sf(), "events").count())
     } finally q.stop()
   }
+
+  test("foreachBatch PQ coding equals the batch code index; replay idempotent") {
+    import graft.streaming.PqIngest
+    val tmp = java.nio.file.Files.createTempDirectory("pqingest").toString
+    val inDir = s"$tmp/in"; val storeDir = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(inDir).mkdirs()
+
+    val corpus = Tables.load(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding", $"label").cache()
+    // the frozen model state: the same fit the batch twin memoises
+    val books = graft.ext.Similarity.pqCodebooksFixed(
+      corpus, "vec_id", "embedding")
+
+    // arbitrary (non-id-ordered) chunks: coding is per-row, so parity
+    // must hold under ANY arrival order
+    val bounds = Seq(
+      ($"vec_id" >= 40L, 0), ($"vec_id" < 20L, 1),
+      ($"vec_id" >= 20L && $"vec_id" < 40L, 2))
+    val q = PqIngest.start(spark, inDir, storeDir, ckpt, books)
+    try {
+      bounds.foreach { case (p, i) =>
+        val staging = s"$tmp/stage$i"
+        corpus.filter(p).coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$inDir/chunk$i.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val read = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val streamed = read(PqIngest.result(spark, storeDir))
+    val batch = read(graft.ext.Similarity.pqAssignCodes(
+      corpus, "vec_id", "embedding", books))
+    assert(streamed.size == corpus.count())
+    assert(streamed === batch)
+
+    // at-least-once replay: re-running a micro-batch with its own
+    // batchId must overwrite its earlier output, not append a copy
+    val bSeq = books.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.sortBy(b => (b._1, b._2))
+    PqIngest.ingestBatch(spark.read.parquet(s"$inDir/chunk2.parquet"),
+      storeDir, bSeq, batchId = 2L)
+    assert(read(PqIngest.result(spark, storeDir)) === batch)
+  }
 }
