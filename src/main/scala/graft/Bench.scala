@@ -181,8 +181,14 @@ object Bench {
     val noiseMed = if (spreads.isEmpty) 0.0 else median(spreads)
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.max
     val warmup = if (pass1Extra.isEmpty) 0.0 else median(pass1Extra)
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under a comma-decimal locale would emit `0,123` — invalid JSON
     def arr(xs: Seq[Double]) =
-      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      xs.map(x => String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
+        .mkString("[", ",", "]")
+    // per-pass alignment holds even for failed queries: the wall-clock
+    // append above is OUTSIDE the try, so every (query, pass) records a
+    // time and vector index == pass − 1 unconditionally
     val passTotals = (0 until reps).map(p =>
       names.map(n => timesByQuery(n).lift(p).getOrElse(0.0)).sum)
     val calib = s"""{"cpu_sec":${arr(calibCpuByPass.result())},""" +
@@ -197,6 +203,25 @@ object Bench {
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+    }
+    // Durable run history: BENCH_SELF.json is overwrite-per-run, so
+    // cross-round tables needed git archaeology. Append every run to
+    // BENCH_HISTORY.jsonl stamped with commit + epoch so the sequence of
+    // runs (quiet and noisy alike) survives in one committed file.
+    try {
+      val commit = try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+      val stamped = s"""{"commit":"$commit","epoch_sec":${System.currentTimeMillis() / 1000},"bench":$line}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_HISTORY.jsonl append failed: $e")
     }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -73,8 +73,12 @@ object Fuzzy {
     // exchange — the repartition IS the join's left exchange. A hot
     // variant key concentrating in one partition is the documented AQE
     // skew-join case.
+    // numShufflePartitions, NOT defaultParallelism: the join's required
+    // distribution is hash(__v) into spark.sql.shuffle.partitions buckets,
+    // so only that count lets this repartition BE the join's left exchange
+    // (a defaultParallelism mismatch would insert a second shuffle)
     val spread = variants.repartition(
-      df.sparkSession.sparkContext.defaultParallelism, col("__v"))
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("__v"))
     val right = variants.select(col("__id").as("__id2"),
       col("__s").as("__s2"), col("__v").as("__v2"))
     spread.join(right,

@@ -38,8 +38,11 @@ object Similarity {
     * wide, it is one bounded extra exchange next to the self-join's own
     * exchanges, paid for full-width signature compute. */
   private def spreadById(df: DataFrame, idCol: String): DataFrame =
+    // numShufflePartitions (not defaultParallelism) so the exchange's
+    // partitioning can satisfy any downstream hash requirement on the id
+    // without a second shuffle under configs where the two counts differ
     df.repartition(
-      df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
 
   /** `count` Rademacher hyperplanes of dimension `dim`: entries ±1 drawn
     * from `java.util.Random(seed)` in row-major order. Sign-projection LSH

@@ -81,10 +81,18 @@ object ImageResizer {
     try {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null) None
-      else {
-        val r = img.getRaster
-        Some((r.getWidth, r.getHeight, r.getNumBands,
-          (x: Int, y: Int, b: Int) => r.getSample(x, y, b)))
+      else img.getColorModel match {
+        // Indexed-color rasters (GIF always; palette PNG/BMP) store PALETTE
+        // INDICES as their one band — Raster.getSample would silently emit
+        // indices as intensities. Resolve through the color model to true
+        // sRGB channels instead (3 bands, R/G/B by shift).
+        case _: java.awt.image.IndexColorModel =>
+          Some((img.getWidth, img.getHeight, 3,
+            (x: Int, y: Int, b: Int) => (img.getRGB(x, y) >>> ((2 - b) * 8)) & 0xff))
+        case _ =>
+          val r = img.getRaster
+          Some((r.getWidth, r.getHeight, r.getNumBands,
+            (x: Int, y: Int, b: Int) => r.getSample(x, y, b)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }

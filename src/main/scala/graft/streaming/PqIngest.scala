@@ -73,12 +73,21 @@ object PqIngest {
   }
 
   /** The accumulated code index — [[Similarity.pqAssignCodes]]'s schema
-    * (empty frame if nothing ingested). */
+    * (empty frame if nothing ingested). A replayed batch already
+    * overwrites its own `batch_id` partition, but a vector RE-DELIVERED
+    * under a different batch id (source re-send, not foreachBatch replay)
+    * would otherwise surface twice — so the read dedups per `vec_id`,
+    * keeping the latest (max `batch_id`) coding. Coding is deterministic
+    * against frozen codebooks, so any surviving copy carries identical
+    * codes; max-batch-wins just makes the choice canonical. */
   def result(spark: SparkSession, storeDir: String): DataFrame =
-    if (storeExists(spark, s"$storeDir/codes"))
+    if (storeExists(spark, s"$storeDir/codes")) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id").orderBy(desc("batch_id"))
       spark.read.parquet(s"$storeDir/codes")
+        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
         .select(col("vec_id").as("id"), col("codes"))
-    else {
+    } else {
       import spark.implicits._
       Seq.empty[(Long, Seq[Long])].toDF("id", "codes")
     }

@@ -179,6 +179,24 @@ class MultimodalSpec extends SparkSpec {
       Seq(Array.fill[Byte](8)(5), ppmBytes.dropRight(3), null)).forall(_.isEmpty))
   }
 
+  test("ImageResizer: indexed-color (GIF palette) emits true RGB, not palette indices") {
+    import graft.multimodal.ImageResizer
+    // A GIF raster's one band holds PALETTE INDICES; the resizer must
+    // resolve them through the color model (r8 advice: getSample on an
+    // IndexColorModel silently emitted indices as intensities).
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val out = ImageResizer(2, 1).transform(Seq(bos.toByteArray)).head.get
+    // 3-band P6 of the actual colors, wherever the writer put them in the
+    // palette: red then blue
+    assert(new String(out.take(10), "US-ASCII") == "P6\n2 1\n255")
+    assert(out.takeRight(6).toSeq ==
+      Seq[Byte](255.toByte, 0, 0, 0, 0, 255.toByte))
+  }
+
   test("ImageResizer: same-size resize is the identity; resize is idempotent") {
     import graft.multimodal.ImageResizer
     // floor mapping at outW == w is x*w/w = x, so a same-size resize of a

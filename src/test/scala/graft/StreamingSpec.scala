@@ -497,5 +497,14 @@ class StreamingSpec extends SparkSpec {
     PqIngest.ingestBatch(spark.read.parquet(s"$inDir/chunk2.parquet"),
       storeDir, bSeq, batchId = 2L)
     assert(read(PqIngest.result(spark, storeDir)) === batch)
+
+    // source RE-SEND (same vectors under a NEW batch id — not a
+    // foreachBatch replay): the read-side per-vec_id dedup keeps the
+    // store's surface identical, no duplicate (id, codes) rows
+    PqIngest.ingestBatch(spark.read.parquet(s"$inDir/chunk0.parquet"),
+      storeDir, bSeq, batchId = 7L)
+    val afterResend = PqIngest.result(spark, storeDir)
+    assert(afterResend.count() == corpus.count())
+    assert(read(afterResend) === batch)
   }
 }
