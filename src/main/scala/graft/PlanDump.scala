@@ -69,7 +69,9 @@ object PlanDump {
     "q96_quantize_int8",    // pure row-local codegen codec, zero exchange
     "q97_canonical_docs",   // winner rank as WindowGroupLimit over groups
     "q98_random_projection",// constant sign matrix folded into projection
-    "q99_collocations")     // one bigram pass + O(vocab) marginal aggs
+    "q99_collocations",     // one bigram pass + O(vocab) marginal aggs
+    "q101_ann_pq_recall",   // PQ ranking ⨝ brute-force ranking, both top-k
+    "q102_ann_ivfpq")       // IVF probe-list prune BEFORE the ADC ranking
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -350,6 +352,18 @@ object PlanDump {
       |  broadcast total are O(vocab) aggregates OVER that frame — the
       |  corpus is never re-scanned, and the scoring joins are
       |  model-sized.
+      |- **q100 (PQ/ADC)**: per-block coding is one `BroadcastHashJoin`
+      |  against blocks×nCodes centroid rows + the per-(id, blk) argmax
+      |  window; the ADC table joins as a broadcast of blocks×nCodes
+      |  scalars and the ranking is `TakeOrderedAndProject` — a query
+      |  never shuffles the corpus, only the per-id score agg exchanges.
+      |- **q101 (PQ recall)**: the PQ top-k and the brute-force top-k are
+      |  both k-row frames before their equi-join — the recall count is a
+      |  join of two `TakeOrderedAndProject` outputs, not a re-scan.
+      |- **q102 (IVF+PQ)**: the coarse-quantizer probe filter
+      |  (`BroadcastHashJoin` on `cid` against nProbe rows) prunes the
+      |  corpus BEFORE the ADC score join, so the ranking input is
+      |  ~nProbe/nCentroids of the codes — the deployed serving shape.
       |
       |At 100 TB the same shapes hold: scans prune columns and push
       |predicates, dimensions broadcast, aggregations combine map-side, the
