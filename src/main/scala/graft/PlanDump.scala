@@ -71,7 +71,8 @@ object PlanDump {
     "q98_random_projection",// constant sign matrix folded into projection
     "q99_collocations",     // one bigram pass + O(vocab) marginal aggs
     "q101_ann_pq_recall",   // PQ ranking ⨝ brute-force ranking, both top-k
-    "q102_ann_ivfpq")       // IVF probe-list prune BEFORE the ADC ranking
+    "q102_ann_ivfpq",       // IVF probe-list prune BEFORE the ADC ranking
+    "q103_ann_pq_ingest")   // serve from the ingested code store, no raw vecs
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -364,6 +365,11 @@ object PlanDump {
       |  (`BroadcastHashJoin` on `cid` against nProbe rows) prunes the
       |  corpus BEFORE the ADC score join, so the ranking input is
       |  ~nProbe/nCentroids of the codes — the deployed serving shape.
+      |- **q103 (PQ serving from the ingested store)**: the corpus enters
+      |  as a checkpointed `(id, codes)` scan — NO raw-vector reads, no
+      |  codebook fit in the serving plan; posexplode + the broadcast ADC
+      |  table + one per-id sum exchange + `TakeOrderedAndProject`. This
+      |  is the plan a deployed PQ index runs per query.
       |
       |At 100 TB the same shapes hold: scans prune columns and push
       |predicates, dimensions broadcast, aggregations combine map-side, the

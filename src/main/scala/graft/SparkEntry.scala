@@ -1253,6 +1253,45 @@ r2o AS (
     "q102_ann_ivfpq" -> ((s, dir) =>
       graft.ext.Similarity.ivfPqTopKFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // The DEPLOYED PQ loop end-to-end (streaming ingest → code store →
+    // ADC serving): the corpus arrives as 3 id-disjoint micro-batches
+    // through PqIngest's foreachBatch body — one batch REPLAYED under
+    // its own batch id, exercising the at-least-once overwrite contract
+    // under the oracle — and the query is answered from the accumulated
+    // 8-byte codes without touching a raw corpus vector. Same codebooks,
+    // same integer ADC arithmetic as q100, so the answer (and the
+    // oracle SQL) is q100's bit-for-bit.
+    "q103_ann_pq_ingest" -> ((s, dir) => {
+      import graft.streaming.PqIngest
+      val emb = t(s, dir, "embeddings")
+      val books = graft.ext.Similarity.pqCodebooksFixed(
+        emb, "vec_id", "embedding")
+      val bSeq = books.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .toSeq.sortBy(b => (b._1, b._2))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q103-store").toString
+      try {
+        (0L to 2L).foreach { b =>
+          PqIngest.ingestBatch(
+            emb.filter(pmod(col("vec_id"), lit(3)) === b), store, bSeq, b)
+        }
+        // at-least-once delivery: batch 1 arrives again with ITS OWN id —
+        // the dynamic partition overwrite must keep the store exact
+        PqIngest.ingestBatch(
+          emb.filter(pmod(col("vec_id"), lit(3)) === 1L), store, bSeq, 1L)
+        // materialise the store eagerly so the (temp) parquet dir can go
+        val codes = PqIngest.result(s, store).localCheckpoint(eager = true)
+        graft.ext.Similarity.adcTopKFromCodes(
+          codes, books, emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      } finally {
+        val p = java.nio.file.Paths.get(store)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
     // window pass, one shuffle on the key, no range join (ext.AsOf).
@@ -2817,6 +2856,14 @@ r2o AS (
         |WHERE id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
     "q100_ann_pq" ->
+      s"""WITH $pqCtes
+        |SELECT id FROM pqtop""".stripMargin,
+    // q103 serves from the PqIngest code store; its contract is exact
+    // equality with the batch coding of the union (replay + re-send
+    // absorbed), so the expected answer IS q100's — the oracle replays
+    // the same fit + coding + ADC ranking from the raw table while
+    // Spark answers from the streaming-accumulated 8-byte codes
+    "q103_ann_pq_ingest" ->
       s"""WITH $pqCtes
         |SELECT id FROM pqtop""".stripMargin,
     "q102_ann_ivfpq" ->

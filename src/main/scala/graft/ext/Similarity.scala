@@ -528,22 +528,73 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("id"), col("blk"), col("cid"))
     // ADC table from the query row (blocks·nCodes scalar entries)
+    val adc = adcTableRows(emb, idCol, vecCol, queryId, books, bw)
+      .toDF("blk", "cid", "adc")
+    codes.join(broadcast(adc), Seq("blk", "cid"))
+      .groupBy("id").agg(sum("adc").as("score"))
+  }
+
+  /** The query's asymmetric-distance table — blocks·nCodes scalar rows
+    * `(blk, cid, adc)` computed driver-side from the query row against
+    * the codebooks; shared by the inline scoring path ([[pqAdcScores]])
+    * and the deployed from-codes path ([[adcTopKFromCodes]]). */
+  private def adcTableRows(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      books: DataFrame,
+      bw: Int): Seq[(Long, Long, Long)] = {
     val qi = emb.select(col(idCol).cast("long").as("id"),
         scaledIntVec(col(vecCol)).as("vi"))
       .filter(col("id") === queryId)
       .select(col("vi")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
-        s"pqAdcScores: query id $queryId not present in '$idCol'"))
+        s"adcTableRows: query id $queryId not present in '$idCol'"))
       .getSeq[Long](0)
-    val adc = books.collect().map { r =>
+    books.collect().map { r =>
       val (blk, cid, cv) = (r.getLong(0), r.getLong(1), r.getSeq[Long](2))
       val qb = qi.slice(blk.toInt * bw, blk.toInt * bw + bw)
       val dot = qb.zip(cv).map { case (a, b) => a * b }.sum
       val cc = cv.map(x => x * x).sum
       (blk, cid, 2L * dot - cc)
-    }.toSeq.toDF("blk", "cid", "adc")
-    codes.join(broadcast(adc), Seq("blk", "cid"))
+    }.toSeq
+  }
+
+  /** ADC top-k served from a PRE-CODED `(id, codes)` store (q103) — the
+    * deployed read path of the PQ pipeline: vectors were coded ONCE at
+    * ingest ([[pqAssignCodes]] in batch, [[graft.streaming.PqIngest]]
+    * incrementally) and a query touches only the 8-byte codes, never a
+    * raw vector. `emb` supplies ONLY the query row (the one raw-vector
+    * lookup a deployed index also does); scoring is posexplode of the
+    * codes array + one broadcast join against the blocks·nCodes ADC
+    * table + the per-id sum — identical integer arithmetic to the
+    * inline path, so the result hash-matches [[pqTopKFixed]] whenever
+    * the store holds the same corpus. */
+  def adcTopKFromCodes(
+      codes: DataFrame,
+      books: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      blocks: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bw = dim / blocks
+    val adc = adcTableRows(emb, idCol, vecCol, queryId, books, bw)
+      .toDF("blk", "cid", "adc")
+    codes
+      .select(col("id"), posexplode(col("codes")).as(Seq("pos", "cid")))
+      .select(col("id"), col("pos").cast("long").as("blk"), col("cid"))
+      .join(broadcast(adc), Seq("blk", "cid"))
       .groupBy("id").agg(sum("adc").as("score"))
+      .filter(col("id") =!= queryId)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select("id")
   }
 
   /** IVF+PQ serving (q102) — the two tiers composed the way a

@@ -312,6 +312,23 @@ class SimilaritySpec extends SparkSpec {
     assert(alt == base, s"PQ answer changed under repartitioning: $base vs $alt")
   }
 
+  test("adcTopKFromCodes: serving from the code store equals the inline path") {
+    // the deployed read path (code once, serve from 8-byte codes) must
+    // reproduce the inline scoring answer exactly — same codebooks, same
+    // integer ADC table, only the code-carrier differs
+    val books = Similarity.pqCodebooksFixed(emb, "vec_id", "embedding")
+    val codes = Similarity.pqAssignCodes(emb, "vec_id", "embedding", books)
+    val served = Similarity
+      .adcTopKFromCodes(codes, books, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val inline = Similarity
+      .pqTopKFixed(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == inline,
+      s"from-codes serving diverged from inline ADC: $served vs $inline")
+  }
+
   test("pq on a clustered corpus: ADC ranking recovers the query's cluster") {
     // same structured fixture rationale as the IVF clustered test: PQ's
     // per-block codebooks can only show fidelity when there is structure
