@@ -223,6 +223,14 @@ object Similarity {
     transform(ArrayOps.l2normalize(v.cast("array<double>")),
       x => floor(x * lit(1000000.0)) + lit(1000000L))
 
+  /** The scaled integer image `(id, vi)` — package-private so dev probes
+    * (IvfPqProbe's frontier sweep) replay the EXACT serving arithmetic
+    * instead of reimplementing the normalise/floor/shift chain. */
+  private[graft] def scaledImage(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"),
+      scaledIntVec(col(vecCol)).as("vi"))
+
   /** Distributed Lloyd's k-means in EXACT integer arithmetic — the
     * hash-verifiable fit. Assignment score `2·v·c − ‖c‖²` (argmin L2 with
     * ‖v‖² dropped) and floor-mean centroid updates are integer-exact and
