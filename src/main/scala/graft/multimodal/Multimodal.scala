@@ -86,6 +86,42 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Partition-batched frame sampling (the video → frames explosion a
+    * training pipeline runs before per-frame decode/resize): each payload
+    * row becomes one row PER SAMPLED FRAME, carrying the original frame
+    * index in `idxCol` and the frame payload in `frameCol`; an
+    * undecodable payload becomes ONE quarantine row (both columns NULL),
+    * so the input row stays visible and filterable (`frameCol IS NULL`)
+    * instead of silently vanishing. Row-local explode, no shuffle; the
+    * output fan-out is |sampled frames| per clip, so downstream stages
+    * should expect the row count to grow by the sampling rate — at 100 TB
+    * the repartition point (if any) belongs AFTER the per-frame filter,
+    * where a frame key the next stage needs anyway can carry it. */
+  def sampleFramesPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      sampler: FrameSampler,
+      frameCol: String = "frame",
+      idxCol: String = "frame_idx",
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(idxCol, IntegerType, nullable = true),
+      StructField(frameCol, BinaryType, nullable = true)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          sampler.sample(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some(frames) => frames.map { case (i, bytes) =>
+              Row.fromSeq(row.toSeq ++ Seq(i, bytes)) }
+            case None => Seq(Row.fromSeq(row.toSeq ++ Seq(null, null)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partition-batched payload → payload transform (resize, re-encode,
     * thumbnail …) — same batching/order contract as [[decodePartitions]],
     * same scale shape (row-local, no shuffle, batch-bounded memory).
@@ -133,5 +169,16 @@ trait BatchTransformer extends Serializable {
   * in order. */
 trait BatchDecoder extends Serializable {
   def decode(batch: Seq[Array[Byte]]): Seq[DecodedMedia]
+}
+
+/** Frame-sampling contract (the multi-frame sibling of
+  * [[BatchTransformer]]): a clip payload maps to its sampled
+  * `(original frame index, frame payload)` pairs, or None when the
+  * container is undecodable — which [[Multimodal.sampleFramesPartitions]]
+  * surfaces as a NULL quarantine row. [[GifFrameSampler]] is the
+  * JDK-native implementation; video codecs plug in behind the same
+  * seam. */
+trait FrameSampler extends Serializable {
+  def sample(payload: Array[Byte]): Option[Seq[(Int, Array[Byte])]]
 }
 

@@ -211,6 +211,66 @@ class MultimodalSpec extends SparkSpec {
     assert(twice.toSeq == once.toSeq)
   }
 
+  // ---- the frame-sample kernel (GifFrameSampler, r9) ----------------
+
+  /** An animated GIF of solid full-size frames in the given colors. */
+  private def animatedGif(colors: Seq[Int], w: Int = 4, h: Int = 2): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("GifFrameSampler: stride sampling keeps original indices, frames are true-color PPM") {
+    import graft.multimodal.{GifFrameSampler, ImageIoDecoder}
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val gif = animatedGif(colors)
+    val frames = GifFrameSampler(stride = 2).sample(gif).get
+    assert(frames.map(_._1) == Seq(0, 2, 4))
+    frames.foreach { case (i, bytes) =>
+      // each sampled frame is a standalone P6 the decode kernel reads
+      assert(ImageIoDecoder.decode(Seq(bytes)).head ==
+        DecodedMedia(4, 2, 3, ok = true))
+      val c = colors(i)
+      val expected = Seq(((c >> 16) & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte, (c & 0xff).toByte)
+      // solid pure colors survive the GIF palette exactly
+      assert(bytes.takeRight(4 * 2 * 3).grouped(3).toSeq
+        .forall(_.toSeq == expected), s"frame $i is not solid $c")
+    }
+    // stride 1 returns every frame; garbage and non-GIF payloads -> None
+    assert(GifFrameSampler(1).sample(gif).get.map(_._1) == (0 until 5))
+    assert(GifFrameSampler(1).sample(Array.fill[Byte](16)(7)).isEmpty)
+    assert(GifFrameSampler(1).sample(ppmBytes).isEmpty)
+    assert(GifFrameSampler(1).sample(null).isEmpty)
+  }
+
+  test("sampleFramesPartitions: per-frame rows, NULL quarantine, input columns preserved") {
+    import graft.multimodal.{GifFrameSampler, Multimodal}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val rows = Seq((1L, gif), (2L, Array.fill[Byte](16)(3)))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val out = Multimodal
+      .sampleFramesPartitions(df, "payload", GifFrameSampler(stride = 2))
+      .select($"id", $"frame_idx", $"frame")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.isNullAt(2)))
+      .sortBy(t => (t._1, t._2))
+    // clip 1 explodes to frames 0 and 2; clip 2 quarantines as one NULL row
+    assert(out.toSeq == Seq((1L, 0, false), (1L, 2, false), (2L, -1, true)))
+  }
+
   test("transformPartitions: appended binary column, NULL quarantine, batch contract") {
     import graft.multimodal.{BatchTransformer, ImageResizer}
     val rows = Seq(
