@@ -2,10 +2,13 @@
 """Local replica of the driver's t2 oracle compare (dev tool, driver-side
 python only — not part of the Scala library).
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [onlyPrefixes]
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf tables, sorts columns
-by name and rows by value, and diffs."""
+by name and rows by value, and diffs. The optional third arg is a
+comma-separated list of query-name prefixes (e.g. "q34,q44,q10") to check
+just a subset — resuming an interrupted long run, or spot-checking one
+query, without re-paying the full board."""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
@@ -18,7 +21,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
+    prefixes = only.split(",") if only else None
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -28,6 +32,8 @@ def main(sf_dir, out_dir):
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
         files = glob.glob(f"{d}/*.parquet")
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
@@ -54,4 +60,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
