@@ -86,6 +86,36 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Decoded-audio schema appended by [[decodeAudioPartitions]]. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+
+  /** Partition-batched AUDIO decode — [[decodePartitions]]'s twin for the
+    * audio modality ([[WavAudioDecoder]]): appends [[audioSchema]]
+    * columns, same batching/order/quarantine contract, same row-local
+    * no-shuffle scale shape. */
+  def decodeAudioPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(df.schema.fields ++ audioSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val decoded = WavAudioDecoder.decode(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.zip(decoded).map { case (row, d) =>
+          Row.fromSeq(row.toSeq ++
+            Seq(d.sampleRate, d.nChannels, d.nFrames, d.ok))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partition-batched frame sampling (the video → frames explosion a
     * training pipeline runs before per-frame decode/resize): each payload
     * row becomes one row PER SAMPLED FRAME, carrying the original frame

@@ -271,6 +271,88 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, false), (1L, 2, false), (2L, -1, true)))
   }
 
+  // ---- the audio leg (WavAudioDecoder / WavWindowSampler, r9) -------
+
+  /** A 16-bit signed PCM mono WAV at 8000 Hz with the given samples. */
+  private def wav(samples: Seq[Short], bigEndian: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val f = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, bigEndian)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      if (bigEndian) { pcm(2 * i) = (s >> 8).toByte; pcm(2 * i + 1) = s.toByte }
+      else { pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), f, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavAudioDecoder: header metadata, exact integer amplitude, quarantine") {
+    import graft.multimodal.WavAudioDecoder
+    val samples = Seq[Short](100, -200, 300, -400, 500)
+    val bytes = wav(samples)
+    assert(WavAudioDecoder.decode(Seq(bytes)).head ==
+      WavAudioDecoder.DecodedAudio(8000, 1, 5L, ok = true))
+    // mean |sample| = (100+200+300+400+500)/5 = 300, exact
+    assert(WavAudioDecoder.meanAbsAmplitude(bytes).contains(300L))
+    // floor division: (1+2+4)/3 = 2
+    assert(WavAudioDecoder
+      .meanAbsAmplitude(wav(Seq[Short](1, -2, 4))).contains(2L))
+    // garbage, null, image payloads -> quarantine / None, never throw
+    assert(WavAudioDecoder.decode(Seq(Array.fill[Byte](32)(9))).head ==
+      WavAudioDecoder.DecodedAudio(0, 0, 0L, ok = false))
+    assert(WavAudioDecoder.decode(Seq(null)).head.ok == false)
+    assert(WavAudioDecoder.meanAbsAmplitude(ppmBytes).isEmpty)
+  }
+
+  test("WavWindowSampler: stride windows keep ordinals, round-trip through the decoder") {
+    import graft.multimodal.{WavAudioDecoder, WavWindowSampler}
+    // 10 frames -> windows of 4: [0..3] [4..7] [8..9]; stride 2 -> 0 and 2
+    val samples = (1 to 10).map(i => (i * 1000).toShort)
+    val out = WavWindowSampler(windowFrames = 4, stride = 2)
+      .sample(wav(samples)).get
+    assert(out.map(_._1) == Seq(0, 2))
+    val w0 = out(0)._2
+    assert(WavAudioDecoder.decode(Seq(w0)).head ==
+      WavAudioDecoder.DecodedAudio(8000, 1, 4L, ok = true))
+    // window 0 = samples 1000..4000 -> mean 2500, exact
+    assert(WavAudioDecoder.meanAbsAmplitude(w0).contains(2500L))
+    // trailing partial window: frames 8..9 -> n_frames 2, mean 9500
+    val w2 = out(1)._2
+    assert(WavAudioDecoder.decode(Seq(w2)).head ==
+      WavAudioDecoder.DecodedAudio(8000, 1, 2L, ok = true))
+    assert(WavAudioDecoder.meanAbsAmplitude(w2).contains(9500L))
+    // stride 1 covers every window; non-audio -> None
+    assert(WavWindowSampler(4, 1).sample(wav(samples)).get.map(_._1) ==
+      Seq(0, 1, 2))
+    assert(WavWindowSampler(4, 1).sample(ppmBytes).isEmpty)
+  }
+
+  test("decodeAudioPartitions + sampleFramesPartitions compose over an audio column") {
+    import graft.multimodal.{Multimodal, WavWindowSampler}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val clip = wav((1 to 6).map(i => (i * 100).toShort))
+    val rows = Seq((1L, clip), (2L, Array.fill[Byte](16)(7)))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val meta = Multimodal.decodeAudioPartitions(df, "payload")
+      .select($"id", $"sample_rate", $"n_frames", $"ok").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(meta.toSeq == Seq((1L, 8000, 6L, true), (2L, 0, 0L, false)))
+    // the SAME FrameSampler seam the video leg uses explodes audio windows
+    val win = Multimodal
+      .sampleFramesPartitions(df, "payload", WavWindowSampler(3, 1))
+      .select($"id", $"frame_idx", $"frame").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.isNullAt(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(win.toSeq == Seq((1L, 0, false), (1L, 1, false), (2L, -1, true)))
+  }
+
   test("transformPartitions: appended binary column, NULL quarantine, batch contract") {
     import graft.multimodal.{BatchTransformer, ImageResizer}
     val rows = Seq(
