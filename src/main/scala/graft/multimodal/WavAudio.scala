@@ -81,6 +81,59 @@ object WavAudioDecoder {
   }
 }
 
+/** Audio resampling through the [[BatchTransformer]] seam — the audio
+  * twin of [[ImageResizer]]: integer DECIMATION (keep every `factor`-th
+  * frame, all channels, declared sample rate divided by `factor`),
+  * deterministic in exact arithmetic like the image path's floor
+  * mapping — no interpolation kernel whose coefficients could vary by
+  * platform, so specs assert exact output samples. Output is re-emitted
+  * as a standalone WAV ([[WavAudioDecoder]] reads it back). A payload
+  * that is not 16-bit signed PCM maps to None (the NULL-quarantine
+  * cell in [[Multimodal.transformPartitions]]).
+  *
+  * Decimation without a low-pass is aliasing-prone on full-band signals
+  * — acceptable for the fingerprint/feature pipelines this feeds, and
+  * the documented trade for bit-exact determinism; an anti-aliased
+  * variant plugs in behind the same seam with a real DSP dependency. */
+final case class WavResampler(factor: Int) extends BatchTransformer {
+  require(factor > 0, s"factor must be positive: $factor")
+
+  def transform(batch: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] =
+    batch.map(resampleOne)
+
+  private def resampleOne(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 12) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) return None
+        val data = ais.readAllBytes()
+        val frameBytes = f.getFrameSize
+        val nFrames = data.length / frameBytes
+        if (nFrames <= 0) return None
+        val kept = (0 until nFrames by factor).toArray
+        val out = new Array[Byte](kept.length * frameBytes)
+        var i = 0
+        while (i < kept.length) {
+          System.arraycopy(data, kept(i) * frameBytes, out, i * frameBytes, frameBytes)
+          i += 1
+        }
+        val nf = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate / factor, 16, f.getChannels, frameBytes,
+          f.getFrameRate / factor, f.isBigEndian)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(
+            new ByteArrayInputStream(out), nf, kept.length),
+          AudioFileFormat.Type.WAVE, bos)
+        Some(bos.toByteArray)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
 /** Audio window sampling through the [[FrameSampler]] seam: every
   * `stride`-th window of `windowFrames` frames becomes a standalone WAV
   * payload carrying its ORIGINAL window ordinal. A trailing partial

@@ -332,6 +332,26 @@ class MultimodalSpec extends SparkSpec {
     assert(WavWindowSampler(4, 1).sample(ppmBytes).isEmpty)
   }
 
+  test("WavResampler: exact decimation, declared rate divides, quarantine") {
+    import graft.multimodal.{WavAudioDecoder, WavResampler}
+    val samples = Seq[Short](10, 20, 30, 40, 50, 60, 70, 80)
+    val half = WavResampler(2).transform(Seq(wav(samples))).head.get
+    // frames 0,2,4,6 survive; declared rate 8000 -> 4000
+    assert(WavAudioDecoder.decode(Seq(half)).head ==
+      WavAudioDecoder.DecodedAudio(4000, 1, 4L, ok = true))
+    // mean |sample| of (10,30,50,70) = 40, exact
+    assert(WavAudioDecoder.meanAbsAmplitude(half).contains(40L))
+    // factor 1 is the identity on samples and metadata
+    val same = WavResampler(1).transform(Seq(wav(samples))).head.get
+    assert(WavAudioDecoder.decode(Seq(same)).head ==
+      WavAudioDecoder.DecodedAudio(8000, 1, 8L, ok = true))
+    assert(WavAudioDecoder.meanAbsAmplitude(same) ==
+      WavAudioDecoder.meanAbsAmplitude(wav(samples)))
+    // non-audio payloads quarantine as None, never throw
+    assert(WavResampler(2).transform(
+      Seq(ppmBytes, Array.fill[Byte](8)(1), null)).forall(_.isEmpty))
+  }
+
   test("decodeAudioPartitions + sampleFramesPartitions compose over an audio column") {
     import graft.multimodal.{Multimodal, WavWindowSampler}
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -18,6 +18,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // suites that COUNT scheduler events (SkewStressSpec's straggler
+      // audit, GraphBuilderSpec's job counts) share this bus with every
+      // concurrently-running suite; at the 10k default the AsyncEventQueue
+      // DROPS events under full-suite load and the listener map reads
+      // empty even though waitUntilEmpty succeeded (r9 `sbt test` flake)
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "200000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
