@@ -183,7 +183,6 @@ object IvfPqProbe {
         id -> v.indices.map(i => v(i) - cv(i) + 2000000L).toArray
       }
       val resBooks = fitBlockCodebooks(resImg, c)
-      val resById = resImg.toMap
       val resCodes: Map[Long, Array[Long]] =
         resImg.map { case (id, v) => id -> codeOf(v, resBooks) }.toMap
 
