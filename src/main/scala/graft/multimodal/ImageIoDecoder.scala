@@ -34,8 +34,17 @@ object ImageIoDecoder extends BatchDecoder {
     try {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null) failed
-      else DecodedMedia(
-        img.getWidth, img.getHeight, img.getRaster.getNumBands, ok = true)
+      else {
+        // Indexed-color images (GIF always; palette PNG/BMP) carry ONE
+        // raster band of palette indices; the pixel content is RGB. Report
+        // the resolved channel count, matching how meanSample and
+        // ImageResizer.readRaster read such images.
+        val bands = img.getColorModel match {
+          case _: java.awt.image.IndexColorModel => 3
+          case _ => img.getRaster.getNumBands
+        }
+        DecodedMedia(img.getWidth, img.getHeight, bands, ok = true)
+      }
     } catch { case scala.util.control.NonFatal(_) => failed }
   }
 
@@ -58,13 +67,26 @@ object ImageIoDecoder extends BatchDecoder {
     try {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null) None
-      else {
-        val r = img.getRaster
-        val (w, h, bands) = (r.getWidth, r.getHeight, r.getNumBands)
-        var s = 0L
-        for (b <- 0 until bands; y <- 0 until h; x <- 0 until w)
-          s += r.getSample(x, y, b)
-        Some(s.toDouble / (w.toLong * h * bands))
+      else img.getColorModel match {
+        // Palette rasters hold INDICES, not intensities — resolve through
+        // the color model to true sRGB, the same rule as
+        // ImageResizer.readRaster (a GIF's "band 0 mean" would otherwise
+        // be a palette-index mean, a silently wrong feature value).
+        case _: java.awt.image.IndexColorModel =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          for (y <- 0 until h; x <- 0 until w) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+          }
+          Some(s.toDouble / (w.toLong * h * 3))
+        case _ =>
+          val r = img.getRaster
+          val (w, h, bands) = (r.getWidth, r.getHeight, r.getNumBands)
+          var s = 0L
+          for (b <- 0 until bands; y <- 0 until h; x <- 0 until w)
+            s += r.getSample(x, y, b)
+          Some(s.toDouble / (w.toLong * h * bands))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }

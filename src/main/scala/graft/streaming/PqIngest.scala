@@ -79,14 +79,15 @@ object PqIngest {
     * would otherwise surface twice — so the read dedups per `vec_id`,
     * keeping the latest (max `batch_id`) coding. Coding is deterministic
     * against frozen codebooks, so any surviving copy carries identical
-    * codes; max-batch-wins just makes the choice canonical. */
+    * codes; max-batch-wins just makes the choice canonical. `max_by` keeps
+    * the dedup a hash aggregate with a map-side partial (one exchange of
+    * partial maxima) instead of a full-store window sort — this is the
+    * deployed serving read path. */
   def result(spark: SparkSession, storeDir: String): DataFrame =
     if (storeExists(spark, s"$storeDir/codes")) {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("vec_id").orderBy(desc("batch_id"))
       spark.read.parquet(s"$storeDir/codes")
-        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-        .select(col("vec_id").as("id"), col("codes"))
+        .groupBy(col("vec_id").as("id"))
+        .agg(max_by(col("codes"), col("batch_id")).as("codes"))
     } else {
       import spark.implicits._
       Seq.empty[(Long, Seq[Long])].toDF("id", "codes")

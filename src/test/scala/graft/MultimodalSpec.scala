@@ -197,6 +197,25 @@ class MultimodalSpec extends SparkSpec {
       Seq[Byte](255.toByte, 0, 0, 0, 0, 255.toByte))
   }
 
+  test("ImageIoDecoder: indexed-color (GIF palette) decode + meanSample resolve true RGB") {
+    import graft.multimodal.ImageIoDecoder
+    // The r9 advice twin of the resizer fix: meanSample on a GIF read
+    // raster samples (palette indices) and decode reported 1 band. Both
+    // must resolve through the color model like ImageResizer.readRaster.
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    // decode reports the RESOLVED channel count, not the index band
+    assert(ImageIoDecoder.decode(Seq(gif)).head == DecodedMedia(2, 1, 3, ok = true))
+    // mean over true sRGB samples: (255+0+0 + 0+0+255) / 6 = 85.0 exactly —
+    // a palette-index mean would be (i0+i1)/2 for writer-assigned indices,
+    // never 85 unless the palette happened to land there with 3 bands
+    assert(ImageIoDecoder.meanSample(gif).contains(85.0))
+  }
+
   test("ImageResizer: same-size resize is the identity; resize is idempotent") {
     import graft.multimodal.ImageResizer
     // floor mapping at outW == w is x*w/w = x, so a same-size resize of a

@@ -6,9 +6,11 @@ Usage: check_oracle.py <sfDir> <verifyOutDir> [onlyPrefixes]
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf tables, sorts columns
 by name and rows by value, and diffs. The optional third arg is a
-comma-separated list of query-name prefixes (e.g. "q34,q44,q10") to check
-just a subset — resuming an interrupted long run, or spot-checking one
-query, without re-paying the full board."""
+comma-separated list of query names or name prefixes (e.g. "q34,q44,q10")
+to check just a subset — resuming an interrupted long run, or spot-checking
+one query, without re-paying the full board. A prefix matches on a name
+boundary: "q10" selects q10 and q10_foo but NOT q100 — pass the exact
+name (or the longer prefix) to reach q100+."""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
@@ -33,7 +35,8 @@ def main(sf_dir, out_dir, only=None):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        if prefixes and not any(name.startswith(p) for p in prefixes):
+        if prefixes and not any(
+                name == p or name.startswith(p + "_") for p in prefixes):
             continue
         files = glob.glob(f"{d}/*.parquet")
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
