@@ -72,7 +72,9 @@ object PlanDump {
     "q99_collocations",     // one bigram pass + O(vocab) marginal aggs
     "q101_ann_pq_recall",   // PQ ranking ⨝ brute-force ranking, both top-k
     "q102_ann_ivfpq",       // IVF probe-list prune BEFORE the ADC ranking
-    "q103_ann_pq_ingest")   // serve from the ingested code store, no raw vecs
+    "q103_ann_pq_ingest",   // serve from the ingested code store, no raw vecs
+    "q104_audio",           // row-local kernel chain: zero exchanges end-to-end
+    "q105_gif_frames")      // frame explode + row-local decode, no shuffle
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])

@@ -1292,6 +1292,70 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // the AUDIO modality end-to-end under the oracle (r10): each doc_id
+    // deterministically synthesises a REAL RIFF/WAVE clip (MediaSynth),
+    // then the shipped JDK kernels run the full quartet — decode
+    // (WavAudioDecoder header metadata), feature-extract (exact-integer
+    // mean |amplitude|), resample (WavResampler ×2 decimation, decoded
+    // and re-featured), window-sample (WavWindowSampler stride windows,
+    // each re-decoded + re-featured). The oracle replays the closed-form
+    // sample formula from doc_id alone; every emitted number is exact
+    // integer arithmetic. Row-local kernels, no shuffle anywhere.
+    "q104_audio" -> ((s, dir) => {
+      import graft.multimodal._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val clip = Multimodal.meanAbsPartitions(
+        Multimodal.decodeAudioPartitions(
+          MediaSynth.withWavPayload(docs, "doc_id"), "payload"),
+        "payload", "mean_abs")
+        .select(col("doc_id"), col("payload"),
+          col("sample_rate").as("sr0"), col("n_channels").as("nc0"),
+          col("n_frames").as("nf0"), col("mean_abs"))
+      val ds = Multimodal.meanAbsPartitions(
+        Multimodal.decodeAudioPartitions(
+          Multimodal.transformPartitions(
+            clip, "payload", WavResampler(2), "payload_ds"),
+          "payload_ds"),
+        "payload_ds", "mean_abs_ds")
+        .select(col("doc_id"), col("payload"), col("sr0"), col("nc0"),
+          col("nf0"), col("mean_abs"),
+          col("sample_rate").as("sample_rate_ds"),
+          col("n_frames").as("n_frames_ds"), col("mean_abs_ds"))
+      val wins = Multimodal.meanAbsPartitions(
+        Multimodal.decodeAudioPartitions(
+          Multimodal.sampleFramesPartitions(
+            ds, "payload", WavWindowSampler(25, 2),
+            frameCol = "win", idxCol = "win_idx"),
+          "win"),
+        "win", "win_mean_abs")
+      wins.select(col("doc_id"), col("sr0").as("sample_rate"),
+        col("nc0").as("n_channels"), col("nf0").as("n_frames"),
+        col("mean_abs"), col("sample_rate_ds"), col("n_frames_ds"),
+        col("mean_abs_ds"), col("win_idx"),
+        col("n_frames").as("win_frames"), col("win_mean_abs"))
+    }),
+    // the VIDEO (frame-sequence) modality end-to-end under the oracle
+    // (r10): each doc_id synthesises a REAL animated GIF of solid
+    // exact-palette frames, GifFrameSampler stride-samples the frame
+    // sequence into standalone PPM payloads keeping ORIGINAL indices,
+    // and each frame runs decode (ImageIoDecoder) + pixel-mean feature
+    // (exact integer-valued double by the fixture's mod-3 color rule).
+    // The oracle replays dimensions, sampled indices and band means from
+    // doc_id alone.
+    "q105_gif_frames" -> ((s, dir) => {
+      import graft.multimodal._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val frames = Multimodal.sampleFramesPartitions(
+        MediaSynth.withGifPayload(docs, "doc_id"), "payload",
+        GifFrameSampler(2))
+      val feat = Multimodal.meanSamplePartitions(
+        Multimodal.decodePartitions(frames, "frame", ImageIoDecoder),
+        "frame", "mean_px")
+      feat.select(col("doc_id"), col("frame_idx"), col("width"),
+        col("height"), col("n_channels"), col("mean_px"))
+    }),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
     // window pass, one shuffle on the key, no range join (ext.AsOf).
@@ -2816,6 +2880,54 @@ r2o AS (
         |CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames,
         |array_to_string(range(0, CAST(1 + octet_length(encode(text)) % 8 AS BIGINT), 2), ',') AS frames
         |FROM documents""".stripMargin,
+    // replays MediaSynth's WAV sample formula from doc_id alone: the
+    // clip mean, the ×2-decimated mean (every even sample), and each
+    // even-ordinal 25-frame window's count + mean — all floor divisions
+    // of exact |sample| sums, matching the kernels' integer arithmetic
+    "q104_audio" ->
+      """WITH p AS (SELECT doc_id, 50 + doc_id % 50 AS nf FROM documents),
+        |sv AS (SELECT doc_id, nf, i,
+        |    abs(((doc_id*31 + i*7) % 65536) - 32768) AS a
+        |  FROM (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM p)),
+        |clip AS (SELECT doc_id, nf,
+        |    SUM(a) // COUNT(*) AS mean_abs,
+        |    SUM(CASE WHEN i % 2 = 0 THEN a END)
+        |      // SUM(CASE WHEN i % 2 = 0 THEN 1 END) AS mean_abs_ds,
+        |    SUM(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS nds
+        |  FROM sv GROUP BY 1, 2),
+        |win AS (SELECT doc_id, CAST(i // 25 AS INT) AS win_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS win_frames,
+        |    SUM(a) // COUNT(*) AS win_mean_abs
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT c.doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels, CAST(c.nf AS BIGINT) AS n_frames,
+        |  CAST(c.mean_abs AS BIGINT) AS mean_abs,
+        |  CAST(4000 AS INT) AS sample_rate_ds,
+        |  CAST(c.nds AS BIGINT) AS n_frames_ds,
+        |  CAST(c.mean_abs_ds AS BIGINT) AS mean_abs_ds,
+        |  w.win_idx, w.win_frames,
+        |  CAST(w.win_mean_abs AS BIGINT) AS win_mean_abs
+        |FROM clip c JOIN win w USING (doc_id)
+        |WHERE w.win_idx % 2 = 0""".stripMargin,
+    // replays MediaSynth's GIF fixture: per sampled (even) frame, the
+    // dimensions and the solid color's exact integer-valued band mean
+    // (r+g+b ≡ 0 mod 3 by the b-adjustment rule)
+    "q105_gif_frames" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+        |    2 + doc_id % 5 AS nfr FROM documents),
+        |c AS (SELECT doc_id, w, h, f,
+        |    (doc_id*7 + f*13) % 256 AS r, (doc_id*11 + f*17) % 256 AS g,
+        |    (doc_id*13 + f*19) % 256 AS b0
+        |  FROM (SELECT doc_id, w, h, unnest(range(0, nfr)) AS f FROM p)
+        |  WHERE f % 2 = 0),
+        |c2 AS (SELECT doc_id, w, h, f, r, g,
+        |    CASE WHEN b0 - ((r + g + b0) % 3) < 0
+        |         THEN b0 - ((r + g + b0) % 3) + 3
+        |         ELSE b0 - ((r + g + b0) % 3) END AS b FROM c)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(3 AS INT) AS n_channels,
+        |  CAST((r + g + b) / 3 AS DOUBLE) AS mean_px
+        |FROM c2""".stripMargin,
     "q40_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |kb AS (SELECT vec_id, v, unnest([${lshKeySqls.mkString(", ")}]) AS key FROM s),

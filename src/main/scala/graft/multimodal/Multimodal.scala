@@ -152,6 +152,50 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Partition-batched scalar feature extraction over an AUDIO payload
+    * column: appends one nullable long column `outCol` carrying
+    * [[WavAudioDecoder.meanAbsAmplitude]] (None — undecodable or
+    * non-16-bit-PCM payload — lands as SQL NULL, the same quarantine rule
+    * as every other seam). Row-local, no shuffle. */
+  def meanAbsPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      outCol: String = "mean_abs_amplitude",
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame =
+    featurePartitions(df, payloadCol, outCol, LongType, batchSize)(
+      b => WavAudioDecoder.meanAbsAmplitude(b))
+
+  /** Partition-batched scalar feature extraction over an IMAGE payload
+    * column: appends one nullable double column `outCol` carrying
+    * [[ImageIoDecoder.meanSample]] (palette formats resolve to true sRGB
+    * samples; an undecodable payload lands as SQL NULL). Row-local, no
+    * shuffle. */
+  def meanSamplePartitions(
+      df: DataFrame,
+      payloadCol: String,
+      outCol: String = "mean_sample",
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame =
+    featurePartitions(df, payloadCol, outCol, DoubleType, batchSize)(
+      b => ImageIoDecoder.meanSample(b))
+
+  private def featurePartitions(
+      df: DataFrame, payloadCol: String, outCol: String,
+      dt: DataType, batchSize: Int)(
+      f: Array[Byte] => Option[Any])(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, dt, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+
+            f(row.getAs[Array[Byte]](payloadIdx)).orNull)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partition-batched payload → payload transform (resize, re-encode,
     * thumbnail …) — same batching/order contract as [[decodePartitions]],
     * same scale shape (row-local, no shuffle, batch-bounded memory).

@@ -417,4 +417,75 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("transformer returned") ||
       e.getCause.getMessage.contains("transformer returned"))
   }
+
+  // ---- deterministic media fixtures (MediaSynth, r10) ---------------
+
+  test("MediaSynth: WAV fixture round-trips to the formula's exact features") {
+    import graft.multimodal.{MediaSynth, WavAudioDecoder}
+    for (id <- Seq(0L, 123L, 499L)) {
+      val bytes = MediaSynth.wavFixture(id)
+      val nf = (50 + id % 50).toInt
+      assert(WavAudioDecoder.decode(Seq(bytes)).head ==
+        WavAudioDecoder.DecodedAudio(8000, 1, nf.toLong, ok = true))
+      val expect = (0 until nf)
+        .map(i => math.abs(((id * 31 + i * 7) % 65536) - 32768)).sum / nf
+      assert(WavAudioDecoder.meanAbsAmplitude(bytes).contains(expect))
+    }
+  }
+
+  test("MediaSynth: GIF fixture frames carry the exact formula colors") {
+    import graft.multimodal.{GifFrameSampler, ImageIoDecoder, MediaSynth}
+    for (id <- Seq(0L, 7L, 123L, 499L)) {
+      val gif = MediaSynth.gifFixture(id)
+      val (w, h) = ((3 + id % 5).toInt, (2 + id % 3).toInt)
+      val nfr = (2 + id % 5).toInt
+      val frames = GifFrameSampler(1).sample(gif).get
+      assert(frames.map(_._1) == (0 until nfr))
+      frames.foreach { case (f, ppm) =>
+        val (r, g, b) = MediaSynth.gifColor(id, f)
+        assert((r + g + b) % 3 == 0 && b >= 0 && b <= 255)
+        assert(ImageIoDecoder.decode(Seq(ppm)).head ==
+          DecodedMedia(w, h, 3, ok = true))
+        // solid frame → the band mean is the exact integer (r+g+b)/3
+        assert(ImageIoDecoder.meanSample(ppm).contains(((r + g + b) / 3).toDouble))
+        assert(ppm.takeRight(w * h * 3).grouped(3).toSeq.forall(
+          _.toSeq == Seq(r.toByte, g.toByte, b.toByte)), s"id=$id frame $f not solid")
+      }
+      // the palette-resolving decoder also reads the GIF container itself
+      assert(ImageIoDecoder.decode(Seq(gif)).head == DecodedMedia(w, h, 3, ok = true))
+    }
+  }
+
+  test("MediaSynth + feature seams: payload, mean_abs, mean_sample columns") {
+    import graft.multimodal.MediaSynth
+    val df = spark.range(0, 6).toDF("doc_id")
+    val wav = Multimodal.meanAbsPartitions(
+      MediaSynth.withWavPayload(df, "doc_id"), "payload", "mean_abs")
+    val wavGot = wav.select($"doc_id", $"mean_abs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wavGot.keySet == (0L until 6L).toSet)
+    for ((id, got) <- wavGot) {
+      val nf = (50 + id % 50).toInt
+      val expect = (0 until nf)
+        .map(i => math.abs(((id * 31 + i * 7) % 65536) - 32768)).sum / nf
+      assert(got == expect, s"doc $id")
+    }
+    val gif = Multimodal.meanSamplePartitions(
+      MediaSynth.withGifPayload(df, "doc_id"), "payload", "mean_px")
+    val gifGot = gif.select($"doc_id", $"mean_px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, got) <- gifGot) {
+      // the container-level mean averages over ALL frames of the clip
+      val nfr = (2 + id % 5).toInt
+      // ImageIO.read reads frame 0 only — the clip-level mean is frame 0's
+      val (r, g, b) = MediaSynth.gifColor(id, 0)
+      assert(got == ((r + g + b) / 3).toDouble, s"doc $id got $got")
+      assert(nfr >= 2)
+    }
+    // quarantine: a non-media payload NULLs, never throws
+    val junk = spark.createDataFrame(
+      Seq((1L, Array.fill[Byte](16)(7)))).toDF("id", "payload")
+    assert(Multimodal.meanAbsPartitions(junk, "payload", "m")
+      .filter($"m".isNull).count() == 1)
+  }
 }
