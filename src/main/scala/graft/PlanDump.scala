@@ -84,6 +84,15 @@ object PlanDump {
       |file is generated by `sbt "runMain graft.PlanDump"` — regenerate after
       |any plan-shaping change; never hand-edit.
       |
+      |Since r10 the audit is SELF-ENFORCING: `PlanLintSpec` sweeps the
+      |physical plan of EVERY `SparkEntry.queries` entry on each `sbt test`
+      |run and fails on (1) any CartesianProduct, (2) a single-partition
+      |shuffle of unbounded data-scale rows, (3) a sorted-limit sink that
+      |is not TakeOrderedAndProject. This file remains the human-readable
+      |narrative for the headline shapes; the lint supersedes it as the
+      |currency check (staleness here can no longer hide a plan
+      |regression).
+      |
       |What to look for, and what the plans below show:
       |
       |- **q01 (agg)**: 5-column pruned `ReadSchema` on a 16-column table;

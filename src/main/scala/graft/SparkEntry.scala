@@ -567,8 +567,13 @@ r2o AS (
         .join(seedOrders, Seq("id"), "left_anti")
         .select(lit(0L).as("src"), col("id").as("dst"))
       graft.learn.Scoring
-        .scoreEdgesModel(candidates, vecs("customer"), vecs("orders"),
-          head.weights, head.intercept)
+        // the src key is the constant seed id, so the equi-key constant-
+        // folds away — restrict the src side to the one seed row and
+        // BROADCAST it (a cartesian against an unhinted 1-row frame would
+        // plan as CartesianProductExec; PlanLintSpec polices this)
+        .scoreEdgesModel(candidates,
+          broadcast(vecs("customer").filter(col("id") === 0L)),
+          vecs("orders"), head.weights, head.intercept)
         .join(g.nodes("orders").select(col("id").as("dst"),
           col("pk").cast("long").as("pk")), Seq("dst"))
         .orderBy(desc("logit"), asc("dst"))

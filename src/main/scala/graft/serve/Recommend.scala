@@ -91,12 +91,17 @@ object Recommend {
     val candidates =
       (if (target.isSelfType) base.filter(col("id") =!= newId) else base)
         .select(lit(newId).as("src"), col("id").as("dst"))
+    // every candidate's src is the constant newId, so the src equi-key
+    // constant-folds away; restrict the src side to the one seed row and
+    // BROADCAST it — otherwise the planner pairs a data-scale candidate
+    // frame with an unhinted 1-row frame as a CartesianProduct
+    val seedEmb = broadcast(emb(target.src).filter(col("id") === newId))
     val scored = model match {
       case Some(m) =>
-        Scoring.scoreEdgesModel(candidates, emb(target.src), emb(target.dst),
+        Scoring.scoreEdgesModel(candidates, seedEmb, emb(target.dst),
           m.weights, m.intercept)
       case None =>
-        Scoring.scoreEdges(candidates, emb(target.src), emb(target.dst))
+        Scoring.scoreEdges(candidates, seedEmb, emb(target.dst))
     }
     scored
       .join(mutated.nodes(target.dst).select(col("id").as("dst"), col("pk")), Seq("dst"))
