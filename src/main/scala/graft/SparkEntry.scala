@@ -1274,6 +1274,9 @@ r2o AS (
       val bSeq = books.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
         .toSeq.sortBy(b => (b._1, b._2))
+      // local[*] fixture dir: driver and executors share one filesystem
+      // here; on a real cluster the store must be a DFS path (the
+      // PqIngest API takes any Hadoop path)
       val store = java.nio.file.Files
         .createTempDirectory("graft-q103-store").toString
       try {
@@ -1291,6 +1294,66 @@ r2o AS (
           codes, books, emb, "vec_id", "embedding", queryId = 0L, k = 10)
       } finally {
         val p = java.nio.file.Paths.get(store)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // The REAL streaming path under the oracle (r10): where q103 calls
+    // the foreachBatch body directly, q106 drives `PqIngest.start` — an
+    // actual file-source StreamingQuery with a checkpoint — through 2
+    // micro-batches, stops it, DELETES the last batch's commit marker
+    // (the crash-between-output-and-commit window), stages a third chunk
+    // and restarts from the checkpoint. Structured Streaming then
+    // REPLAYS batch 1 from its recorded offsets before processing batch
+    // 2 — the exact at-least-once failure mode the store's
+    // dynamic-partition overwrite contract exists for. Serving from the
+    // accumulated codes must still match q100 bit-for-bit.
+    "q106_ann_pq_restart" -> ((s, dir) => {
+      import graft.streaming.PqIngest
+      val emb = t(s, dir, "embeddings")
+      val books = graft.ext.Similarity.pqCodebooksFixed(
+        emb, "vec_id", "embedding")
+      // local[*] fixture dirs: driver and executors share one filesystem
+      // here; on a real cluster every one of these must be a DFS path
+      // (PqIngest.start takes any Hadoop path)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q106").toString
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          emb.filter(pmod(col("vec_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q1 = PqIngest.start(s, inDir, store, ckpt, books)
+        try {
+          stage(0L); q1.processAllAvailable()
+          stage(1L); q1.processAllAvailable()
+        } finally q1.stop()
+        // crash window: batch 1's store output exists but its commit
+        // marker doesn't — the restart must re-run batch 1 (the local
+        // ChecksumFs .crc sidecar must go too or the replayed commit's
+        // rename collides with it)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/1"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+        stage(2L)
+        val q2 = PqIngest.start(s, inDir, store, ckpt, books)
+        try q2.processAllAvailable() finally q2.stop()
+        val codes = PqIngest.result(s, store).localCheckpoint(eager = true)
+        graft.ext.Similarity.adcTopKFromCodes(
+          codes, books, emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      } finally {
+        val p = java.nio.file.Paths.get(tmp)
         if (java.nio.file.Files.exists(p))
           java.nio.file.Files.walk(p)
             .sorted(java.util.Comparator.reverseOrder())
@@ -2981,6 +3044,13 @@ r2o AS (
     // the same fit + coding + ADC ranking from the raw table while
     // Spark answers from the streaming-accumulated 8-byte codes
     "q103_ann_pq_ingest" ->
+      s"""WITH $pqCtes
+        |SELECT id FROM pqtop""".stripMargin,
+    // q106 restarts the real StreamingQuery from its checkpoint with a
+    // deleted commit marker (forced batch replay); the store contract
+    // makes the served answer q100's bit-for-bit, so the oracle is the
+    // same full replay of fit + coding + ADC ranking
+    "q106_ann_pq_restart" ->
       s"""WITH $pqCtes
         |SELECT id FROM pqtop""".stripMargin,
     "q102_ann_ivfpq" ->
