@@ -26,8 +26,33 @@ import org.apache.spark.sql.SparkSession
   * it into the engine.
   *
   * Not part of the driver contract. Usage: `runMain graft.IvfPqProbe`
-  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS). */
+  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS; SPARK_GRAFT_CORPUS=
+  * clustered swaps the near-random fixture for the SimilaritySpec-style
+  * 16-Gaussian-cluster corpus — the r9 deferral's re-evaluation trigger:
+  * residual PQ was measured at +0.00–0.05 recall on the fixture, where
+  * PQ recall is corpus-bound; clustered data is where residual coding
+  * should shine if it ever does here). */
 object IvfPqProbe {
+
+  /** The SimilaritySpec clustered corpus, scaled up: 16 diffuse Gaussian
+    * clusters in 64-d (unit centers, per-dim σ=0.18), `n` vectors, same
+    * seeded generator family as the spec so the regime matches the suite's
+    * "pq on a clustered corpus" scenario. */
+  private def clusteredCorpus(
+      spark: SparkSession, n: Int, sigma: Double): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(Dim)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    val centers = Seq.fill(NCentroids)(unit())
+    (0 until n).map { i =>
+      val c = centers(i % NCentroids)
+      val noise = Array.fill(Dim)(rnd.nextGaussian() * sigma)
+      (i.toLong, c.zip(noise).map { case (a, b) => (a + b).toFloat }.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
 
   private val Dim = 64
   private val Blocks = 8
@@ -118,7 +143,14 @@ object IvfPqProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpusKind = sys.env.getOrElse("SPARK_GRAFT_CORPUS", "fixture")
+    val sigma = sys.env.getOrElse("SPARK_GRAFT_SIGMA", "0.18").toDouble
+    val emb =
+      if (corpusKind == "clustered")
+        clusteredCorpus(spark, 2000, sigma).cache()
+      else Tables.load(spark, sfDir, "embeddings")
+    println(s"IVFPQ corpus=$corpusKind" +
+      (if (corpusKind == "clustered") f" sigma=$sigma%.2f" else ""))
 
     // engine state, collected once
     val si: Seq[(Long, Array[Long])] = Similarity

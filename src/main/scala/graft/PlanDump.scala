@@ -74,7 +74,8 @@ object PlanDump {
     "q102_ann_ivfpq",       // IVF probe-list prune BEFORE the ADC ranking
     "q103_ann_pq_ingest",   // serve from the ingested code store, no raw vecs
     "q104_audio",           // row-local kernel chain: zero exchanges end-to-end
-    "q105_gif_frames")      // frame explode + row-local decode, no shuffle
+    "q105_gif_frames",      // frame explode + row-local decode, no shuffle
+    "q107_ann_ivfpq_residual") // residual coding: broadcast per-list ADC prune
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])

@@ -1258,6 +1258,17 @@ r2o AS (
     "q102_ann_ivfpq" -> ((s, dir) =>
       graft.ext.Similarity.ivfPqTopKFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // RESIDUAL IVF+PQ (r10): the full FAISS IVFPQ shape — PQ codebooks
+    // fitted on coarse-quantizer residuals via the second integer shift,
+    // per-probed-list query ADC tables, and the cross-list query-
+    // residual-norm rule. Activated by the clustered-corpus probe run
+    // (+0.108 recall over plain at the shipped point, ≥+0.10 at every
+    // nCodes tier at σ=0.12 — IVFPQ_RESID_r10.md); the near-random
+    // fixture here exercises the arithmetic, the clustered SimilaritySpec
+    // corpus certifies the quality story.
+    "q107_ann_ivfpq_residual" -> ((s, dir) =>
+      graft.ext.Similarity.ivfPqResidualTopKFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // The DEPLOYED PQ loop end-to-end (streaming ingest → code store →
     // ADC serving): the corpus arrives as 3 id-disjoint micro-batches
     // through PqIngest's foreachBatch body — one batch REPLAYED under
@@ -1710,44 +1721,99 @@ r2o AS (
     * the sum of its 8 ADC entries. MATERIALIZED on the reused CTEs —
     * inlined references would expand the per-block subtrees
     * combinatorially (the q58 lesson). */
+  private def pqScoreSql(v: String, c: String): String =
+    s"2 * list_dot_product($v, $c.cv) - list_dot_product($c.cv, $c.cv)"
+
+  /** One block's unrolled fit + coding over ANY non-negative integer
+    * image CTE `src (id, vi)`: the sliced frame `{p}{b}_s`, the seeded
+    * init `{p}{b}_c0` (seed 42+b — the engine's per-block constant), the
+    * Lloyd's steps, and the per-vector codes `{p}{b}_code (id, cid)`.
+    * Shared verbatim by the plain chains (prefix `pb` over `si`) and the
+    * residual chains (prefix `rb` over `ri`). */
+  private def pqChainCore(p: String, src: String, b: Int): String = {
+    val width = 8; val nCodes = 16
+    val lo = b * width + 1; val hi = (b + 1) * width
+    val init =
+      s"""$p${b}_s AS MATERIALIZED (SELECT id, list_slice(vi, $lo, $hi) AS vi FROM $src),
+         |$p${b}_c0 AS MATERIALIZED (SELECT id AS cid, vi AS cv FROM (
+         |  SELECT id, vi, row_number() OVER (ORDER BY ${graft.learn.DetRandom.uniformSql("id", "id", 42L + b)}, id) AS rn FROM $p${b}_s)
+         |  WHERE rn <= $nCodes)""".stripMargin
+    val steps = (1 to kmeansFixedIters).map { i =>
+      val prev = s"$p${b}_c${i - 1}"
+      s"""$p${b}_a$i AS (SELECT cid, vi FROM (
+         |  SELECT s.vi, s.id, $prev.cid,
+         |    row_number() OVER (PARTITION BY s.id ORDER BY ${pqScoreSql("s.vi", prev)} DESC, $prev.cid) AS rk
+         |  FROM $p${b}_s s CROSS JOIN $prev) WHERE rk = 1),
+         |$p${b}_u$i AS (SELECT cid, list(sd ORDER BY d) AS cv FROM (
+         |  SELECT cid, t.d AS d, CAST(SUM(vi[t.d]) // COUNT(*) AS BIGINT) AS sd
+         |  FROM $p${b}_a$i, UNNEST(range(1, len(vi) + 1)) AS t(d) GROUP BY cid, t.d) GROUP BY cid),
+         |$p${b}_c$i AS MATERIALIZED (SELECT $prev.cid, COALESCE($p${b}_u$i.cv, $prev.cv) AS cv FROM $prev LEFT JOIN $p${b}_u$i USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
+    val last = s"$p${b}_c$kmeansFixedIters"
+    val code =
+      s"""$p${b}_code AS (SELECT id, cid FROM (
+         |  SELECT s.id, c.cid,
+         |    row_number() OVER (PARTITION BY s.id ORDER BY ${pqScoreSql("s.vi", "c")} DESC, c.cid) AS rk
+         |  FROM $p${b}_s s CROSS JOIN $last c) WHERE rk = 1)""".stripMargin
+    Seq(init, steps, code).mkString(",\n")
+  }
+
   private def pqBlockCtes: String = {
-    val blocks = 8; val width = 8; val nCodes = 16
-    val score = (v: String, c: String) =>
-      s"2 * list_dot_product($v, $c.cv) - list_dot_product($c.cv, $c.cv)"
+    val blocks = 8
     def chain(b: Int): String = {
-      val lo = b * width + 1; val hi = (b + 1) * width
-      val init =
-        s"""pb${b}_s AS MATERIALIZED (SELECT id, list_slice(vi, $lo, $hi) AS vi FROM si),
-           |pb${b}_c0 AS MATERIALIZED (SELECT id AS cid, vi AS cv FROM (
-           |  SELECT id, vi, row_number() OVER (ORDER BY ${graft.learn.DetRandom.uniformSql("id", "id", 42L + b)}, id) AS rn FROM pb${b}_s)
-           |  WHERE rn <= $nCodes)""".stripMargin
-      val steps = (1 to kmeansFixedIters).map { i =>
-        val prev = s"pb${b}_c${i - 1}"
-        s"""pb${b}_a$i AS (SELECT cid, vi FROM (
-           |  SELECT s.vi, s.id, $prev.cid,
-           |    row_number() OVER (PARTITION BY s.id ORDER BY ${score("s.vi", prev)} DESC, $prev.cid) AS rk
-           |  FROM pb${b}_s s CROSS JOIN $prev) WHERE rk = 1),
-           |pb${b}_u$i AS (SELECT cid, list(sd ORDER BY d) AS cv FROM (
-           |  SELECT cid, t.d AS d, CAST(SUM(vi[t.d]) // COUNT(*) AS BIGINT) AS sd
-           |  FROM pb${b}_a$i, UNNEST(range(1, len(vi) + 1)) AS t(d) GROUP BY cid, t.d) GROUP BY cid),
-           |pb${b}_c$i AS MATERIALIZED (SELECT $prev.cid, COALESCE(pb${b}_u$i.cv, $prev.cv) AS cv FROM $prev LEFT JOIN pb${b}_u$i USING (cid))"""
-          .stripMargin
-      }.mkString(",\n")
       val last = s"pb${b}_c$kmeansFixedIters"
-      val tail =
-        s"""pb${b}_code AS (SELECT id, cid FROM (
-           |  SELECT s.id, c.cid,
-           |    row_number() OVER (PARTITION BY s.id ORDER BY ${score("s.vi", "c")} DESC, c.cid) AS rk
-           |  FROM pb${b}_s s CROSS JOIN $last c) WHERE rk = 1),
-           |pb${b}_adc AS (SELECT k.id, ${score(s"(SELECT vi FROM pb${b}_s WHERE id = 0)", "c")} AS a
+      val adc =
+        s"""pb${b}_adc AS (SELECT k.id, ${pqScoreSql(s"(SELECT vi FROM pb${b}_s WHERE id = 0)", "c")} AS a
            |  FROM pb${b}_code k JOIN $last c USING (cid))""".stripMargin
-      Seq(init, steps, tail).mkString(",\n")
+      Seq(pqChainCore("pb", "si", b), adc).mkString(",\n")
     }
     val adcUnion = (0 until blocks)
       .map(b => s"SELECT id, a FROM pb${b}_adc").mkString(" UNION ALL ")
     s"""${(0 until blocks).map(chain).mkString(",\n")},
        |pqscore AS (SELECT id, SUM(a) AS score FROM ($adcUnion) GROUP BY id),
        |pqtop AS (SELECT id FROM pqscore WHERE id <> 0 ORDER BY score DESC, id LIMIT 10)"""
+      .stripMargin
+  }
+
+  /** Residual IVF+PQ oracle CTEs (q107) — grafted onto
+    * [[kmeansFixedCtes]] (needs `si`, the last Lloyd's CTE, `asg`, `qi`,
+    * `probes`): the twice-shifted residual image `ri`, the residual
+    * block chains (`rb` prefix, same unrolled math as `pb` over `si`),
+    * the per-probed-list query residuals + norms, and the norm-adjusted
+    * cross-list ADC ranking `rtop` — replaying
+    * [[graft.ext.Similarity.ivfPqResidualTopKFixed]] bit-for-bit. */
+  private def residualPqCtes: String = {
+    val blocks = 8; val width = 8
+    val cLast = s"c$kmeansFixedIters"
+    val ri =
+      s"""ri AS MATERIALIZED (
+         |  SELECT a.id, list_transform(range(1, len(si.vi) + 1), d -> si.vi[d] - c.cv[d] + 2000000) AS vi
+         |  FROM asg a JOIN si ON si.id = a.id JOIN $cLast c ON c.cid = a.cid)""".stripMargin
+    val chains = (0 until blocks).map(b => pqChainCore("rb", "ri", b))
+    val qres =
+      s"""qres AS MATERIALIZED (
+         |  SELECT p.cid, list_transform(range(1, len(q.vi) + 1), d -> q.vi[d] - c.cv[d] + 2000000) AS qr
+         |  FROM probes p JOIN $cLast c ON c.cid = p.cid CROSS JOIN qi q),
+         |qrn AS (SELECT cid, list_dot_product(qr, qr) AS nrm FROM qres)""".stripMargin
+    val radc = (0 until blocks).map { b =>
+      val lo = b * width + 1; val hi = (b + 1) * width
+      s"""radc$b AS (SELECT k.id,
+         |  2 * list_dot_product(list_slice(q.qr, $lo, $hi), c.cv) - list_dot_product(c.cv, c.cv) AS a
+         |  FROM rb${b}_code k JOIN asg ag ON ag.id = k.id
+         |  JOIN qres q ON q.cid = ag.cid
+         |  JOIN rb${b}_c$kmeansFixedIters c ON c.cid = k.cid)""".stripMargin
+    }
+    val radcUnion = (0 until blocks)
+      .map(b => s"SELECT id, a FROM radc$b").mkString(" UNION ALL ")
+    s"""$ri,
+       |${chains.mkString(",\n")},
+       |$qres,
+       |${radc.mkString(",\n")},
+       |rscore AS (SELECT id, SUM(a) AS s FROM ($radcUnion) GROUP BY id),
+       |rtop AS (
+       |  SELECT r.id FROM rscore r JOIN asg ag ON ag.id = r.id JOIN qrn ON qrn.cid = ag.cid
+       |  WHERE r.id <> 0 ORDER BY r.s - qrn.nrm DESC, r.id LIMIT 10)"""
       .stripMargin
   }
 
@@ -3058,6 +3124,13 @@ r2o AS (
         |$pqBlockCtes
         |SELECT id FROM asg JOIN probes USING (cid) JOIN pqscore USING (id)
         |WHERE id <> 0 ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    // replays the ENTIRE residual pipeline: coarse fit (kmeansFixedCtes),
+    // residual image, 8 residual Lloyd's chains, per-list query ADC +
+    // norms, cross-list ranking
+    "q107_ann_ivfpq_residual" ->
+      s"""WITH $kmeansFixedCtes,
+        |$residualPqCtes
+        |SELECT id FROM rtop""".stripMargin,
     "q101_ann_pq_recall" ->
       s"""WITH $pqCtes,
         |bf AS (

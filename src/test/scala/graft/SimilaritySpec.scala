@@ -376,6 +376,55 @@ class SimilaritySpec extends SparkSpec {
     assert(alt == got, s"IVF+PQ answer changed under repartitioning: $got vs $alt")
   }
 
+  test("ivfPqResidualTopKFixed: clustered recall beats plain IVF+PQ; deterministic") {
+    // the r10 activation regime (IVFPQ_RESID_r10.md): tight clusters
+    // (σ=0.12) are where residual coding pays — the 8-byte code spends
+    // its precision on the within-list offset instead of re-encoding the
+    // coarse position. Summed recall across 8 neighbourhoods, the same
+    // variance discipline as the IVF clustered test.
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(16)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.12 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").cache()
+    val queries = (0L to 7L)
+    def brute(qid: Long): Set[Long] = corpus
+      .crossJoin(corpus.filter($"vec_id" === qid).select($"embedding".as("q")))
+      .filter($"vec_id" =!= qid)
+      .select($"vec_id", ArrayOps.cosine($"embedding", $"q").as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame, want: Set[Long]): Int =
+      df.collect().map(_.getLong(0)).toSet.intersect(want).size
+    val perQuery = queries.map { qid =>
+      val want = brute(qid)
+      (recall(Similarity.ivfPqResidualTopKFixed(
+          corpus, "vec_id", "embedding", queryId = qid, k = 10), want),
+        recall(Similarity.ivfPqTopKFixed(
+          corpus, "vec_id", "embedding", queryId = qid, k = 10), want))
+    }
+    val res = perQuery.map(_._1).sum
+    val plain = perQuery.map(_._2).sum
+    info(s"clustered recall@10 over 8 queries — residual: $res/80, plain: $plain/80")
+    assert(res > plain,
+      s"residual IVF+PQ ($res/80) must beat plain ($plain/80) on tight clusters")
+    // determinism: a full re-fit (memo cleared) reproduces the ranking
+    val r1 = Similarity.ivfPqResidualTopKFixed(
+      corpus, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    graft.functions.Memos.clear(spark)
+    val r2 = Similarity.ivfPqResidualTopKFixed(
+      corpus, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1 == r2, s"residual IVF+PQ not deterministic: $r1 vs $r2")
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
