@@ -571,19 +571,25 @@ object Analytics {
     def pin(df: DataFrame): DataFrame =
       if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
     val e0 = canonical(edges, srcCol, dstCol, assumeCanonical)
-    val sym = pin(e0.select(col("a").as("u"), col("b").as("v"))
-      .union(e0.select(col("b").as("u"), col("a").as("v"))))
-    var lab = pin(sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")))
+    val sym = graft.functions.Phases.time("lprop sym") {
+      pin(e0.select(col("a").as("u"), col("b").as("v"))
+        .union(e0.select(col("b").as("u"), col("a").as("v"))))
+    }
+    var lab = graft.functions.Phases.time("lprop init") {
+      pin(sym.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lab")))
+    }
     val st = stateHint(sym.count(), checkpoint, broadcastStateBelow)
     val top1 = Window.partitionBy("u").orderBy(desc("n"), asc("lab"))
-    for (_ <- 1 to rounds) {
-      lab = pin(sym
-        .join(st(lab.select(col("id").as("v"), col("lab"))), Seq("v"))
-        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("n"))
-        .withColumn("__rn", row_number().over(top1))
-        .filter(col("__rn") === 1)
-        .select(col("u").as("id"), col("lab")))
+    for (r <- 1 to rounds) {
+      lab = graft.functions.Phases.time(s"lprop round $r") {
+        pin(sym
+          .join(st(lab.select(col("id").as("v"), col("lab"))), Seq("v"))
+          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("n"))
+          .withColumn("__rn", row_number().over(top1))
+          .filter(col("__rn") === 1)
+          .select(col("u").as("id"), col("lab")))
+      }
     }
     lab.select(col("id").as("node_id"), col("lab").as("community"))
   }
