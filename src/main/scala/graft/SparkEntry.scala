@@ -1269,6 +1269,11 @@ r2o AS (
     "q107_ann_ivfpq_residual" -> ((s, dir) =>
       graft.ext.Similarity.ivfPqResidualTopKFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // residual-tier measured recall — the q51/q54/q101 discipline applied
+    // to q107: |residual-IVFPQ ∩ brute-force| top-10 as exact integers
+    "q108_ann_ivfpq_resid_recall" -> ((s, dir) =>
+      graft.ext.Similarity.ivfPqResidualRecallFixed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
     // The DEPLOYED PQ loop end-to-end (streaming ingest → code store →
     // ADC serving): the corpus arrives as 3 id-disjoint micro-batches
     // through PqIngest's foreachBatch body — one batch REPLAYED under
@@ -3131,6 +3136,15 @@ r2o AS (
       s"""WITH $kmeansFixedCtes,
         |$residualPqCtes
         |SELECT id FROM rtop""".stripMargin,
+    "q108_ann_ivfpq_resid_recall" ->
+      s"""WITH $kmeansFixedCtes,
+        |$residualPqCtes,
+        |bf AS (
+        |  SELECT id FROM s
+        |  WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM s WHERE id = 0)) DESC, id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM rtop JOIN bf USING (id)) AS n_overlap""".stripMargin,
     "q101_ann_pq_recall" ->
       s"""WITH $pqCtes,
         |bf AS (

@@ -798,8 +798,32 @@ object Similarity {
       idCol: String,
       vecCol: String,
       queryId: Long,
+      k: Int): DataFrame =
+    recallVsBrute(pqTopKFixed(emb, idCol, vecCol, queryId, k),
+      emb, idCol, vecCol, queryId, k)
+
+  /** Residual IVF+PQ recall against the exact brute-force top-k — the
+    * measured-recall discipline (q51/q54/q101) applied to the q107 tier,
+    * so the residual index's quality is a certified number, not an
+    * assumption. */
+  def ivfPqResidualRecallFixed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame =
+    recallVsBrute(ivfPqResidualTopKFixed(emb, idCol, vecCol, queryId, k),
+      emb, idCol, vecCol, queryId, k)
+
+  /** `(k, n_overlap)` of an approximate top-k frame `(id)` against the
+    * exact double-cosine brute-force ranking — the shared recall core. */
+  private def recallVsBrute(
+      approx: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
       k: Int): DataFrame = {
-    val pq = pqTopKFixed(emb, idCol, vecCol, queryId, k)
     val s = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val q = s.filter(col("id") === queryId)
@@ -809,7 +833,7 @@ object Similarity {
       .orderBy(desc("score"), asc("id"))
       .limit(k)
       .select("id")
-    pq.join(bf, Seq("id"))
+    approx.join(bf, Seq("id"))
       .agg(lit(k.toLong).as("k"), count(lit(1)).as("n_overlap"))
   }
 
