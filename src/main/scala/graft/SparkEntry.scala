@@ -1440,6 +1440,20 @@ r2o AS (
       feat.select(col("doc_id"), col("frame_idx"), col("width"),
         col("height"), col("n_channels"), col("mean_px"))
     }),
+    // deterministic random-walk corpus (learn.Walks): 2 DeepWalk-style
+    // uniform walks of 4 steps from every co-purchase node — the
+    // "sentences" a skip-gram node-embedding trainer consumes, the other
+    // standard graph-representation input next to the propagation
+    // family's message passing. The step choice is
+    // mix(cur, wid·31+t) mod deg over DetRandom, so the corpus is
+    // partition-independent and the oracle unrolls the steps as CTEs.
+    // Rides the memoised partPairs build; per step one 2-key equi-join
+    // of the O(#walks) frontier against the pinned slot-indexed
+    // adjacency (never a join on the hub key alone).
+    "q109_random_walks" -> ((s, dir) =>
+      graft.learn.Walks.randomWalks(
+        partPairs(s, dir), nWalks = 2, steps = 4, seed = 42L,
+        assumeCanonical = true)),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
     // window pass, one shuffle on the key, no range join (ext.AsOf).
@@ -3145,6 +3159,32 @@ r2o AS (
         |  ORDER BY list_cosine_similarity(v, (SELECT v FROM s WHERE id = 0)) DESC, id LIMIT 10)
         |SELECT CAST(10 AS BIGINT) AS k,
         |  (SELECT COUNT(*) FROM rtop JOIN bf USING (id)) AS n_overlap""".stripMargin,
+    // 4 unrolled walk steps: slot-indexed adjacency (row_number − 1 per
+    // source, ordered by neighbour id) + the DetRandom choice
+    // mix(cur, wid·31 + t) mod deg — bit-identical to learn.Walks
+    "q109_random_walks" -> {
+      val steps = (1 to 4).map { t =>
+        s"""w$t AS (SELECT f.wid, a.v AS cur, a.vdeg AS deg FROM w${t - 1} f
+           |  JOIN adj a ON a.u = f.cur
+           |    AND a.idx = (${DetRandom.mixSql("f.cur", s"f.wid * 31 + $t", 42L)}) % f.deg)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 to 4).map { t =>
+        s"SELECT wid AS walk_id, CAST($t AS BIGINT) AS step, cur AS node_id FROM w$t"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+         |adj AS (SELECT u, v,
+         |    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
+         |    COUNT(*) OVER (PARTITION BY u) AS deg,
+         |    COUNT(*) OVER (PARTITION BY v) AS vdeg
+         |  FROM e0),
+         |w0 AS (SELECT u * 2 + g AS wid, u AS cur, deg FROM
+         |  (SELECT DISTINCT u, deg FROM adj) CROSS JOIN (SELECT unnest(range(2)) AS g)),
+         |$steps
+         |$out""".stripMargin
+    },
     "q101_ann_pq_recall" ->
       s"""WITH $pqCtes,
         |bf AS (

@@ -1,0 +1,100 @@
+package graft.learn
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic uniform random-walk corpus generation — the
+  * DeepWalk/node2vec training-data primitive (Perozzi et al., "DeepWalk:
+  * online learning of social representations", KDD 2014): emit `nWalks`
+  * fixed-length walks per node; the walk corpus is the "sentences" a
+  * skip-gram embedding trainer consumes. The reference's pipeline stops at
+  * message passing over the explicit graph (`model.py`); walk corpora are
+  * the other standard graph-representation input, so the engine ships the
+  * generator.
+  *
+  * Determinism (the whole point, vs. the papers' `random.choice`): the
+  * step-t choice out of `cur` is `mix(cur, wid·31 + t, seed) mod deg(cur)`
+  * over [[DetRandom]] — partition-independent, identical under any
+  * shuffle-partition setting, and expressible 1:1 in the DuckDB oracle
+  * (q109 unrolls the steps as CTEs). Neighbour slots are the
+  * `row_number − 1` of the neighbour list ordered by id, which is
+  * duplicate-free after canonicalization, so the slot table is unique.
+  *
+  * Scale shape: the adjacency is built ONCE — one window pass over the
+  * symmetrized edge list yields each edge's slot (`idx`), the source
+  * degree (`deg`) and the DESTINATION degree (`vdeg`); carrying `vdeg` on
+  * the edge row means a walk always arrives at a node already knowing its
+  * degree. Each step is then a single 2-key equi-join
+  * `(cur, choice) = (u, idx)` of the walk frontier against the pinned
+  * adjacency — message volume is O(#walks) per step, never O(Σ deg) (a
+  * join on `u` alone would replicate hub neighbour lists under every walk
+  * sitting on the hub), and there is no driver-side state. Steps are
+  * bounded like the propagation family's rounds.
+  */
+object Walks {
+
+  /** `(walk_id, step, node_id)` for `nWalks` walks per graph node, each
+    * of `steps` steps (`steps + 1` rows per walk incl. the start);
+    * `walk_id = node·nWalks + w`. Isolated nodes (absent from `edges`)
+    * start no walks; walks never get stuck because the symmetrized graph
+    * gives every reached node degree ≥ 1.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nWalks: Int = 2,
+      steps: Int = 4,
+      seed: Long = 42L,
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(nWalks >= 1, s"nWalks must be >= 1: $nWalks")
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e0 =
+      if (assumeCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else
+        edges.select(
+            least(col(srcCol), col(dstCol)).cast("long").as("a"),
+            greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+    val sym = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+    // one shuffle on u serves the slot ranking and deg(u); the deg(v)
+    // window adds the second build-time exchange — both once per call
+    val bySrc = Window.partitionBy("u")
+    val adj = pin(sym
+      .withColumn("idx", row_number().over(bySrc.orderBy("v")) - 1)
+      .withColumn("deg", count(lit(1)).over(bySrc))
+      .withColumn("vdeg", count(lit(1)).over(Window.partitionBy("v"))))
+    val starts = adj.filter(col("idx") === 0)
+      .select(col("u").as("id"), col("deg"))
+    var frontier = pin(starts
+      .select(col("id"), col("deg"),
+        explode(sequence(lit(0L), lit(nWalks - 1L))).as("g"))
+      .select((col("id") * nWalks + col("g")).as("wid"),
+        col("id").as("cur"), col("deg")))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += frontier.select(col("wid"), lit(0L).as("step"),
+      col("cur").as("node_id"))
+    for (t <- 1 to steps) {
+      val choice =
+        DetRandom.mix(col("cur"), col("wid") * lit(31L) + lit(t.toLong), seed) %
+          col("deg")
+      frontier = pin(frontier
+        .select(col("wid"), col("cur"), choice.as("choice"))
+        .join(adj, col("cur") === col("u") && col("choice") === col("idx"))
+        .select(col("wid"), col("v").as("cur"), col("vdeg").as("deg")))
+      outs += frontier.select(col("wid"), lit(t.toLong).as("step"),
+        col("cur").as("node_id"))
+    }
+    outs.result().reduce(_ union _)
+      .select(col("wid").as("walk_id"), col("step"), col("node_id"))
+  }
+}

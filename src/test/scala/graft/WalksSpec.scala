@@ -1,0 +1,102 @@
+package graft
+
+import graft.learn.{DetRandom, Walks}
+import org.apache.spark.sql.functions._
+
+class WalksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  /** Driver-side replay of the walk recurrence over a collected
+    * adjacency — the naive reference the distributed operator must
+    * reproduce row-for-row. */
+  private def naive(
+      pairs: Seq[(Long, Long)], nWalks: Int, steps: Int,
+      seed: Long): Set[(Long, Long, Long)] = {
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val adj = sym.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.map(_._2).sorted.toIndexedSeq
+    }
+    adj.keys.flatMap { id =>
+      (0 until nWalks).flatMap { g =>
+        val wid = id * nWalks + g
+        var cur = id
+        Seq((wid, 0L, id)) ++ (1 to steps).map { t =>
+          val nbrs = adj(cur)
+          val choice =
+            (DetRandom.mixLong(cur, wid * 31L + t, seed) % nbrs.size).toInt
+          cur = nbrs(choice)
+          (wid, t.toLong, cur)
+        }
+      }
+    }.toSet
+  }
+
+  test("walks match the driver-side naive replay on a random graph") {
+    val rng = new scala.util.Random(7)
+    val pairs = (0 until 120).map { _ =>
+      val a = rng.nextInt(25).toLong; val b = rng.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val got = Walks.randomWalks(edges(pairs: _*), nWalks = 2, steps = 4,
+        seed = 42L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === naive(pairs, nWalks = 2, steps = 4, seed = 42L))
+  }
+
+  test("every consecutive step is an edge and walk shape is exact") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val w = Walks.randomWalks(edges(pairs: _*), nWalks = 3, steps = 5,
+      seed = 9L).cache()
+    val rows = w.as[(Long, Long, Long)].collect()
+    // 4 nodes × 3 walks × 6 rows
+    assert(rows.length === 4 * 3 * 6)
+    val byWalk = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byWalk.size === 12)
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    byWalk.foreach { case (wid, path) =>
+      assert(path.head === wid / 3) // walk starts at its owner node
+      path.sliding(2).foreach { s =>
+        assert(sym.contains(s.head -> s(1)),
+          s"walk $wid hops a non-edge ${s.head}->${s(1)}")
+      }
+    }
+    w.unpersist()
+  }
+
+  test("partition independence and canonicalization") {
+    val rng = new scala.util.Random(11)
+    val pairs = (0 until 80).map { _ =>
+      (rng.nextInt(20).toLong, rng.nextInt(20).toLong)
+    }.filter(p => p._1 != p._2)
+    // raw (uncanonicalized, duplicated, both orientations) input
+    val raw = edges(pairs: _*)
+    val a = Walks.randomWalks(raw.repartition(1), steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Walks.randomWalks(raw.repartition(7), steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val c = Walks.randomWalks(
+        edges(pairs.map(p => (math.max(p._1, p._2), math.min(p._1, p._2))): _*),
+        steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a === c)
+  }
+
+  test("seed changes the corpus, same seed reproduces it") {
+    val pairs = (0L until 15L).map(i => (i, (i + 1) % 15)).map {
+      case (a, b) => (math.min(a, b), math.max(a, b))
+    }
+    val e = edges(pairs: _*)
+    val s1 = Walks.randomWalks(e, seed = 1L).as[(Long, Long, Long)]
+      .collect().toSet
+    val s1b = Walks.randomWalks(e, seed = 1L).as[(Long, Long, Long)]
+      .collect().toSet
+    val s2 = Walks.randomWalks(e, seed = 2L).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(s1 === s1b)
+    assert(s1 !== s2)
+  }
+}
