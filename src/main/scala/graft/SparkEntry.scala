@@ -1454,6 +1454,19 @@ r2o AS (
       graft.learn.Walks.randomWalks(
         partPairs(s, dir), nWalks = 2, steps = 4, seed = 42L,
         assumeCanonical = true)),
+    // leakage-safe split (ext.Dedup.leakSafeSplit): train/val/test drawn
+    // from the near-dup COMPONENT's canonical id, so no duplicate group
+    // ever straddles splits — the defence against eval contamination a
+    // doc_id hash split structurally lacks. Pure row-local projection
+    // over q58's component frame; the split itself adds zero exchanges.
+    "q111_leak_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Dedup.leakSafeSplit(
+        graft.ext.Dedup.dedupGroups(
+          docs.select(col("doc_id")),
+          graft.ext.Dedup.nearDupJaccardExact(docs, "doc_id", "text")),
+        seed = 42L)
+    }),
     // point-in-time (as-of) join: attach each event to the user's most
     // recent STRICTLY-prior purchase event (attribution) — union + one
     // window pass, one shuffle on the key, no range join (ext.AsOf).
@@ -2258,6 +2271,16 @@ r2o AS (
     "q58_dedup_groups" ->
       s"""$dedupGroupsCtes
         |SELECT doc_id, canon_id FROM g""".stripMargin,
+    // q58's component chain + the DetRandom draw over canon_id — every
+    // member of a component gets the same bucket by construction
+    "q111_leak_safe_split" ->
+      s"""$dedupGroupsCtes,
+        |sp AS (SELECT doc_id, canon_id,
+        |  (${DetRandom.mixSql("canon_id", "canon_id", 42L)}) % 10 AS bucket FROM g)
+        |SELECT doc_id, canon_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM sp""".stripMargin,
     // the sketch envelope audit: the oracle owns the exact side and
     // asserts every sketch flag came back true — DuckDB cannot decode
     // HLL/percentile sketches, but it CAN check that Spark's sketches

@@ -599,6 +599,34 @@ object Dedup {
     best.join(totals, Seq("canon_id"))
   }
 
+  /** Leakage-safe train/val/test split assignment: every document of a
+    * near-dup component ([[dedupGroups]]) lands in the SAME split,
+    * because the split is drawn from the component's canonical id, not
+    * the document's — the standard defence against test-set
+    * contamination through near-duplicates (a copy of a training
+    * document leaking into eval silently inflates every metric; see the
+    * dedup analyses of Lee et al. 2021). Hash-based splits over `doc_id`
+    * have exactly this failure mode; hashing `canon_id` removes it by
+    * construction.
+    *
+    * The draw is `mix(canon_id) mod 10` over
+    * [[graft.learn.DetRandom]] — buckets 0–7 train, 8 val, 9 test
+    * (80/10/10 in expectation over GROUPS; the exact oracle replays the
+    * arithmetic, q111). Singletons are their own component, so
+    * un-duplicated corpora degrade to a plain deterministic hash split.
+    *
+    * Scale shape: a pure row-local projection over the groups frame —
+    * no join, no exchange; whatever the component step cost is already
+    * paid. */
+  def leakSafeSplit(groups: DataFrame, seed: Long = 42L): DataFrame =
+    groups.select(col("doc_id"), col("canon_id"),
+        (graft.learn.DetRandom.mix(col("canon_id"), col("canon_id"), seed)
+          % 10).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+
   /** Signature frame for incremental/streaming dedup: one row per
     * (doc, band) with the banded MinHash key, plus the shingle set for the
     * exact verify — the unit a streaming ingest appends to its signature

@@ -320,4 +320,33 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(got7 === got)
   }
+
+  test("leakSafeSplit: groups never straddle splits, replayable, covers all three") {
+    import spark.implicits._
+    import graft.learn.DetRandom
+    // 300 docs in 100 components of 3 — wide enough that all three
+    // splits appear with overwhelming probability under any seed
+    val groups = (0L until 300L).map(i => (i, (i / 3) * 3))
+      .toDF("doc_id", "canon_id")
+    val got = Dedup.leakSafeSplit(groups, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length === 300)
+    // the draw is exactly mix(canon_id) mod 10 with the 8/1/1 rule
+    got.foreach { case (_, canon, bucket, split) =>
+      assert(bucket === DetRandom.mixLong(canon, canon, 42L) % 10)
+      val expected =
+        if (bucket < 8) "train" else if (bucket == 8) "val" else "test"
+      assert(split === expected)
+    }
+    // one split per component — the leakage guarantee
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._4).distinct.length === 1)
+    }
+    assert(got.map(_._4).distinct.sorted === Array("test", "train", "val"))
+    // partition independence
+    val got7 = Dedup.leakSafeSplit(groups.repartition(7), seed = 42L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got7.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }
