@@ -1454,6 +1454,17 @@ r2o AS (
       graft.learn.Walks.randomWalks(
         partPairs(s, dir), nWalks = 2, steps = 4, seed = 42L,
         assumeCanonical = true)),
+    // BPE merge-rule training (ext.Bpe): 5 rounds of most-frequent-
+    // adjacent-pair fusion over the word-frequency table — the tokenizer
+    // TRAINING step (q56 counts whole tokens; this learns the merge
+    // table a subword tokenizer ships). One corpus tokenise pass, then
+    // every round runs on the distinct-word symbol table; the winner is
+    // a deterministic total order (cnt DESC, pair ASC) taken as
+    // TakeOrderedAndProject and broadcast back; the greedy fuse is the
+    // run-parity closed form both engines replay exactly.
+    "q110_bpe_merges" -> ((s, dir) =>
+      graft.ext.Bpe.trainMerges(
+        t(s, dir, "documents"), "doc_id", "text", merges = 5)),
     // leakage-safe split (ext.Dedup.leakSafeSplit): train/val/test drawn
     // from the near-dup COMPONENT's canonical id, so no duplicate group
     // ever straddles splits — the defence against eval contamination a
@@ -2271,6 +2282,40 @@ r2o AS (
     "q58_dedup_groups" ->
       s"""$dedupGroupsCtes
         |SELECT doc_id, canon_id FROM g""".stripMargin,
+    // 5 unrolled BPE rounds over the word-frequency symbol table: pair
+    // lead + weighted count + (cnt DESC, a, b) winner, then the greedy
+    // left-to-right fuse as its run-parity closed form — for (a,a) a
+    // run fuses at even offsets only; for a <> b matches cannot overlap
+    "q110_bpe_merges" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""n$r AS (SELECT wd, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt FROM s${r - 1}),
+           |x$r AS (SELECT sym AS a, nxt AS b, SUM(freq) AS cnt FROM n$r
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+           |f$r AS (SELECT n.wd, n.freq, n.pos, n.sym, n.nxt, x.a, x.b, x.cnt,
+           |    CASE WHEN n.sym = x.a AND (lag(n.sym) OVER (PARTITION BY n.wd ORDER BY n.pos) IS DISTINCT FROM x.a)
+           |      THEN 1 ELSE 0 END AS rb
+           |  FROM n$r n CROSS JOIN x$r x),
+           |g$r AS (SELECT *, SUM(rb) OVER (PARTITION BY wd ORDER BY pos) AS run_id FROM f$r),
+           |h$r AS (SELECT *, pos - MIN(pos) OVER (PARTITION BY wd, run_id) AS off,
+           |    CASE WHEN sym = a AND nxt = b THEN 1 ELSE 0 END AS m FROM g$r),
+           |k$r AS (SELECT *, CASE WHEN m = 1 AND (a <> b OR off % 2 = 0) THEN 1 ELSE 0 END AS mg FROM h$r),
+           |l$r AS (SELECT *, COALESCE(lag(mg) OVER (PARTITION BY wd ORDER BY pos), 0) AS cons FROM k$r),
+           |s$r AS (SELECT wd, freq, row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+           |    CASE WHEN mg = 1 THEN a || b ELSE sym END AS sym
+           |  FROM l$r WHERE cons = 0)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM x$r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT wd, COUNT(*) AS freq FROM (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd FROM documents)
+         |  GROUP BY wd),
+         |s0 AS (SELECT wd, freq, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS sym FROM (
+         |  SELECT wd, freq, regexp_extract_all(wd, '.') AS l FROM w)),
+         |$rounds
+         |$out""".stripMargin
+    },
     // q58's component chain + the DetRandom draw over canon_id — every
     // member of a component gets the same bucket by construction
     "q111_leak_safe_split" ->

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge-rule TRAINING (Sennrich, Haddow & Birch,
+  * "Neural machine translation of rare words with subword units", ACL
+  * 2016) — the tokenizer-training step of an LLM data pipeline. q56's
+  * vocabulary top-k counts whole tokens; this learns the merge table a
+  * subword tokenizer actually ships: `merges` rounds of "find the
+  * most frequent adjacent symbol pair, fuse it everywhere".
+  *
+  * Exactly the paper's (and HuggingFace's) scale design: the corpus is
+  * tokenised ONCE into a word-frequency table, and every round operates
+  * on the distinct-word symbol table weighted by word frequency — corpus
+  * size stops mattering after the first pass; vocabulary size is the
+  * unit of round cost.
+  *
+  * Fully deterministic and oracle-replayable (q110): the winning pair is
+  * the total order (count DESC, left ASC, right ASC), and the fuse step
+  * is the run-parity closed form of the greedy left-to-right merge —
+  * for a self-pair (a,a) a maximal run of a's fuses at even offsets
+  * only ("aaa" → "aa","a"), for a ≠ b matches can never overlap, so a
+  * flag expression over two window passes reproduces the sequential
+  * scan exactly. Both engines unroll the same recurrence.
+  *
+  * Scale shape: one corpus tokenise pass (map-side-combined word count);
+  * per round one hash(word) exchange serving all window passes (pair
+  * lead, run grouping, fuse flags, position renumbering — all partition
+  * by the word), one map-side-combined pair-count aggregate, and a
+  * 1-row winner that joins back as a broadcast (TakeOrderedAndProject,
+  * never a global sort). Rounds are bounded like the propagation
+  * family's. */
+object Bpe {
+
+  /** The learned merge table: `(round, lhs, rhs, cnt)` — merge #round
+    * fused adjacent pair (lhs, rhs) whose frequency-weighted adjacent
+    * count was `cnt`. Symbols start as single characters of the
+    * lowercased `[a-z0-9]+` word tokens (no end-of-word marker — a
+    * documented simplification; the marker would just be one more
+    * initial symbol). */
+  def trainMerges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int = 5): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      df.coalesce(parts).localCheckpoint(eager = true)
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("wd"))
+      .filter(col("wd") =!= "")
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+    // Spark's split("") can emit a trailing empty slot; drop it (the
+    // remaining positions stay contiguous because only the last goes)
+    var cur = pin(words
+      .select(col("wd"), col("freq"),
+        posexplode(split(col("wd"), "")).as(Seq("pos", "sym")))
+      .filter(col("sym") =!= "")
+      .select(col("wd"), col("freq"), col("pos").cast("long").as("pos"),
+        col("sym")))
+    val wdW = Window.partitionBy("wd").orderBy("pos")
+    val runW = Window.partitionBy("wd", "run_id")
+    val rounds = Seq.newBuilder[DataFrame]
+    for (r <- 1 to merges) {
+      val withNext = cur.withColumn("nxt", lead("sym", 1).over(wdW))
+      val winner = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1)
+      rounds += winner.select(lit(r.toLong).as("round"),
+        col("a").as("lhs"), col("b").as("rhs"), col("cnt"))
+      cur = pin(withNext.crossJoin(broadcast(winner))
+        .withColumn("rb", (col("sym") === col("a") &&
+          (lag("sym", 1).over(wdW).isNull ||
+            lag("sym", 1).over(wdW) =!= col("a"))).cast("long"))
+        .withColumn("run_id", sum("rb").over(wdW))
+        .withColumn("off", col("pos") - min("pos").over(runW))
+        .withColumn("m", col("sym") === col("a") && col("nxt") === col("b"))
+        .withColumn("mg", col("m") &&
+          (col("a") =!= col("b") || col("off") % 2 === 0))
+        .withColumn("cons", coalesce(lag("mg", 1).over(wdW), lit(false)))
+        .filter(!col("cons"))
+        .select(col("wd"), col("freq"),
+          (row_number().over(wdW) - 1).cast("long").as("pos"),
+          when(col("mg"), concat(col("a"), col("b")))
+            .otherwise(col("sym")).as("sym")))
+    }
+    rounds.result().reduce(_ union _)
+  }
+}
