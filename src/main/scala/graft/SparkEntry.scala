@@ -1454,6 +1454,15 @@ r2o AS (
       graft.learn.Walks.randomWalks(
         partPairs(s, dir), nWalks = 2, steps = 4, seed = 42L,
         assumeCanonical = true)),
+    // hard-negative mining (ext.Similarity.hardNegatives): each
+    // vector's top-10 most-similar vectors drawn only from its probed
+    // NEIGHBOURING clusters (the q71 candidate machinery minus the
+    // query's own inverted list — probe ranks 2..nProbe) — the
+    // contrastive-training negatives a random draw is too easy to
+    // supply. Same candidate bound and WindowGroupLimit top-k as q71.
+    "q112_hard_negatives" -> ((s, dir) =>
+      graft.ext.Similarity.hardNegatives(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
     // BPE merge-rule training (ext.Bpe): 5 rounds of most-frequent-
     // adjacent-pair fusion over the word-frequency table — the tokenizer
     // TRAINING step (q56 counts whole tokens; this learns the merge
@@ -2572,6 +2581,22 @@ r2o AS (
       s"""WITH $knnCtes
         |SELECT qid AS vec_id, nid AS nbr_id, CAST(rk AS BIGINT) AS rk
         |FROM knn""".stripMargin,
+    // q71's probe machinery with the query's OWN list excluded (probe
+    // ranks 2..4) — candidates are similar-but-different-cluster by
+    // construction
+    "q112_hard_negatives" ->
+      s"""WITH $kmeansFixedCtes,
+        |hp AS (SELECT id, cid FROM (
+        |  SELECT si.id, c3.cid,
+        |    row_number() OVER (PARTITION BY si.id ORDER BY 2 * list_dot_product(si.vi, c3.cv) - list_dot_product(c3.cv, c3.cv) DESC, c3.cid) AS rk
+        |  FROM si CROSS JOIN c3) WHERE rk BETWEEN 2 AND 4),
+        |hc AS (
+        |  SELECT p.id AS qid, a.id AS nid, list_cosine_similarity(q.v, a.v) AS sim
+        |  FROM hp p JOIN asg a ON a.cid = p.cid AND a.id <> p.id
+        |  JOIN s q ON q.id = p.id)
+        |SELECT qid AS vec_id, nid AS neg_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM hc)
+        |WHERE rk <= 10""".stripMargin,
     "q72_knn_refine" ->
       s"""WITH $knnCtes,
         |two AS (

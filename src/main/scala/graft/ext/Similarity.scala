@@ -946,7 +946,58 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    probedCosineTopK(emb, idCol, vecCol, k, nCentroids, nProbe, iters,
+        seed, minProbeRank = 1)
+      .select(col("qid").as("vec_id"), col("nid").as("nbr_id"), col("rk"))
+
+  /** HARD-NEGATIVE mining for contrastive-embedding training: each
+    * vector's top-k most-similar vectors drawn ONLY from its probed
+    * neighbouring clusters, never its own — similar enough to be
+    * informative, semantically distinct by the same cluster structure
+    * SemDeDup (q68) treats as "same meaning". Positives come from the
+    * own cluster / near-dup machinery; these are the negatives a
+    * contrastive loss actually learns from (random negatives are too
+    * easy — the in-batch-negatives literature's motivating failure).
+    *
+    * Mechanically [[knnGraphFixed]] minus the query's own inverted
+    * list: the shared centroid ranking's rank-1 entry IS the own
+    * cluster, so dropping probe ranks < 2 excludes own-cluster
+    * candidates by construction (no anti-join needed). Same candidate
+    * bound (≤ nProbe·|V|/k̄ per query), same WindowGroupLimit top-k,
+    * same exact-cosine determinism; fit, probes and ranking replay in
+    * the DuckDB oracle (q112). */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame =
+    probedCosineTopK(emb, idCol, vecCol, k, nCentroids, nProbe, iters,
+        seed, minProbeRank = 2)
+      .select(col("qid").as("vec_id"), col("nid").as("neg_id"), col("rk"))
+
+  /** Shared probed-candidate core of [[knnGraphFixed]] and
+    * [[hardNegatives]]: one broadcast-centroid window ranks each
+    * vector's centroids ONCE — rank 1 is its inverted-list assignment,
+    * ranks `minProbeRank..nProbe` are its probe targets — then probes ⨝
+    * inverted lists on the cluster key (never all-pairs) are ranked by
+    * exact cosine with id tiebreak, top-k per query planned as
+    * WindowGroupLimit. `minProbeRank = 1` keeps the own list (the kNN
+    * graph); `2` drops it (hard negatives). */
+  private def probedCosineTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      iters: Int,
+      seed: Long,
+      minProbeRank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"),
@@ -965,7 +1016,7 @@ object Similarity {
       .localCheckpoint(eager = true) // read twice (lists + probes)
     val lists = ranked.filter(col("rk") === 1)
       .select(col("cid"), col("id").as("nid"), col("v").as("nv"))
-    val probes = ranked
+    val probes = ranked.filter(col("rk") >= minProbeRank)
       .select(col("id").as("qid"), col("v").as("qv"), col("cid"))
     val rankW = Window.partitionBy("qid").orderBy(desc("s"), asc("nid"))
     probes.join(lists, Seq("cid"))
@@ -974,8 +1025,7 @@ object Similarity {
         ArrayOps.cosine(col("qv"), col("nv")).as("s"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= k)
-      .select(col("qid").as("vec_id"), col("nid").as("nbr_id"),
-        col("rk").cast("long").as("rk"))
+      .select(col("qid"), col("nid"), col("rk").cast("long").as("rk"))
   }
 
   /** One NN-descent-style refinement round (Dong et al., "Efficient

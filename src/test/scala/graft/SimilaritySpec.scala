@@ -269,6 +269,54 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb.repartition(7)) === got)
   }
 
+  test("hardNegatives: full naive replay — probed-minus-own-list top-k, never own-cluster") {
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Similarity.hardNegatives(df, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(emb)
+
+    // driver-side replay of the whole pipeline over the PUBLIC fit:
+    // scaled image, centroid ranking (rank 1 = own cluster, 2..4 =
+    // probe targets), candidates = own-clusters of probed lists, exact
+    // cosine top-k with id tiebreak
+    val cents = Similarity.kmeansFixedCentroids(
+        emb, "vec_id", "embedding", 16, 3, 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+      .sortBy(_._1)
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ints = vecs.view.mapValues { a =>
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => math.floor(x / n * 1e6).toLong + 1000000L)
+    }.toMap
+    def ranking(id: Long): Seq[Long] = cents
+      .map { case (cid, cv) =>
+        val s = 2L * ints(id).zip(cv).map { case (a, b) => a * b }.sum -
+          cv.map(c => c * c).sum
+        (cid, s)
+      }
+      .sortBy { case (cid, s) => (-s, cid) }.map(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val own = vecs.keys.map(id => id -> ranking(id).head).toMap
+    val naive = vecs.keys.flatMap { q =>
+      val probed = ranking(q).slice(1, 4).toSet
+      vecs.keys.filter(n => n != q && probed.contains(own(n))).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5).zipWithIndex
+        .map { case (n, i) => (q, n, i + 1L) }
+    }.toSet
+    assert(got === naive)
+    // the defining property, stated directly: no negative shares the
+    // query's cluster
+    got.foreach { case (q, n, _) =>
+      assert(own(q) !== own(n), s"$q and $n share cluster ${own(q)}")
+    }
+    assert(run(emb.repartition(7)) === got)
+  }
+
   test("knnRefineFixed: refinement never lowers brute-force recall") {
     val k = 5
     val read = (df: org.apache.spark.sql.DataFrame) => df.collect()
