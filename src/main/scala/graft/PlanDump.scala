@@ -75,7 +75,12 @@ object PlanDump {
     "q103_ann_pq_ingest",   // serve from the ingested code store, no raw vecs
     "q104_audio",           // row-local kernel chain: zero exchanges end-to-end
     "q105_gif_frames",      // frame explode + row-local decode, no shuffle
-    "q107_ann_ivfpq_residual") // residual coding: broadcast per-list ADC prune
+    "q107_ann_ivfpq_residual", // residual coding: broadcast per-list ADC prune
+    "q109_random_walks",    // per-step 2-key equi-join of O(#walks) frontier
+    "q110_bpe_merges")      // BPE round: wd-window passes + 1-row winner bcast
+  // q111/q112 are shape-duplicates of audited sections (q58's component
+  // chain + a row-local projection; q71's probed top-k with a probe-rank
+  // filter) — PlanLintSpec still sweeps them every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -382,6 +387,17 @@ object PlanDump {
       |  codebook fit in the serving plan; posexplode + the broadcast ADC
       |  table + one per-id sum exchange + `TakeOrderedAndProject`. This
       |  is the plan a deployed PQ index runs per query.
+      |- **q109 (random walks)**: the adjacency is built once (two window
+      |  exchanges — slot rank + destination degree) and checkpointed;
+      |  every step is a single 2-key equi-join `(cur, choice) = (u, idx)`
+      |  of the O(#walks) frontier — carrying `vdeg` on the edge row is
+      |  what keeps hub neighbour lists from replicating under every walk
+      |  sitting on the hub.
+      |- **q110 (BPE training)**: ONE corpus tokenise pass into the
+      |  word-frequency table; each round is one hash(word) exchange
+      |  serving all its window passes, a map-side-combined pair count,
+      |  and a `TakeOrderedAndProject` 1-row winner re-entering as a
+      |  broadcast — corpus size stops mattering after the first pass.
       |
       |At 100 TB the same shapes hold: scans prune columns and push
       |predicates, dimensions broadcast, aggregations combine map-side, the

@@ -82,6 +82,17 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** q109's deterministic walk corpus over [[partPairs]], memoised so
+    * q113's skip-gram pair extraction rides the same walk build (the
+    * per-step frontiers are checkpointed inside [[graft.learn.Walks]];
+    * the memo shares the final union). */
+  private def partWalks(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-walks", dir)) {
+      graft.learn.Walks.randomWalks(
+        partPairs(s, dir), nWalks = 2, steps = 4, seed = 42L,
+        assumeCanonical = true)
+    }
+
   /** q89's edit-distance-1 customer-name pairs, memoised + checkpointed
     * like [[partPairs]] — q90's grouping rides the same build instead of
     * re-running the variant join + levenshtein verify. */
@@ -1450,10 +1461,15 @@ r2o AS (
     // Rides the memoised partPairs build; per step one 2-key equi-join
     // of the O(#walks) frontier against the pinned slot-indexed
     // adjacency (never a join on the hub key alone).
-    "q109_random_walks" -> ((s, dir) =>
-      graft.learn.Walks.randomWalks(
-        partPairs(s, dir), nWalks = 2, steps = 4, seed = 42L,
-        assumeCanonical = true)),
+    "q109_random_walks" -> ((s, dir) => partWalks(s, dir)),
+    // skip-gram training pairs over the q109 walk corpus (learn.Walks.
+    // skipGramPairs): every (center, context) co-occurrence within
+    // window 2 inside a walk, with corpus counts — the table a
+    // word2vec-style node-embedding trainer consumes; one walk_id
+    // equi-join (constant fan-out per walk) + one map-side-combined
+    // pair count. Rides the memoised walk build.
+    "q113_skipgram_pairs" -> ((s, dir) =>
+      graft.learn.Walks.skipGramPairs(partWalks(s, dir), window = 2)),
     // hard-negative mining (ext.Similarity.hardNegatives): each
     // vector's top-10 most-similar vectors drawn only from its probed
     // NEIGHBOURING clusters (the q71 candidate machinery minus the
@@ -1888,6 +1904,36 @@ r2o AS (
       |  SELECT qid, nid, rk FROM (
       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM kcand)
       |  WHERE rk <= 10)""".stripMargin
+
+  /** The q109/q113 walk-corpus CTE chain: co-purchase pairs →
+    * symmetrized slot-indexed adjacency (slot = `row_number − 1` per
+    * source ordered by neighbour id, with source AND destination
+    * degrees) → 4 unrolled walk steps via the DetRandom choice
+    * `mix(cur, wid·31 + t) mod deg` → `corpus (wid, st, cur)`. Mirrors
+    * [[graft.learn.Walks.randomWalks]] bit-for-bit. */
+  private def walkCtes: String = {
+    val steps = (1 to 4).map { t =>
+      s"""w$t AS (SELECT f.wid, a.v AS cur, a.vdeg AS deg FROM w${t - 1} f
+         |  JOIN adj a ON a.u = f.cur
+         |    AND a.idx = (${DetRandom.mixSql("f.cur", s"f.wid * 31 + $t", 42L)}) % f.deg)""".stripMargin
+    }.mkString(",\n")
+    val corpus = (0 to 4).map { t =>
+      s"SELECT wid, CAST($t AS BIGINT) AS st, cur FROM w$t"
+    }.mkString("\nUNION ALL\n")
+    s"""pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+       |adj AS (SELECT u, v,
+       |    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
+       |    COUNT(*) OVER (PARTITION BY u) AS deg,
+       |    COUNT(*) OVER (PARTITION BY v) AS vdeg
+       |  FROM e0),
+       |w0 AS (SELECT u * 2 + g AS wid, u AS cur, deg FROM
+       |  (SELECT DISTINCT u, deg FROM adj) CROSS JOIN (SELECT unnest(range(2)) AS g)),
+       |$steps,
+       |corpus AS ($corpus)""".stripMargin
+  }
 
   /** Degree-oriented triangle enumeration over the part co-purchase
     * graph — the shared CTE chain of q74 (per-node counts) and q78
@@ -3255,29 +3301,17 @@ r2o AS (
     // 4 unrolled walk steps: slot-indexed adjacency (row_number − 1 per
     // source, ordered by neighbour id) + the DetRandom choice
     // mix(cur, wid·31 + t) mod deg — bit-identical to learn.Walks
-    "q109_random_walks" -> {
-      val steps = (1 to 4).map { t =>
-        s"""w$t AS (SELECT f.wid, a.v AS cur, a.vdeg AS deg FROM w${t - 1} f
-           |  JOIN adj a ON a.u = f.cur
-           |    AND a.idx = (${DetRandom.mixSql("f.cur", s"f.wid * 31 + $t", 42L)}) % f.deg)""".stripMargin
-      }.mkString(",\n")
-      val out = (0 to 4).map { t =>
-        s"SELECT wid AS walk_id, CAST($t AS BIGINT) AS step, cur AS node_id FROM w$t"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-         |  FROM lineitem l1 JOIN lineitem l2
-         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
-         |adj AS (SELECT u, v,
-         |    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
-         |    COUNT(*) OVER (PARTITION BY u) AS deg,
-         |    COUNT(*) OVER (PARTITION BY v) AS vdeg
-         |  FROM e0),
-         |w0 AS (SELECT u * 2 + g AS wid, u AS cur, deg FROM
-         |  (SELECT DISTINCT u, deg FROM adj) CROSS JOIN (SELECT unnest(range(2)) AS g)),
-         |$steps
-         |$out""".stripMargin
-    },
+    "q109_random_walks" ->
+      s"""WITH $walkCtes
+         |SELECT wid AS walk_id, st AS step, cur AS node_id FROM corpus""".stripMargin,
+    // the walk corpus self-joined on walk_id within the ±2 skip-gram
+    // window, counted — learn.Walks.skipGramPairs's recurrence
+    "q113_skipgram_pairs" ->
+      s"""WITH $walkCtes
+         |SELECT a.cur AS src, b.cur AS ctx, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM corpus a JOIN corpus b ON a.wid = b.wid
+         |WHERE a.st <> b.st AND ABS(a.st - b.st) <= 2
+         |GROUP BY 1, 2""".stripMargin,
     "q101_ann_pq_recall" ->
       s"""WITH $pqCtes,
         |bf AS (

@@ -97,4 +97,29 @@ object Walks {
     outs.result().reduce(_ union _)
       .select(col("wid").as("walk_id"), col("step"), col("node_id"))
   }
+
+  /** Skip-gram training pairs over a walk corpus — the table a
+    * word2vec-style node-embedding trainer actually consumes (DeepWalk
+    * §4.2 feeds walks to skip-gram; this materialises the (center,
+    * context) co-occurrences with their corpus counts): every ordered
+    * pair of walk positions at distance 1..`window` inside the same
+    * walk, counted across the corpus. Symmetric by construction (both
+    * orientations of a co-occurrence appear), matching skip-gram's
+    * both-sides context window.
+    *
+    * Scale shape: one equi-join of the corpus with itself on `walk_id`
+    * — fan-out per walk is ≤ (steps+1)·2·window, a constant — then one
+    * map-side-combined `(src, ctx)` count; the exchange moves O(distinct
+    * co-occurring pairs). */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val a = walks.select(col("walk_id"),
+      col("step").as("sc"), col("node_id").as("src"))
+    val b = walks.select(col("walk_id"),
+      col("step").as("so"), col("node_id").as("ctx"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("so") =!= col("sc") &&
+        abs(col("so") - col("sc")) <= window)
+      .groupBy("src", "ctx").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -85,6 +85,30 @@ class WalksSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("skipGramPairs: matches the naive window expansion of the naive walks") {
+    val rng = new scala.util.Random(23)
+    val pairs = (0 until 100).map { _ =>
+      val a = rng.nextInt(20).toLong; val b = rng.nextInt(20).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val walks = Walks.randomWalks(edges(pairs: _*), nWalks = 2, steps = 4,
+      seed = 42L)
+    val got = Walks.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val nWalks = naive(pairs, nWalks = 2, steps = 4, seed = 42L)
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2).map(_._3)).toMap
+    val expected = nWalks.values.flatMap { path =>
+      for {
+        i <- path.indices; j <- path.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (path(i), path(j))
+    }.groupBy(identity).map { case ((s, c), xs) => (s, c, xs.size.toLong) }
+      .toSet
+    assert(got === expected)
+    // symmetric by construction: (a,b,n) present iff (b,a,n) present
+    got.foreach { case (s, c, n) => assert(got.contains((c, s, n))) }
+  }
+
   test("seed changes the corpus, same seed reproduces it") {
     val pairs = (0L until 15L).map(i => (i, (i + 1) % 15)).map {
       case (a, b) => (math.min(a, b), math.max(a, b))
