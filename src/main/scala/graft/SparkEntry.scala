@@ -1490,6 +1490,14 @@ r2o AS (
     "q110_bpe_merges" -> ((s, dir) =>
       graft.ext.Bpe.trainMerges(
         t(s, dir, "documents"), "doc_id", "text", merges = 5)),
+    // the trained tokenizer APPLIED (ext.Bpe.subwordVocab): top-100
+    // subword tokens by frequency-weighted corpus count after the 5
+    // fusion rounds — the encode-side witness (q56 is this table at
+    // merges = 0). Rides q110's memoised training; one map-side-
+    // combined aggregate + TakeOrderedAndProject.
+    "q114_bpe_vocab" -> ((s, dir) =>
+      graft.ext.Bpe.subwordVocab(
+        t(s, dir, "documents"), "doc_id", "text", merges = 5, topK = 100)),
     // leakage-safe split (ext.Dedup.leakSafeSplit): train/val/test drawn
     // from the near-dup COMPONENT's canonical id, so no duplicate group
     // ever straddles splits — the defence against eval contamination a
@@ -1904,6 +1912,37 @@ r2o AS (
       |  SELECT qid, nid, rk FROM (
       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM kcand)
       |  WHERE rk <= 10)""".stripMargin
+
+  /** The q110/q114 BPE training CTE chain: word-frequency table →
+    * exploded symbol table `s0` → 5 unrolled fusion rounds, each with
+    * its winner `x_r` (cnt DESC, pair ASC) and the run-parity greedy
+    * fuse → final table `s5`. Mirrors [[graft.ext.Bpe]] bit-for-bit. */
+  private def bpeCtes: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""n$r AS (SELECT wd, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt FROM s${r - 1}),
+         |x$r AS (SELECT sym AS a, nxt AS b, SUM(freq) AS cnt FROM n$r
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |f$r AS (SELECT n.wd, n.freq, n.pos, n.sym, n.nxt, x.a, x.b, x.cnt,
+         |    CASE WHEN n.sym = x.a AND (lag(n.sym) OVER (PARTITION BY n.wd ORDER BY n.pos) IS DISTINCT FROM x.a)
+         |      THEN 1 ELSE 0 END AS rb
+         |  FROM n$r n CROSS JOIN x$r x),
+         |g$r AS (SELECT *, SUM(rb) OVER (PARTITION BY wd ORDER BY pos) AS run_id FROM f$r),
+         |h$r AS (SELECT *, pos - MIN(pos) OVER (PARTITION BY wd, run_id) AS off,
+         |    CASE WHEN sym = a AND nxt = b THEN 1 ELSE 0 END AS m FROM g$r),
+         |k$r AS (SELECT *, CASE WHEN m = 1 AND (a <> b OR off % 2 = 0) THEN 1 ELSE 0 END AS mg FROM h$r),
+         |l$r AS (SELECT *, COALESCE(lag(mg) OVER (PARTITION BY wd ORDER BY pos), 0) AS cons FROM k$r),
+         |s$r AS (SELECT wd, freq, row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN mg = 1 THEN a || b ELSE sym END AS sym
+         |  FROM l$r WHERE cons = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT wd, COUNT(*) AS freq FROM (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd FROM documents)
+       |  GROUP BY wd),
+       |s0 AS (SELECT wd, freq, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS sym FROM (
+       |  SELECT wd, freq, regexp_extract_all(wd, '.') AS l FROM w)),
+       |$rounds""".stripMargin
+  }
 
   /** The q109/q113 walk-corpus CTE chain: co-purchase pairs →
     * symmetrized slot-indexed adjacency (slot = `row_number − 1` per
@@ -2342,35 +2381,18 @@ r2o AS (
     // left-to-right fuse as its run-parity closed form — for (a,a) a
     // run fuses at even offsets only; for a <> b matches cannot overlap
     "q110_bpe_merges" -> {
-      val rounds = (1 to 5).map { r =>
-        s"""n$r AS (SELECT wd, freq, pos, sym,
-           |    lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt FROM s${r - 1}),
-           |x$r AS (SELECT sym AS a, nxt AS b, SUM(freq) AS cnt FROM n$r
-           |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-           |f$r AS (SELECT n.wd, n.freq, n.pos, n.sym, n.nxt, x.a, x.b, x.cnt,
-           |    CASE WHEN n.sym = x.a AND (lag(n.sym) OVER (PARTITION BY n.wd ORDER BY n.pos) IS DISTINCT FROM x.a)
-           |      THEN 1 ELSE 0 END AS rb
-           |  FROM n$r n CROSS JOIN x$r x),
-           |g$r AS (SELECT *, SUM(rb) OVER (PARTITION BY wd ORDER BY pos) AS run_id FROM f$r),
-           |h$r AS (SELECT *, pos - MIN(pos) OVER (PARTITION BY wd, run_id) AS off,
-           |    CASE WHEN sym = a AND nxt = b THEN 1 ELSE 0 END AS m FROM g$r),
-           |k$r AS (SELECT *, CASE WHEN m = 1 AND (a <> b OR off % 2 = 0) THEN 1 ELSE 0 END AS mg FROM h$r),
-           |l$r AS (SELECT *, COALESCE(lag(mg) OVER (PARTITION BY wd ORDER BY pos), 0) AS cons FROM k$r),
-           |s$r AS (SELECT wd, freq, row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
-           |    CASE WHEN mg = 1 THEN a || b ELSE sym END AS sym
-           |  FROM l$r WHERE cons = 0)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 5).map { r =>
         s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM x$r"
       }.mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT wd, COUNT(*) AS freq FROM (
-         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd FROM documents)
-         |  GROUP BY wd),
-         |s0 AS (SELECT wd, freq, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS sym FROM (
-         |  SELECT wd, freq, regexp_extract_all(wd, '.') AS l FROM w)),
-         |$rounds
+      s"""WITH $bpeCtes
          |$out""".stripMargin
     },
+    // the final fused symbol table aggregated — the trained tokenizer's
+    // corpus vocabulary (freq DESC, token ASC cut)
+    "q114_bpe_vocab" ->
+      s"""WITH $bpeCtes
+         |SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS freq FROM s5
+         |GROUP BY sym ORDER BY freq DESC, token LIMIT 100""".stripMargin,
     // q58's component chain + the DetRandom draw over canon_id — every
     // member of a component gets the same bucket by construction
     "q111_leak_safe_split" ->

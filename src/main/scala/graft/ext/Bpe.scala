@@ -44,7 +44,49 @@ object Bpe {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Int = 5): DataFrame = {
+      merges: Int = 5): DataFrame =
+    trainCore(docs, idCol, textCol, merges)._1.reduce(_ union _)
+
+  /** The trained tokenizer APPLIED to its corpus: the top-`topK`
+    * subword tokens by frequency-weighted corpus count after `merges`
+    * fusion rounds — the encode-side witness of [[trainMerges]] (a
+    * word's segmentation is fully determined by the merge table, so the
+    * corpus subword histogram certifies the apply step without
+    * re-walking raw documents; q56 is this table at merges = 0, whole
+    * words). Deterministic (freq DESC, token ASC) cut, planned as
+    * TakeOrderedAndProject over one map-side-combined aggregate of the
+    * final symbol table. */
+  def subwordVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int = 5,
+      topK: Int = 100): DataFrame =
+    trainCore(docs, idCol, textCol, merges)._2
+      .groupBy(col("sym").as("token")).agg(sum("freq").as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(topK)
+
+  /** Shared trainer core: the per-round winner frames and the final
+    * fused symbol table `(wd, freq, pos, sym)` — memoised per (corpus
+    * plan, cols, merges) so the merge-table query and the vocab query
+    * pay ONE training per session+pass (the per-round checkpoints are
+    * the expensive part). */
+  private def trainCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int): (Seq[DataFrame], DataFrame) =
+    graft.functions.Memos.getOrElseUpdate(
+      docs.sparkSession,
+      ("bpe-train", docs.queryExecution.analyzed.canonicalized,
+        idCol, textCol, merges))(
+      trainCoreUncached(docs, idCol, textCol, merges))
+
+  private def trainCoreUncached(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int): (Seq[DataFrame], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1: $merges")
     val spark = docs.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -90,6 +132,6 @@ object Bpe {
           when(col("mg"), concat(col("a"), col("b")))
             .otherwise(col("sym")).as("sym")))
     }
-    rounds.result().reduce(_ union _)
+    (rounds.result(), cur)
   }
 }

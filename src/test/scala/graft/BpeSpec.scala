@@ -69,6 +69,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("subwordVocab: equals applying the naive merges to the word table") {
+    val rng = new scala.util.Random(29)
+    val texts = (0 until 40).map { _ =>
+      (0 until (2 + rng.nextInt(5))).map { _ =>
+        (0 until (1 + rng.nextInt(6)))
+          .map(_ => "abc" (rng.nextInt(3))).mkString
+      }.mkString(" ")
+    }
+    // re-run the sequential trainer, keeping the final symbol tables
+    val words = texts
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var syms: Map[String, Vector[String]] =
+      words.map { case (w, _) => w -> w.split("").toVector.filter(_.nonEmpty) }
+    naive(texts, 4).foreach { case (_, a, b, _) =>
+      syms = syms.map { case (w, v) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < v.size) {
+          if (i < v.size - 1 && v(i) == a && v(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += v(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val counts = mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- words; s <- syms(w)) counts(s) += f
+    val expected = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(10)
+    val got = Bpe.subwordVocab(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text", merges = 4, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("partition independence") {
     val texts = (0 until 30).map(i => s"pack pac $i ack aack aaack pack")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
