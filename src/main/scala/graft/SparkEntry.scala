@@ -1462,6 +1462,19 @@ r2o AS (
     // of the O(#walks) frontier against the pinned slot-indexed
     // adjacency (never a join on the hub key alone).
     "q109_random_walks" -> ((s, dir) => partWalks(s, dir)),
+    // node2vec second-order biased walks (learn.Walks.node2vecWalks):
+    // from step 2 the candidate weight depends on the PREVIOUS node —
+    // (wRet, wIn, wOut) = (1, 4, 2), the integer image of p = 4, q = 2 —
+    // and the draw is the cumulative-weight slot containing
+    // mix(cur, wid·31+t) mod Σw. Per step one frontier ⨝ adjacency join
+    // (the inherent O(Σ deg) second-order cost), one (prev, v)
+    // neighbourhood-membership equi-join, one per-walk running-sum
+    // window. Oracle unrolls all of it.
+    "q115_node2vec_walks" -> ((s, dir) =>
+      graft.learn.Walks.node2vecWalks(
+        partPairs(s, dir), nWalks = 2, steps = 4,
+        wRet = 1L, wIn = 4L, wOut = 2L, seed = 42L,
+        assumeCanonical = true)),
     // skip-gram training pairs over the q109 walk corpus (learn.Walks.
     // skipGramPairs): every (center, context) co-occurrence within
     // window 2 inside a walk, with corpus counts — the table a
@@ -3326,6 +3339,43 @@ r2o AS (
     "q109_random_walks" ->
       s"""WITH $walkCtes
          |SELECT wid AS walk_id, st AS step, cur AS node_id FROM corpus""".stripMargin,
+    // node2vec: uniform step 1, then 3 unrolled biased steps — candidate
+    // weights (1, 4, 2) by return / in-neighbourhood / out, the draw
+    // resolved by the per-walk cumulative-weight slot
+    "q115_node2vec_walks" -> {
+      val steps = (2 to 4).map { t =>
+        val r = DetRandom.mixSql("cur", s"wid * 31 + $t", 42L)
+        s"""c$t AS (SELECT f.wid, f.prev, f.cur, a.v, a.idx,
+           |    CASE WHEN a.v = f.prev THEN 1
+           |         WHEN e.u IS NOT NULL THEN 4 ELSE 2 END AS wt
+           |  FROM v${t - 1} f JOIN adj a ON a.u = f.cur
+           |  LEFT JOIN adj e ON e.u = f.prev AND e.v = a.v),
+           |d$t AS (SELECT *, SUM(wt) OVER (PARTITION BY wid ORDER BY idx) AS cw,
+           |    SUM(wt) OVER (PARTITION BY wid) AS tot FROM c$t),
+           |v$t AS (SELECT wid, cur AS prev, v AS cur FROM d$t
+           |  WHERE ($r) % tot >= cw - wt AND ($r) % tot < cw)""".stripMargin
+      }.mkString(",\n")
+      val out = Seq(
+        "SELECT wid AS walk_id, CAST(0 AS BIGINT) AS step, cur AS node_id FROM n0") ++
+        (1 to 4).map { t =>
+          s"SELECT wid, CAST($t AS BIGINT), cur FROM v$t"
+        }
+      s"""WITH pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b AS u, a AS v FROM pp),
+         |adj AS (SELECT u, v,
+         |    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,
+         |    COUNT(*) OVER (PARTITION BY u) AS deg
+         |  FROM e0),
+         |n0 AS (SELECT u * 2 + g AS wid, u AS cur, deg FROM
+         |  (SELECT DISTINCT u, deg FROM adj) CROSS JOIN (SELECT unnest(range(2)) AS g)),
+         |v1 AS (SELECT n.wid, n.cur AS prev, a.v AS cur FROM n0 n
+         |  JOIN adj a ON a.u = n.cur
+         |    AND a.idx = (${DetRandom.mixSql("n.cur", "n.wid * 31 + 1", 42L)}) % n.deg),
+         |$steps
+         |${out.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // the walk corpus self-joined on walk_id within the ±2 skip-gram
     // window, counted — learn.Walks.skipGramPairs's recurrence
     "q113_skipgram_pairs" ->

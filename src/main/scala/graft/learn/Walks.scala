@@ -98,6 +98,105 @@ object Walks {
       .select(col("wid").as("walk_id"), col("step"), col("node_id"))
   }
 
+  /** node2vec SECOND-ORDER biased walks (Grover & Leskovec, "node2vec:
+    * scalable feature learning for networks", KDD 2016): from step 2 on,
+    * the candidate weight depends on the PREVIOUS node — `wRet` for
+    * returning to it, `wIn` for candidates that are its neighbours
+    * (BFS-ish, structural equivalence), `wOut` otherwise (DFS-ish,
+    * homophily). Integer weights replace the paper's 1/p : 1 : 1/q
+    * ratios (p = 4, q = 2 ⇒ (wRet, wIn, wOut) = (1, 4, 2)), so the
+    * weighted draw is exact: the step choice is the candidate whose
+    * cumulative-weight slot (slot order = neighbour id) contains
+    * `mix(cur, wid·31 + t, seed) mod Σw` — deterministic,
+    * partition-independent, oracle-unrolled (q115). Step 1 has no
+    * previous node and draws uniformly like [[randomWalks]].
+    *
+    * Scale shape: step t joins the frontier's current nodes against the
+    * pinned adjacency (message volume O(Σ deg(cur)) — the inherent
+    * second-order cost; the paper pays the same in its alias tables),
+    * marks in-neighbourhood candidates with ONE (prev, v) equi-join
+    * against the same adjacency, and resolves the draw with a per-walk
+    * running-sum window (partition = walk, size = deg(cur)). No
+    * driver-side state; steps bounded. */
+  def node2vecWalks(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nWalks: Int = 2,
+      steps: Int = 4,
+      wRet: Long = 1L,
+      wIn: Long = 4L,
+      wOut: Long = 2L,
+      seed: Long = 42L,
+      checkpoint: Boolean = true,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(nWalks >= 1, s"nWalks must be >= 1: $nWalks")
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    require(wRet >= 1 && wIn >= 1 && wOut >= 1,
+      s"weights must be >= 1: ($wRet, $wIn, $wOut)")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e0 =
+      if (assumeCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else
+        edges.select(
+            least(col(srcCol), col(dstCol)).cast("long").as("a"),
+            greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+    val sym = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+    val bySrc = Window.partitionBy("u")
+    val adj = pin(sym
+      .withColumn("idx", row_number().over(bySrc.orderBy("v")) - 1)
+      .withColumn("deg", count(lit(1)).over(bySrc)))
+    val starts = adj.filter(col("idx") === 0)
+      .select(col("u").as("id"), col("deg"))
+    val w0 = pin(starts
+      .select(col("id"), col("deg"),
+        explode(sequence(lit(0L), lit(nWalks - 1L))).as("g"))
+      .select((col("id") * nWalks + col("g")).as("wid"),
+        col("id").as("cur"), col("deg")))
+    // step 1: uniform (no previous node yet)
+    var frontier = pin(w0
+      .select(col("wid"), col("cur"),
+        (DetRandom.mix(col("cur"), col("wid") * lit(31L) + lit(1L), seed) %
+          col("deg")).as("choice"))
+      .join(adj, col("cur") === col("u") && col("choice") === col("idx"))
+      .select(col("wid"), col("cur").as("prev"), col("v").as("cur")))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += w0.select(col("wid"), lit(0L).as("step"), col("cur").as("node_id"))
+    outs += frontier.select(col("wid"), lit(1L).as("step"),
+      col("cur").as("node_id"))
+    val byWalk = Window.partitionBy("wid")
+    for (t <- 2 to steps) {
+      val cand = frontier
+        .join(adj.select(col("u"), col("v"), col("idx")),
+          col("u") === col("cur"))
+        .join(adj.select(col("u").as("pu"), col("v").as("pv")),
+          col("pu") === col("prev") && col("pv") === col("v"), "left")
+        .withColumn("wt",
+          when(col("v") === col("prev"), lit(wRet))
+            .when(col("pu").isNotNull, lit(wIn))
+            .otherwise(lit(wOut)))
+        .withColumn("cw", sum("wt").over(byWalk.orderBy("idx")))
+        .withColumn("tot", sum("wt").over(byWalk))
+        .withColumn("r",
+          DetRandom.mix(col("cur"), col("wid") * lit(31L) + lit(t.toLong),
+            seed) % col("tot"))
+      frontier = pin(cand
+        .filter(col("r") >= col("cw") - col("wt") && col("r") < col("cw"))
+        .select(col("wid"), col("cur").as("prev"), col("v").as("cur")))
+      outs += frontier.select(col("wid"), lit(t.toLong).as("step"),
+        col("cur").as("node_id"))
+    }
+    outs.result().reduce(_ union _)
+      .select(col("wid").as("walk_id"), col("step"), col("node_id"))
+  }
+
   /** Skip-gram training pairs over a walk corpus — the table a
     * word2vec-style node-embedding trainer actually consumes (DeepWalk
     * §4.2 feeds walks to skip-gram; this materialises the (center,

@@ -85,6 +85,86 @@ class WalksSpec extends SparkSpec {
     assert(a === c)
   }
 
+  /** Driver-side replay of the node2vec recurrence. */
+  private def naiveN2v(
+      pairs: Seq[(Long, Long)], nWalks: Int, steps: Int,
+      wRet: Long, wIn: Long, wOut: Long,
+      seed: Long): Set[(Long, Long, Long)] = {
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val adj = sym.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.map(_._2).sorted.toIndexedSeq
+    }
+    val nbr = sym.toSet
+    adj.keys.flatMap { id =>
+      (0 until nWalks).flatMap { g =>
+        val wid = id * nWalks + g
+        var prev = id
+        var cur = {
+          val nbrs = adj(id)
+          nbrs((DetRandom.mixLong(id, wid * 31L + 1, seed) % nbrs.size).toInt)
+        }
+        Seq((wid, 0L, id), (wid, 1L, cur)) ++ (2 to steps).map { t =>
+          val cands = adj(cur)
+          val wts = cands.map { v =>
+            if (v == prev) wRet
+            else if (nbr.contains(prev -> v)) wIn
+            else wOut
+          }
+          val r = DetRandom.mixLong(cur, wid * 31L + t, seed) % wts.sum
+          var acc = 0L; var pick = -1
+          wts.indices.foreach { i =>
+            if (pick < 0) { acc += wts(i); if (r < acc) pick = i }
+          }
+          prev = cur; cur = cands(pick)
+          (wid, t.toLong, cur)
+        }
+      }
+    }.toSet
+  }
+
+  test("node2vecWalks match the driver-side replay; edges only; partition-independent") {
+    val rng = new scala.util.Random(31)
+    val pairs = (0 until 120).map { _ =>
+      val a = rng.nextInt(25).toLong; val b = rng.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val e = edges(pairs: _*)
+    val got = Walks.node2vecWalks(e, nWalks = 2, steps = 4,
+        wRet = 1L, wIn = 4L, wOut = 2L, seed = 42L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === naiveN2v(pairs, 2, 4, 1L, 4L, 2L, 42L))
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    got.groupBy(_._1).foreach { case (wid, rows) =>
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      assert(path.length === 5, s"walk $wid truncated")
+      path.sliding(2).foreach(s =>
+        assert(sym.contains(s.head -> s(1)), s"walk $wid hops a non-edge"))
+    }
+    val got7 = Walks.node2vecWalks(e.repartition(7), nWalks = 2, steps = 4,
+        wRet = 1L, wIn = 4L, wOut = 2L, seed = 42L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got7 === got)
+  }
+
+  test("node2vec return bias: huge wRet makes step 2 revisit the start") {
+    val pairs = {
+      val rng = new scala.util.Random(37)
+      (0 until 150).map { _ =>
+        val a = rng.nextInt(30).toLong; val b = rng.nextInt(30).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+    }
+    val rows = Walks.node2vecWalks(edges(pairs: _*), nWalks = 2, steps = 2,
+        wRet = 1000000L, wIn = 1L, wOut = 1L, seed = 42L)
+      .as[(Long, Long, Long)].collect()
+    val byWalk = rows.groupBy(_._1)
+    val returned = byWalk.values.count { rs =>
+      val p = rs.sortBy(_._2).map(_._3); p(2) == p(0)
+    }
+    assert(returned.toDouble / byWalk.size > 0.9,
+      s"only $returned/${byWalk.size} walks returned under a 1e6 return weight")
+  }
+
   test("skipGramPairs: matches the naive window expansion of the naive walks") {
     val rng = new scala.util.Random(23)
     val pairs = (0 until 100).map { _ =>
