@@ -93,6 +93,15 @@ object SparkEntry {
         assumeCanonical = true)
     }
 
+  /** q113's skip-gram pair table over [[partWalks]], memoised +
+    * checkpointed so q116's PMI scoring rides the same pair build. */
+  private def partWalkPairs(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-walk-pairs", dir)) {
+      graft.learn.Walks.skipGramPairs(partWalks(s, dir), window = 2)
+        .coalesce(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(eager = true)
+    }
+
   /** q89's edit-distance-1 customer-name pairs, memoised + checkpointed
     * like [[partPairs]] — q90's grouping rides the same build instead of
     * re-running the variant join + levenshtein verify. */
@@ -1481,8 +1490,25 @@ r2o AS (
     // word2vec-style node-embedding trainer consumes; one walk_id
     // equi-join (constant fan-out per walk) + one map-side-combined
     // pair count. Rides the memoised walk build.
-    "q113_skipgram_pairs" -> ((s, dir) =>
-      graft.learn.Walks.skipGramPairs(partWalks(s, dir), window = 2)),
+    "q113_skipgram_pairs" -> ((s, dir) => partWalkPairs(s, dir)),
+    // the walk-corpus PMI matrix (learn.Walks.pairLift): the strongest
+    // co-occurrence entries as the exact log-free lift — the matrix
+    // skip-gram implicitly factorizes (NetMF, Qiu et al. 2018), i.e.
+    // the q99 collocation treatment applied to the q113 pair table.
+    // O(|V|) marginal aggregates + a 1-row broadcast total +
+    // TakeOrderedAndProject; rides the memoised pair build.
+    "q116_walk_pmi" -> ((s, dir) =>
+      graft.learn.Walks.pairLift(partWalkPairs(s, dir),
+        minCount = 2L, topK = 200)),
+    // per-doc token counts under the TRAINED tokenizer (ext.Bpe.
+    // tokenCounts): the budget number a pipeline actually uses (q38's
+    // regex count is the untrained proxy). One vocab-sized (word →
+    // subword count) aggregate over q110's memoised final symbol table,
+    // one corpus word explode joined on the word key, one map-side-
+    // combined per-doc sum; wordless docs count 0.
+    "q117_bpe_token_counts" -> ((s, dir) =>
+      graft.ext.Bpe.tokenCounts(
+        t(s, dir, "documents"), "doc_id", "text", merges = 5)),
     // hard-negative mining (ext.Similarity.hardNegatives): each
     // vector's top-10 most-similar vectors drawn only from its probed
     // NEIGHBOURING clusters (the q71 candidate machinery minus the
@@ -3384,6 +3410,30 @@ r2o AS (
          |FROM corpus a JOIN corpus b ON a.wid = b.wid
          |WHERE a.st <> b.st AND ABS(a.st - b.st) <= 2
          |GROUP BY 1, 2""".stripMargin,
+    // the q113 pair table + O(|V|) marginals + the corpus total, scored
+    // as the exact log-free lift (PMI's monotone integer image)
+    "q116_walk_pmi" ->
+      s"""WITH $walkCtes,
+         |pr AS (SELECT a.cur AS src, b.cur AS ctx, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM corpus a JOIN corpus b ON a.wid = b.wid
+         |  WHERE a.st <> b.st AND ABS(a.st - b.st) <= 2 GROUP BY 1, 2),
+         |ms AS (SELECT src, SUM(cnt) AS n_src FROM pr GROUP BY 1),
+         |mc AS (SELECT ctx, SUM(cnt) AS n_ctx FROM pr GROUP BY 1),
+         |tt AS (SELECT SUM(cnt) AS n_total FROM pr)
+         |SELECT src, ctx, cnt,
+         |  CAST((cnt * n_total * 1000000) // (n_src * n_ctx) AS BIGINT) AS lift_fp
+         |FROM pr JOIN ms USING (src) JOIN mc USING (ctx), tt
+         |WHERE cnt >= 2
+         |ORDER BY lift_fp DESC, src, ctx LIMIT 200""".stripMargin,
+    // q110's final symbol table → per-word subword counts → one corpus
+    // word explode joined on the word key; wordless docs count 0
+    "q117_bpe_token_counts" ->
+      s"""WITH $bpeCtes,
+         |pw AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s5 GROUP BY wd),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd FROM documents),
+         |ct AS (SELECT doc_id, SUM(n_sub) AS n_tokens FROM dw JOIN pw USING (wd) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(ct.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN ct ON ct.doc_id = d.doc_id""".stripMargin,
     "q101_ann_pq_recall" ->
       s"""WITH $pqCtes,
         |bf AS (

@@ -66,6 +66,36 @@ object Bpe {
       .groupBy(col("sym").as("token")).agg(sum("freq").as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(topK)
 
+  /** Per-document token counts under the TRAINED tokenizer — the number
+    * a pipeline actually budgets with (q38's BPE-ish regex is the
+    * pre-training proxy; this is the count the trained merge table
+    * produces). A word's segmentation is a pure function of the merge
+    * table, so the count is one `(word → subword count)` lookup join
+    * over the corpus word stream — the corpus is re-tokenised into
+    * words exactly once and never re-segmented per document.
+    *
+    * Docs with no `[a-z0-9]+` words count 0. Scale shape: one
+    * vocab-sized aggregate over the final symbol table, one corpus
+    * explode joined on the word key (vocab side is the small side —
+    * broadcastable at typical vocab sizes), one map-side-combined
+    * per-doc sum. */
+  def tokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int = 5): DataFrame = {
+    val perWord = trainCore(docs, idCol, textCol, merges)._2
+      .groupBy("wd").agg(count(lit(1)).as("n_sub"))
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("wd"))
+      .filter(col("wd") =!= "")
+      .join(perWord, Seq("wd"))
+      .groupBy("doc_id").agg(sum("n_sub").as("n_tokens"))
+    docs.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Shared trainer core: the per-round winner frames and the final
     * fused symbol table `(wd, freq, pos, sym)` — memoised per (corpus
     * plan, cols, merges) so the merge-table query and the vocab query

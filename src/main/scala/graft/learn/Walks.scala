@@ -221,4 +221,36 @@ object Walks {
         abs(col("so") - col("sc")) <= window)
       .groupBy("src", "ctx").agg(count(lit(1)).as("cnt"))
   }
+
+  /** The walk-corpus PMI matrix's exact integer image — the NetMF
+    * observation (Qiu et al., "Network embedding as matrix
+    * factorization", WSDM 2018): skip-gram with negative sampling over
+    * a walk corpus implicitly factorizes the co-occurrence PMI matrix.
+    * This emits that matrix's strongest entries as the log-free LIFT
+    * `cnt·N·scale div (n_src·n_ctx)` — the exact monotone image of PMI
+    * at fixed pair count (the q99 collocation treatment applied to walk
+    * co-occurrences), so it hash-verifies where `ln` never can.
+    *
+    * Scale shape: marginals are O(|V|) aggregates over the pair table,
+    * re-joined on their own keys; the corpus total is a 1-row
+    * broadcast; the top-k cut is `TakeOrderedAndProject`. Nothing
+    * re-touches walks. */
+  def pairLift(
+      pairs: DataFrame, // (src, ctx, cnt) from [[skipGramPairs]]
+      minCount: Long = 5L,
+      topK: Int = 200): DataFrame = {
+    val msrc = pairs.groupBy("src").agg(sum("cnt").as("n_src"))
+    val mctx = pairs.groupBy("ctx").agg(sum("cnt").as("n_ctx"))
+    val total = pairs.agg(sum("cnt").as("n_total"))
+    pairs.filter(col("cnt") >= minCount)
+      .join(msrc, Seq("src")).join(mctx, Seq("ctx"))
+      .crossJoin(broadcast(total))
+      // all factors positive, so Spark's truncating div ≡ DuckDB's
+      // flooring // — and cnt·N·1e6 stays < 2⁶³ for corpora to ~10¹²
+      // total pairs (beyond that, drop the scale a decade)
+      .select(col("src"), col("ctx"), col("cnt"),
+        expr("(cnt * n_total * 1000000) div (n_src * n_ctx)").as("lift_fp"))
+      .orderBy(desc("lift_fp"), asc("src"), asc("ctx"))
+      .limit(topK)
+  }
 }

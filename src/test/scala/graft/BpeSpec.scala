@@ -104,6 +104,37 @@ class BpeSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("tokenCounts: per-doc trained-tokenizer counts, wordless docs count 0") {
+    val texts = Seq(
+      "the cat sat", "thethe the", "", "!!! ??", "cat cat cat the")
+    // train on the same corpus, then segment each doc's words
+    val merges = naive(texts, 3).map { case (_, a, b, _) => (a, b) }
+    def segment(w: String): Int = {
+      var v = w.split("").toVector.filter(_.nonEmpty)
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < v.size) {
+          if (i < v.size - 1 && v(i) == a && v(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += v(i); i += 1 }
+        }
+        v = out.result()
+      }
+      v.size
+    }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .map(segment).sum.toLong)
+    }.toSet
+    val got = Bpe.tokenCounts(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text", merges = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.contains((2L, 0L)) && got.contains((3L, 0L)))
+  }
+
   test("partition independence") {
     val texts = (0 until 30).map(i => s"pack pac $i ack aack aaack pack")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -189,6 +189,34 @@ class WalksSpec extends SparkSpec {
     got.foreach { case (s, c, n) => assert(got.contains((c, s, n))) }
   }
 
+  test("pairLift: exact integer lift over the naive pair table") {
+    val rng = new scala.util.Random(41)
+    val pairs = (0 until 100).map { _ =>
+      val a = rng.nextInt(15).toLong; val b = rng.nextInt(15).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val walks = Walks.randomWalks(edges(pairs: _*), nWalks = 2, steps = 4,
+      seed = 42L)
+    val got = Walks.pairLift(Walks.skipGramPairs(walks, 2),
+        minCount = 2L, topK = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // naive: counts → marginals → cnt·N·1e6 / (n_src·n_ctx), floor
+    val nw = naive(pairs, 2, 4, 42L).groupBy(_._1).view
+      .mapValues(_.toSeq.sortBy(_._2).map(_._3)).toMap
+    val cnts = nw.values.flatMap { p =>
+      for (i <- p.indices; j <- p.indices if i != j && math.abs(i - j) <= 2)
+        yield (p(i), p(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nSrc = cnts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nCtx = cnts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cnts.values.sum
+    val expected = cnts.toSeq.collect {
+      case ((s, c), k) if k >= 2 =>
+        (s, c, k, k * n * 1000000L / (nSrc(s) * nCtx(c)))
+    }.sortBy { case (s, c, _, l) => (-l, s, c) }.take(20)
+    assert(got === expected)
+  }
+
   test("seed changes the corpus, same seed reproduces it") {
     val pairs = (0L until 15L).map(i => (i, (i + 1) % 15)).map {
       case (a, b) => (math.min(a, b), math.max(a, b))
