@@ -77,10 +77,14 @@ object PlanDump {
     "q105_gif_frames",      // frame explode + row-local decode, no shuffle
     "q107_ann_ivfpq_residual", // residual coding: broadcast per-list ADC prune
     "q109_random_walks",    // per-step 2-key equi-join of O(#walks) frontier
-    "q110_bpe_merges")      // BPE round: wd-window passes + 1-row winner bcast
-  // q111/q112 are shape-duplicates of audited sections (q58's component
-  // chain + a row-local projection; q71's probed top-k with a probe-rank
-  // filter) — PlanLintSpec still sweeps them every `sbt test`
+    "q110_bpe_merges",      // BPE round: wd-window passes + 1-row winner bcast
+    "q115_node2vec_walks",  // biased step: deg-join + membership join + window
+    "q116_walk_pmi")        // pair marginals + broadcast total + TakeOrdered
+  // q111/q112/q113/q117 are shape-duplicates of audited sections (q58's
+  // component chain + a row-local projection; q71's probed top-k with a
+  // probe-rank filter; a plain equi-join + map-side-combined count; an
+  // explode ⨝ vocab lookup + per-doc sum) — PlanLintSpec still sweeps
+  // them every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -398,6 +402,14 @@ object PlanDump {
       |  serving all its window passes, a map-side-combined pair count,
       |  and a `TakeOrderedAndProject` 1-row winner re-entering as a
       |  broadcast — corpus size stops mattering after the first pass.
+      |- **q115 (node2vec)**: the second-order step is one frontier ⨝
+      |  adjacency join (O(Σ deg) messages — the cost the paper's alias
+      |  tables also pay), one (prev, v) membership equi-join against the
+      |  same pinned adjacency, and a per-walk running-sum window whose
+      |  partition is bounded by the max degree.
+      |- **q116 (walk PMI)**: marginals are O(|V|) aggregates over the
+      |  checkpointed pair table re-joined on their own keys; the corpus
+      |  total broadcasts as one row; the cut is `TakeOrderedAndProject`.
       |
       |At 100 TB the same shapes hold: scans prune columns and push
       |predicates, dimensions broadcast, aggregations combine map-side, the
