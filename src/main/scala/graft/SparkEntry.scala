@@ -1484,6 +1484,27 @@ r2o AS (
         partPairs(s, dir), nWalks = 2, steps = 4,
         wRet = 1L, wIn = 4L, wOut = 2L, seed = 42L,
         assumeCanonical = true)),
+    // time-respecting temporal walks (learn.Walks.temporalWalks, the
+    // CTDNE shape): hops ride co-purchase edges timestamped by order
+    // day and may never go back in time — the dynamic-graph embedding
+    // corpus where q109/q115 would traverse causally impossible paths;
+    // walks truncate when the future runs out (semantics, not error).
+    // Per step one frontier ⨝ edges join + per-walk count/rank window;
+    // the oracle unrolls the slot draws.
+    "q118_temporal_walks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+      val od = t(s, dir, "orders").select(col("o_orderkey").as("bk"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+      val bo = li.join(od, Seq("bk"))
+      val pairs = bo
+        .join(bo.select(col("bk"), col("it").as("it2")), Seq("bk"))
+        .filter(col("it") < col("it2"))
+        .select(col("it").as("a"), col("it2").as("b"), col("d"))
+        .distinct()
+      graft.learn.Walks.temporalWalks(pairs, "a", "b", "d",
+        nWalks = 2, steps = 4, seed = 42L)
+    }),
     // skip-gram training pairs over the q109 walk corpus (learn.Walks.
     // skipGramPairs): every (center, context) co-occurrence within
     // window 2 inside a walk, with corpus counts — the table a
@@ -3410,6 +3431,33 @@ r2o AS (
          |FROM corpus a JOIN corpus b ON a.wid = b.wid
          |WHERE a.st <> b.st AND ABS(a.st - b.st) <= 2
          |GROUP BY 1, 2""".stripMargin,
+    // temporal co-purchase edges (pair, order day) + 4 unrolled
+    // time-respecting steps: valid candidates (d >= walk clock)
+    // slot-ordered by (day, neighbour), the draw = mix mod n_valid
+    "q118_temporal_walks" -> {
+      val steps = (1 to 4).map { t =>
+        val r = DetRandom.mixSql("cur", s"wid * 31 + $t", 42L)
+        s"""c$t AS (SELECT f.wid, f.cur, e.v, e.d,
+           |    row_number() OVER (PARTITION BY f.wid ORDER BY e.d, e.v) - 1 AS slot,
+           |    COUNT(*) OVER (PARTITION BY f.wid) AS n
+           |  FROM v${t - 1} f JOIN e0 e ON e.u = f.cur AND e.d >= f.curd),
+           |v$t AS (SELECT wid, v AS cur, d AS curd FROM c$t
+           |  WHERE slot = ($r) % n)""".stripMargin
+      }.mkString(",\n")
+      val out = Seq(
+        "SELECT wid AS walk_id, CAST(0 AS BIGINT) AS step, cur AS node_id, curd AS day FROM v0") ++
+        (1 to 4).map(t => s"SELECT wid, CAST($t AS BIGINT), cur, curd FROM v$t")
+      s"""WITH bo AS (SELECT l.l_orderkey AS bk, l.l_partkey AS it,
+         |    epoch_us(o.o_orderdate) // 86400000000 AS d
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         |pp AS (SELECT DISTINCT b1.it AS a, b2.it AS b, b1.d
+         |  FROM bo b1 JOIN bo b2 ON b1.bk = b2.bk AND b1.it < b2.it),
+         |e0 AS (SELECT a AS u, b AS v, d FROM pp UNION ALL SELECT b, a, d FROM pp),
+         |v0 AS (SELECT u * 2 + g AS wid, u AS cur, CAST(0 AS BIGINT) AS curd FROM
+         |  (SELECT DISTINCT u FROM e0) CROSS JOIN (SELECT unnest(range(2)) AS g)),
+         |$steps
+         |${out.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // the q113 pair table + O(|V|) marginals + the corpus total, scored
     // as the exact log-free lift (PMI's monotone integer image)
     "q116_walk_pmi" ->

@@ -222,6 +222,81 @@ object Walks {
       .groupBy("src", "ctx").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Time-RESPECTING temporal walks (the CTDNE shape — Nguyen et al.,
+    * "Continuous-time dynamic network embeddings", WWW 2018 companion):
+    * every hop must use an edge whose timestamp is ≥ the timestamp of
+    * the edge that reached the current node, so a walk is a temporally
+    * valid path — the training-data generator for dynamic-graph
+    * embeddings, where a static walk (q109/q115) would happily traverse
+    * causally impossible sequences. Walks that run out of
+    * forward-in-time edges TRUNCATE (the paper's walks end the same
+    * way; truncation is semantics, not error).
+    *
+    * Deterministic: the step-t choice is slot
+    * `mix(cur, wid·31 + t, seed) mod n_valid` among the valid
+    * candidates slot-ordered by (time, neighbour id) — so the draw is
+    * partition-independent and the DuckDB oracle unrolls it (q118).
+    * Multi-edges at distinct times are distinct candidates (arriving
+    * earlier leaves more future open), exactly the paper's model.
+    *
+    * Scale shape: per step one frontier ⨝ edges equi-join on the
+    * current node with the `time ≥ clock` residual (O(Σ deg(cur))
+    * messages — inherent, since validity depends on the walk's own
+    * clock) and one per-walk count+rank window bounded by the max
+    * temporal degree; steps bounded; no driver state.
+    *
+    * Output: `(walk_id, step, node_id, day)` where `day` is the arrival
+    * edge's time (start rows carry 0, the epoch floor every edge
+    * satisfies). */
+  def temporalWalks(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      timeCol: String = "t",
+      nWalks: Int = 2,
+      steps: Int = 4,
+      seed: Long = 42L,
+      checkpoint: Boolean = true): DataFrame = {
+    require(nWalks >= 1, s"nWalks must be >= 1: $nWalks")
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+        col(timeCol).cast("long").as("d"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = pin(e0.select(col("a").as("u"), col("b").as("v"), col("d"))
+      .union(e0.select(col("b").as("u"), col("a").as("v"), col("d"))))
+    var frontier = pin(sym.select(col("u").as("id")).distinct()
+      .select(col("id"), explode(sequence(lit(0L), lit(nWalks - 1L))).as("g"))
+      .select((col("id") * nWalks + col("g")).as("wid"),
+        col("id").as("cur"), lit(0L).as("curd")))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += frontier.select(col("wid"), lit(0L).as("step"),
+      col("cur").as("node_id"), col("curd").as("day"))
+    val byWalk = Window.partitionBy("wid")
+    for (t <- 1 to steps) {
+      val cand = frontier
+        .join(sym, col("u") === col("cur") && col("d") >= col("curd"))
+        .withColumn("slot",
+          row_number().over(byWalk.orderBy("d", "v")) - 1)
+        .withColumn("n", count(lit(1)).over(byWalk))
+      frontier = pin(cand
+        .filter(col("slot") ===
+          DetRandom.mix(col("cur"), col("wid") * lit(31L) + lit(t.toLong),
+            seed) % col("n"))
+        .select(col("wid"), col("v").as("cur"), col("d").as("curd")))
+      outs += frontier.select(col("wid"), lit(t.toLong).as("step"),
+        col("cur").as("node_id"), col("curd").as("day"))
+    }
+    outs.result().reduce(_ union _)
+      .select(col("wid").as("walk_id"), col("step"), col("node_id"),
+        col("day"))
+  }
+
   /** The walk-corpus PMI matrix's exact integer image — the NetMF
     * observation (Qiu et al., "Network embedding as matrix
     * factorization", WSDM 2018): skip-gram with negative sampling over
