@@ -1495,7 +1495,7 @@ r2o AS (
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
       val od = t(s, dir, "orders").select(col("o_orderkey").as("bk"),
-        expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"))
       val bo = li.join(od, Seq("bk"))
       val pairs = bo
         .join(bo.select(col("bk"), col("it").as("it2")), Seq("bk"))

@@ -217,6 +217,117 @@ class WalksSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  /** Driver-side replay of the time-respecting (CTDNE) recurrence:
+    * candidates are incident edges with time >= the walk's clock,
+    * slot-ordered by (day, neighbour); a walk with no candidate drops
+    * out (truncation is semantics, not error). */
+  private def naiveTemporal(
+      triples: Seq[(Long, Long, Long)], nWalks: Int, steps: Int,
+      seed: Long): Set[(Long, Long, Long, Long)] = {
+    val e0 = triples.map { case (a, b, d) =>
+      (math.min(a, b), math.max(a, b), d)
+    }.filter(p => p._1 != p._2).distinct
+    val sym = e0.flatMap { case (a, b, d) => Seq((a, b, d), (b, a, d)) }
+    val adj = sym.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => (e._3, e._2)).sorted.toIndexedSeq // (day, nbr)
+    }
+    adj.keys.flatMap { id =>
+      (0 until nWalks).flatMap { g =>
+        val wid = id * nWalks + g
+        var cur = id; var curd = 0L
+        val rows = scala.collection.mutable.ArrayBuffer(
+          (wid, 0L, id, 0L))
+        var t = 1; var alive = true
+        while (t <= steps && alive) {
+          val cands = adj(cur).filter(_._1 >= curd)
+          if (cands.isEmpty) alive = false
+          else {
+            val pick = (DetRandom.mixLong(cur, wid * 31L + t, seed)
+              % cands.size).toInt
+            curd = cands(pick)._1; cur = cands(pick)._2
+            rows += ((wid, t.toLong, cur, curd))
+          }
+          t += 1
+        }
+        rows
+      }
+    }.toSet
+  }
+
+  test("temporalWalks match the driver-side replay; hops never go back in time") {
+    val rng = new scala.util.Random(53)
+    val triples = (0 until 150).map { _ =>
+      val a = rng.nextInt(25).toLong; val b = rng.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b), rng.nextInt(30).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val e = triples.toDF("src", "dst", "t")
+    val got = Walks.temporalWalks(e, nWalks = 2, steps = 4, seed = 42L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === naiveTemporal(triples, nWalks = 2, steps = 4, seed = 42L))
+    // every hop rides a real edge at its recorded day, clock monotone
+    val sym = triples.flatMap { case (a, b, d) =>
+      Seq((a, b, d), (b, a, d)) }.toSet
+    got.groupBy(_._1).foreach { case (wid, rows) =>
+      val path = rows.toSeq.sortBy(_._2)
+      path.sliding(2).foreach {
+        case Seq((_, _, u, du), (_, _, v, dv)) =>
+          assert(sym.contains((u, v, dv)),
+            s"walk $wid hops a non-edge $u->$v at day $dv")
+          assert(dv >= du, s"walk $wid goes back in time: $du -> $dv")
+        case _ => ()
+      }
+    }
+  }
+
+  test("temporalWalks truncate when the future runs out") {
+    // node 4's only edge predates the epoch-0 start clock: both its
+    // walks emit the start row and nothing else; 1<->2<->3 at
+    // ascending days walk normally (the arrival edge's reverse always
+    // keeps post-step-1 walks alive — truncation is a step-1 affair)
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 7L), (4L, 5L, -2L))
+      .toDF("src", "dst", "t")
+    val got = Walks.temporalWalks(e, nWalks = 2, steps = 3, seed = 42L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val byWalk = got.groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    // 5 start nodes × 2 walks, all present at step 0
+    assert(byWalk.size === 10)
+    Seq(4L, 5L).foreach { n =>
+      (0 until 2).foreach { g =>
+        val w = byWalk(n * 2 + g)
+        assert(w === Seq((n * 2 + g, 0L, n, 0L)),
+          s"walk of $n should truncate at step 0, got $w")
+      }
+    }
+    // the live component's walks run the full length
+    Seq(1L, 2L, 3L).foreach { n =>
+      (0 until 2).foreach { g =>
+        assert(byWalk(n * 2 + g).length === 4,
+          s"walk of $n truncated unexpectedly")
+      }
+    }
+    assert(got === naiveTemporal(
+      Seq((1L, 2L, 3L), (2L, 3L, 7L), (4L, 5L, -2L)), 2, 3, 42L))
+  }
+
+  test("temporalWalks: partition independence and canonicalization") {
+    val rng = new scala.util.Random(59)
+    val triples = (0 until 100).map { _ =>
+      (rng.nextInt(20).toLong, rng.nextInt(20).toLong,
+        rng.nextInt(20).toLong)
+    }.filter(p => p._1 != p._2)
+    val raw = triples.toDF("src", "dst", "t")
+    val a = Walks.temporalWalks(raw.repartition(1), steps = 3, seed = 5L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Walks.temporalWalks(raw.repartition(7), steps = 3, seed = 5L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val c = Walks.temporalWalks(
+        triples.map(p => (p._2, p._1, p._3)).toDF("src", "dst", "t"),
+        steps = 3, seed = 5L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a === c)
+  }
+
   test("seed changes the corpus, same seed reproduces it") {
     val pairs = (0L until 15L).map(i => (i, (i + 1) % 15)).map {
       case (a, b) => (math.min(a, b), math.max(a, b))
