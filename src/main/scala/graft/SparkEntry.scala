@@ -102,6 +102,42 @@ object SparkEntry {
         .localCheckpoint(eager = true)
     }
 
+  /** TIME-CARRYING co-purchase pairs `(a < b, d = order day)` — the
+    * temporal sibling of [[partPairs]]: q118's walks need the edge's
+    * order day to respect time, so the basket self-join keeps `d`
+    * (one extra join against `orders`, same shuffle shape). Memoised +
+    * checkpointed so the temporal-walk family pays ONE build per
+    * session+pass. Day = naive `o_orderdate` under the UTC-pinned
+    * session ≡ DuckDB's `epoch_us // 86400000000` on the same value
+    * (the `Tables.load` events-ts treatment). */
+  private def partPairsTemporal(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-pairs-temporal", dir)) {
+      graft.functions.Phases.time("temporal pairs build") {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        val od = t(s, dir, "orders").select(col("o_orderkey").as("bk"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("d"))
+        val bo = li.join(od, Seq("bk"))
+        bo.join(bo.select(col("bk"), col("it").as("it2")), Seq("bk"))
+          .filter(col("it") < col("it2"))
+          .select(col("it").as("a"), col("it2").as("b"), col("d"))
+          .distinct()
+          .coalesce(s.sessionState.conf.numShufflePartitions)
+          .localCheckpoint(eager = true)
+      }
+    }
+
+  /** q118's time-respecting walk corpus over [[partPairsTemporal]],
+    * memoised so q120's temporal skip-gram extraction rides the same
+    * walk build (per-step frontiers checkpoint inside
+    * [[graft.learn.Walks]]; the memo shares the final union). */
+  private def partTemporalWalks(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("part-temporal-walks", dir)) {
+      graft.learn.Walks.temporalWalks(partPairsTemporal(s, dir),
+        "a", "b", "d", nWalks = 2, steps = 4, seed = 42L)
+    }
+
   /** q89's edit-distance-1 customer-name pairs, memoised + checkpointed
     * like [[partPairs]] — q90's grouping rides the same build instead of
     * re-running the variant join + levenshtein verify. */
@@ -1491,20 +1527,16 @@ r2o AS (
     // walks truncate when the future runs out (semantics, not error).
     // Per step one frontier ⨝ edges join + per-walk count/rank window;
     // the oracle unrolls the slot draws.
-    "q118_temporal_walks" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-      val od = t(s, dir, "orders").select(col("o_orderkey").as("bk"),
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"))
-      val bo = li.join(od, Seq("bk"))
-      val pairs = bo
-        .join(bo.select(col("bk"), col("it").as("it2")), Seq("bk"))
-        .filter(col("it") < col("it2"))
-        .select(col("it").as("a"), col("it2").as("b"), col("d"))
-        .distinct()
-      graft.learn.Walks.temporalWalks(pairs, "a", "b", "d",
-        nWalks = 2, steps = 4, seed = 42L)
-    }),
+    "q118_temporal_walks" -> ((s, dir) => partTemporalWalks(s, dir)),
+    // skip-gram pairs over the TEMPORAL walk corpus (the CTDNE training
+    // table — q113's extraction applied to q118's time-respecting
+    // walks, so every (center, context) pair is causally reachable;
+    // truncated walks just contribute shorter windows). Rides the
+    // memoised q118 walk build; one walk_id equi-join + one
+    // map-side-combined count on top.
+    "q120_temporal_skipgram" -> ((s, dir) =>
+      graft.learn.Walks.skipGramPairs(partTemporalWalks(s, dir),
+        window = 2)),
     // skip-gram training pairs over the q109 walk corpus (learn.Walks.
     // skipGramPairs): every (center, context) co-occurrence within
     // window 2 inside a walk, with corpus counts — the table a
@@ -2039,6 +2071,38 @@ r2o AS (
     * (per-edge counts): `pp` canonical pairs, `deg`, the oriented list
     * `o (u, v, dv)`, wedges `wg`, and closed triangles `tr (u, v, c)`.
     * Mirrors [[graft.graph.Analytics.triangleStats]]'s orientation. */
+  /** q118/q120's shared temporal-walk unroll: time-carrying co-purchase
+    * pairs, symmetrized, then 4 time-respecting steps where each walk's
+    * valid candidates (`d >= clock`) are slot-ordered by (day,
+    * neighbour) and the draw is the deterministic mix mod n_valid —
+    * [[graft.learn.Walks.temporalWalks]]'s recurrence. Ends with
+    * `tcorpus (wid, st, cur)` (the walk table q120's skip-gram join
+    * consumes) and the per-step `v0..v4` frames q118 unions. */
+  private def temporalWalkCtes: String = {
+    val steps = (1 to 4).map { t =>
+      val r = DetRandom.mixSql("cur", s"wid * 31 + $t", 42L)
+      s"""c$t AS (SELECT f.wid, f.cur, e.v, e.d,
+         |    row_number() OVER (PARTITION BY f.wid ORDER BY e.d, e.v) - 1 AS slot,
+         |    COUNT(*) OVER (PARTITION BY f.wid) AS n
+         |  FROM v${t - 1} f JOIN e0 e ON e.u = f.cur AND e.d >= f.curd),
+         |v$t AS (SELECT wid, v AS cur, d AS curd FROM c$t
+         |  WHERE slot = ($r) % n)""".stripMargin
+    }.mkString(",\n")
+    val corpus = (0 to 4).map { t =>
+      s"SELECT wid, CAST($t AS BIGINT) AS st, cur FROM v$t"
+    }.mkString("\nUNION ALL\n")
+    s"""bo AS (SELECT l.l_orderkey AS bk, l.l_partkey AS it,
+       |    epoch_us(o.o_orderdate) // 86400000000 AS d
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |pp AS (SELECT DISTINCT b1.it AS a, b2.it AS b, b1.d
+       |  FROM bo b1 JOIN bo b2 ON b1.bk = b2.bk AND b1.it < b2.it),
+       |e0 AS (SELECT a AS u, b AS v, d FROM pp UNION ALL SELECT b, a, d FROM pp),
+       |v0 AS (SELECT u * 2 + g AS wid, u AS cur, CAST(0 AS BIGINT) AS curd FROM
+       |  (SELECT DISTINCT u FROM e0) CROSS JOIN (SELECT unnest(range(2)) AS g)),
+       |$steps,
+       |tcorpus AS ($corpus)""".stripMargin
+  }
+
   private def triangleCtes: String =
     """pp AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       |  FROM lineitem l1 JOIN lineitem l2
@@ -3433,31 +3497,23 @@ r2o AS (
          |GROUP BY 1, 2""".stripMargin,
     // temporal co-purchase edges (pair, order day) + 4 unrolled
     // time-respecting steps: valid candidates (d >= walk clock)
-    // slot-ordered by (day, neighbour), the draw = mix mod n_valid
+    // slot-ordered by (day, neighbour), the draw = mix mod n_valid —
+    // the shared unroll lives in temporalWalkCtes
     "q118_temporal_walks" -> {
-      val steps = (1 to 4).map { t =>
-        val r = DetRandom.mixSql("cur", s"wid * 31 + $t", 42L)
-        s"""c$t AS (SELECT f.wid, f.cur, e.v, e.d,
-           |    row_number() OVER (PARTITION BY f.wid ORDER BY e.d, e.v) - 1 AS slot,
-           |    COUNT(*) OVER (PARTITION BY f.wid) AS n
-           |  FROM v${t - 1} f JOIN e0 e ON e.u = f.cur AND e.d >= f.curd),
-           |v$t AS (SELECT wid, v AS cur, d AS curd FROM c$t
-           |  WHERE slot = ($r) % n)""".stripMargin
-      }.mkString(",\n")
       val out = Seq(
         "SELECT wid AS walk_id, CAST(0 AS BIGINT) AS step, cur AS node_id, curd AS day FROM v0") ++
         (1 to 4).map(t => s"SELECT wid, CAST($t AS BIGINT), cur, curd FROM v$t")
-      s"""WITH bo AS (SELECT l.l_orderkey AS bk, l.l_partkey AS it,
-         |    epoch_us(o.o_orderdate) // 86400000000 AS d
-         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
-         |pp AS (SELECT DISTINCT b1.it AS a, b2.it AS b, b1.d
-         |  FROM bo b1 JOIN bo b2 ON b1.bk = b2.bk AND b1.it < b2.it),
-         |e0 AS (SELECT a AS u, b AS v, d FROM pp UNION ALL SELECT b, a, d FROM pp),
-         |v0 AS (SELECT u * 2 + g AS wid, u AS cur, CAST(0 AS BIGINT) AS curd FROM
-         |  (SELECT DISTINCT u FROM e0) CROSS JOIN (SELECT unnest(range(2)) AS g)),
-         |$steps
+      s"""WITH $temporalWalkCtes
          |${out.mkString("\nUNION ALL\n")}""".stripMargin
     },
+    // the temporal walk corpus self-joined on walk_id within the ±2
+    // window, counted — q113's recurrence over q118's walks
+    "q120_temporal_skipgram" ->
+      s"""WITH $temporalWalkCtes
+         |SELECT a.cur AS src, b.cur AS ctx, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM tcorpus a JOIN tcorpus b ON a.wid = b.wid
+         |WHERE a.st <> b.st AND ABS(a.st - b.st) <= 2
+         |GROUP BY 1, 2""".stripMargin,
     // the q113 pair table + O(|V|) marginals + the corpus total, scored
     // as the exact log-free lift (PMI's monotone integer image)
     "q116_walk_pmi" ->
