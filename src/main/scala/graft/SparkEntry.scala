@@ -932,6 +932,18 @@ r2o AS (
       graft.ext.Packing.concatChunk(stats, "doc_id", "n_tok",
         chunkTokens = 512L, seed = 7L)
     }),
+    // per-document STRIDE chunking with overlap (ext.Packing.
+    // strideChunks): 32-token windows every 24 tokens (8-token overlap)
+    // — the retrieval/context chunk table, where q65 lays out the
+    // corpus-level concat stream. Works off token counts only, one
+    // row-local sequence+explode, zero exchanges.
+    "q122_doc_chunks" -> ((s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      graft.ext.Packing.strideChunks(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tok")),
+        "doc_id", "n_tok", windowTokens = 32L, stride = 24L)
+    }),
     // PII anonymization (the pre-training privacy pass): keyed SHA-256
     // pseudonymization of the name (joinable, irreversible without the
     // pepper), digit-run redaction with an audit count, and k-anonymity-
@@ -1233,6 +1245,22 @@ r2o AS (
           (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       graft.graph.Analytics.pageRankFixed(
         fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    }),
+    // PERSONALIZED PageRank (graph.Analytics.personalizedPageRankFixed,
+    // topic-sensitive PPR): restart mass lands only on a seed set (every
+    // 50th part node of q73's bipartite graph), so rank concentrates in
+    // the seeds' ≤3-hop ball — the graph-recommendation / PPR-GNN
+    // neighbour-selection primitive. Broadcast seed indicator; each
+    // round moves only the nonzero frontier.
+    "q123_ppr" -> ((s, dir) => {
+      val fwd = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      graft.graph.Analytics.personalizedPageRankFixed(edges, seeds)
     }),
     // DSIR-shaped data selection (Xie et al. 2023): score each doc by
     // its hashed-unigram profile vs the 'en' target slice — the add-one
@@ -1590,6 +1618,15 @@ r2o AS (
     "q114_bpe_vocab" -> ((s, dir) =>
       graft.ext.Bpe.subwordVocab(
         t(s, dir, "documents"), "doc_id", "text", merges = 5, topK = 100)),
+    // the trained tokenizer's SEGMENTATION LEXICON (ext.Bpe.
+    // segmentLexicon): the ordered word → subword-pieces map for the
+    // 200 most frequent corpus words — what an encode path ships so no
+    // document is ever re-segmented (q114 is the piece histogram; this
+    // is the piece SEQUENCES). One ordered collect over q110's memoised
+    // final symbol table + TakeOrderedAndProject.
+    "q119_bpe_segments" -> ((s, dir) =>
+      graft.ext.Bpe.segmentLexicon(
+        t(s, dir, "documents"), "doc_id", "text", merges = 5, topK = 200)),
     // leakage-safe split (ext.Dedup.leakSafeSplit): train/val/test drawn
     // from the near-dup COMPONENT's canonical id, so no duplicate group
     // ever straddles splits — the defence against eval contamination a
@@ -1688,6 +1725,31 @@ r2o AS (
     // integer — both rankings are rank-stable (deterministic tiebreaks),
     // so the recall COUNT hash-verifies even though the scores are float.
     // Recall is measured, not assumed.
+    // matryoshka-truncation serving recall (MRL — Kusupati et al.,
+    // "Matryoshka representation learning", NeurIPS 2022): brute-force
+    // top-10 under the FIRST-half-dims cosine vs the full-dim top-10 —
+    // the measured quality cost of serving at half the vector bytes
+    // (half the scan/ADC traffic at 100 TB). Two broadcast-query scans
+    // + TakeOrdered each; overlap as an exact integer.
+    "q121_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val half = e.select(col("vec_id"),
+        expr("slice(embedding, 1, size(embedding) div 2)").as("emb_h"))
+      def top10(df: DataFrame, vcol: String, q: DataFrame): DataFrame =
+        df.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .withColumn("score",
+            graft.functions.ArrayOps.cosine(col(vcol), col("qv")))
+          .orderBy(desc("score"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id").as("id"))
+      val bfFull = top10(e, "embedding",
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val bfHalf = top10(half, "emb_h",
+        half.filter(col("vec_id") === 0).select(col("emb_h").as("qv")))
+      bfHalf.join(bfFull, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"))
+    }),
     "q51_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val ivf = graft.ext.Similarity.ivfTopK(
@@ -2735,6 +2797,21 @@ r2o AS (
         |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last,
         |  CAST((start_off + n_tok - 1) // 512 - start_off // 512 + 1 AS BIGINT) AS n_chunks
         |FROM cum""".stripMargin,
+    // per-doc stride windows: n_chunks = 1 + max(0, ceil((n-32)/24)),
+    // chunk g covers [g*24, g*24 + min(32, n - g*24))
+    "q122_doc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, n_tokens,
+        |    1 + GREATEST(0, (n_tokens - 32 + 23) // 24) AS n_chunks
+        |  FROM tok WHERE n_tokens >= 1),
+        |g AS (SELECT doc_id, n_tokens, unnest(range(n_chunks)) AS chunk_id FROM ch)
+        |SELECT doc_id, n_tokens, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+        |  CAST(LEAST(32, n_tokens - chunk_id * 24) AS BIGINT) AS chunk_len
+        |FROM g""".stripMargin,
     "q66_pii_mask" ->
       """SELECT c_custkey,
         |  substr(sha256('pepper7:' || c_name), 1, 16) AS pseudonym,
@@ -3241,6 +3318,24 @@ r2o AS (
          |$rounds
          |SELECT id AS node_id, r AS rank_fp FROM r3""".stripMargin
     },
+    // q73's graph with the restart term gated on the seed indicator:
+    // r0 = seed*scale, each round r = seed*base + floored edge sums
+    "q123_ppr" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT ns.id, ns.seed * 150000000000 + COALESCE(s$i.c, 0) AS r FROM ns LEFT JOIN (
+           |  SELECT e.dst AS id, CAST(SUM((17 * r${i - 1}.r) // (20 * d.deg)) AS BIGINT) AS c
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src JOIN d ON d.src = e.src
+           |  GROUP BY e.dst) s$i ON s$i.id = ns.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ef AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM ef UNION ALL SELECT dst AS src, src AS dst FROM ef),
+         |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |ns AS (SELECT id, CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END AS seed FROM n),
+         |r0 AS (SELECT id, CAST(seed * 1000000000000 AS BIGINT) AS r FROM ns),
+         |$rounds
+         |SELECT id AS node_id, r AS rank_fp FROM r3""".stripMargin
+    },
     "q70_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
@@ -3531,6 +3626,14 @@ r2o AS (
          |ORDER BY lift_fp DESC, src, ctx LIMIT 200""".stripMargin,
     // q110's final symbol table → per-word subword counts → one corpus
     // word explode joined on the word key; wordless docs count 0
+    // the final symbol table collected per word in pos order — the
+    // word → pieces lexicon, top-200 by (freq DESC, word)
+    "q119_bpe_segments" ->
+      s"""WITH $bpeCtes,
+         |lex AS (SELECT wd, freq, string_agg(sym, '_' ORDER BY pos) AS segments,
+         |    CAST(COUNT(*) AS BIGINT) AS n_sub FROM s5 GROUP BY wd, freq)
+         |SELECT wd, freq, segments, n_sub FROM lex
+         |ORDER BY freq DESC, wd LIMIT 200""".stripMargin,
     "q117_bpe_token_counts" ->
       s"""WITH $bpeCtes,
          |pw AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s5 GROUP BY wd),
@@ -3558,6 +3661,16 @@ r2o AS (
         |  ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10)
         |SELECT CAST(10 AS BIGINT) AS k,
         |  (SELECT COUNT(*) FROM ivf JOIN bf USING (id)) AS n_overlap""".stripMargin,
+    // half-dim brute-force top-10 vs full-dim top-10 overlap
+    "q121_matryoshka_recall" ->
+      s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |h AS (SELECT id, v[1:len(v) // 2] AS v FROM s),
+        |bff AS (SELECT id FROM s WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM s WHERE id = 0)) DESC, id LIMIT 10),
+        |bfh AS (SELECT id FROM h WHERE id <> 0
+        |  ORDER BY list_cosine_similarity(v, (SELECT v FROM h WHERE id = 0)) DESC, id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM bfh JOIN bff USING (id)) AS n_overlap""".stripMargin,
     "q51_ann_recall" ->
       s"""WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |c AS (SELECT id AS cid, v AS cv FROM (

@@ -66,6 +66,33 @@ object Bpe {
       .groupBy(col("sym").as("token")).agg(sum("freq").as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(topK)
 
+  /** The trained tokenizer's SEGMENTATION LEXICON: for the `topK` most
+    * frequent corpus words, the ordered subword segmentation the merge
+    * table produces (joined with '_' — the table a pipeline ships to
+    * encode text without re-running merges per document; HuggingFace
+    * tokenizers cache exactly this word → pieces map). A word's
+    * segmentation is a pure function of the merge table, so the lexicon
+    * is one ordered-collect over the final symbol table — no document
+    * is ever re-walked.
+    *
+    * Deterministic (freq DESC, word ASC) cut, planned as
+    * TakeOrderedAndProject over a per-word collect; `n_sub` is the
+    * piece count [[tokenCounts]] budgets with. */
+  def segmentLexicon(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int = 5,
+      topK: Int = 200): DataFrame =
+    trainCore(docs, idCol, textCol, merges)._2
+      .groupBy("wd", "freq")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym), '_')")
+          .as("segments"),
+        count(lit(1)).as("n_sub"))
+      .orderBy(desc("freq"), asc("wd"))
+      .limit(topK)
+
   /** Per-document token counts under the TRAINED tokenizer — the number
     * a pipeline actually budgets with (q38's BPE-ish regex is the
     * pre-training proxy; this is the count the trained merge table

@@ -52,4 +52,40 @@ object Packing {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
       .drop("__cum")
   }
+
+  /** Fixed-window STRIDE chunking with overlap — the per-document
+    * retrieval/context chunker (each document cut into `windowTokens`-
+    * token windows starting every `stride` tokens, adjacent windows
+    * overlapping by `windowTokens − stride`), the complement of
+    * [[concatChunk]]'s corpus-level concat layout. Like concatChunk it
+    * operates on token COUNTS only, never materialising tokens: the
+    * chunk table is `(doc_id, n_tokens, chunk_id, start_tok,
+    * chunk_len)` — the offsets a downstream encode pass slices with.
+    *
+    * Chunk count is the closed form `1 + max(0, ceil((n − w) / s))`
+    * (exact integers; the `greatest(0, …)` clamp also absorbs the
+    * truncate-vs-floor division difference on the negative `n < w`
+    * branch, so Spark's `div` and ANSI `//` agree). Zero-token
+    * documents produce no chunks. Scale shape: one row-local
+    * `sequence` + explode, fan-out `⌈n/s⌉` per document — zero
+    * exchanges, fully codegen. */
+  def strideChunks(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      windowTokens: Long,
+      stride: Long): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(stride >= 1 && stride <= windowTokens,
+      s"need 1 <= stride <= windowTokens: $stride")
+    df.filter(col(nTokCol) >= 1)
+      .withColumn("__nc", lit(1L) + greatest(lit(0L),
+        expr(s"($nTokCol - $windowTokens + $stride - 1) div $stride")))
+      .select(col(idCol).as("doc_id"),
+        col(nTokCol).cast("long").as("n_tokens"),
+        explode(expr("sequence(0L, __nc - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_len",
+        least(lit(windowTokens), col("n_tokens") - col("start_tok")))
+  }
 }

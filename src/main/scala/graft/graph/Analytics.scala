@@ -141,6 +141,69 @@ object Analytics {
     r.select(col("id").as("node_id"), col("r").cast("long").as("rank_fp"))
   }
 
+  /** PERSONALIZED PageRank over scaled integers — the random walk
+    * restarts at a SEED SET instead of everywhere (topic-sensitive
+    * PageRank, Haveliwala WWW 2002; the primitive behind graph
+    * recommendation and PPR-based GNN neighbour selection à la PPRGo,
+    * Bojchevski et al. KDD 2020): rank mass concentrates around the
+    * seeds and decays with distance. Same exact-integer recurrence as
+    * [[pageRankFixed]] — `r'(v) = seed(v)·base + Σ_{u→v} (αN·r(u)) div
+    * (αD·deg(u))` with `r0 = seed·scale` — so a second engine replays
+    * it bit-for-bit (q123).
+    *
+    * Scale shape: the seed set joins as a BROADCAST indicator; each
+    * round's message join carries only rows with `r ≠ 0`, so the
+    * frontier stays sparse near the seeds (at 3 rounds only the ≤3-hop
+    * ball moves — the locality that makes PPR cheap at 100 TB where
+    * global PageRank touches everything); per-round barrier truncates
+    * lineage exactly like [[pageRankFixed]]. */
+  def personalizedPageRankFixed(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "id",
+      iters: Int = 3,
+      scale: Long = 1000000000000L,
+      alphaNum: Long = 17L,
+      alphaDen: Long = 20L,
+      checkpoint: Boolean = true,
+      broadcastStateBelow: Long = 4000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(alphaDen > alphaNum && alphaNum > 0,
+      s"need 0 < alphaNum < alphaDen: $alphaNum/$alphaDen")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.coalesce(parts).localCheckpoint(eager = true) else df
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = pin(e.join(deg, Seq("src")))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val sd = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val nodeSeed = pin(nodes
+      .join(broadcast(sd.withColumn("__s", lit(1L))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("seed")))
+    val st = stateHint(eDeg.count(), checkpoint, broadcastStateBelow)
+    val base = (alphaDen - alphaNum) * scale / alphaDen
+    var r = nodeSeed.select(col("id"), (col("seed") * scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(st(r.filter(col("r") =!= 0L)
+          .select(col("id").as("src"), col("r"))), Seq("src"))
+        .select(col("dst"),
+          expr(s"${alphaNum}L * r div (${alphaDen}L * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      r = pin(nodeSeed
+        .join(st(contrib.select(col("dst").as("id"), col("c"))),
+          Seq("id"), "left")
+        .select(col("id"),
+          (col("seed") * base + coalesce(col("c"), lit(0L))).as("r")))
+    }
+    r.select(col("id").as("node_id"), col("r").cast("long").as("rank_fp"))
+  }
+
   /** Per-node triangle count and local clustering coefficient over an
     * undirected simple graph: `(node_id, deg, tri_cnt, cc_fp)` with
     * `cc_fp = (2·tri·ccScale) div (deg·(deg−1))` (0 when deg < 2) — all

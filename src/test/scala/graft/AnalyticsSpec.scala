@@ -57,6 +57,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.sum <= got.size * scale) // dangling mass only leaks out
   }
 
+  /** Naive replay of the personalized recurrence: teleport + initial
+    * mass only on seeds. */
+  private def naivePpr(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int, scale: Long,
+      aN: Long, aD: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (aD - aN) * scale / aD
+    var r = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => aN * r(s) / (aD * deg(s)) }.sum
+      }
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + in.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankFixed: naive replay, seed locality, partition independence") {
+    val seedDf = Seq(0L, 20L).toDF("id")
+    def runP(df: DataFrame): Map[Long, Long] =
+      Analytics.personalizedPageRankFixed(df, seedDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = runP(edges.toDF("src", "dst"))
+    assert(got === naivePpr(edges, Set(0L, 20L), 3, 1000000000000L, 17L, 20L))
+    // locality: node 22 (8 hops from seed 0, unreachable from 20) holds
+    // ZERO mass after 3 rounds — the sparsity global PageRank never has
+    assert(got(22L) === 0L)
+    // a seed with no in-edges settles at exactly the teleport base
+    assert(got(20L) === 3L * 1000000000000L / 20L)
+    // non-seed, non-reached nodes hold zero; 1-hop spokes hold mass
+    assert(got(11L) > 0L)
+    assert(runP(edges.toDF("src", "dst").repartition(7)) === got)
+  }
+
   /** Naive per-node triangle count over an undirected simple graph. */
   private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val es = edges.map { case (a, b) => (a min b, a max b) }

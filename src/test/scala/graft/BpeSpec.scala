@@ -135,6 +135,37 @@ class BpeSpec extends SparkSpec {
     assert(got.contains((2L, 0L)) && got.contains((3L, 0L)))
   }
 
+  test("segmentLexicon: word -> pieces map equals the naive segmentation") {
+    val texts = (0 until 30).map(i =>
+      s"pack pac ack aack the then cat ${"a" * (i % 4 + 1)}")
+    val rules = naive(texts, 4).map { case (_, a, b, _) => (a, b) }
+    def segment(w: String): Vector[String] = {
+      var v = w.split("").toVector.filter(_.nonEmpty)
+      rules.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < v.size) {
+          if (i < v.size - 1 && v(i) == a && v(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += v(i); i += 1 }
+        }
+        v = out.result()
+      }
+      v
+    }
+    val words = texts
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val expected = words.toSeq.map { case (w, f) =>
+      val segs = segment(w)
+      (w, f, segs.mkString("_"), segs.size.toLong)
+    }.sortBy { case (w, f, _, _) => (-f, w) }.take(6)
+    val got = Bpe.segmentLexicon(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text", merges = 4, topK = 6)
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("partition independence") {
     val texts = (0 until 30).map(i => s"pack pac $i ack aack aaack pack")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -61,4 +61,48 @@ class PackingSpec extends SparkSpec {
     val total = rows.map(_._2).sum
     assert(rows.last._1 + rows.last._2 === total)
   }
+
+  test("strideChunks: equals the naive window walk across every boundary case") {
+    import spark.implicits._
+    // 1 token, just-under/at/over one window, just-under/at/over the
+    // two-window end (24 + 32 = 56), and a long doc; 0 tokens drops out
+    val counts = Seq(1L, 8L, 31L, 32L, 33L, 55L, 56L, 57L, 100L, 0L)
+    val df = counts.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_tok")
+    // the window walk: emit [start, start+32) every 24 until the end
+    // is covered — the sequential definition the closed form must match
+    def naive(n: Long): Seq[(Long, Long, Long)] = {
+      val b = Seq.newBuilder[(Long, Long, Long)]
+      var g = 0L
+      var again = n >= 1
+      while (again) {
+        b += ((g, g * 24L, math.min(32L, n - g * 24L)))
+        if (g * 24L + 32L >= n) again = false else g += 1L
+      }
+      b.result()
+    }
+    val expected = counts.zipWithIndex.flatMap { case (n, i) =>
+      naive(n).map { case (g, s, l) => (i.toLong, n, g, s, l) }
+    }.toSet
+    val got = Packing.strideChunks(df, "doc_id", "n_tok", 32L, 24L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // every chunk is non-empty and within the doc; overlap is 8 tokens
+    got.foreach { case (_, n, g, s, l) =>
+      assert(s === g * 24L && l >= 1L && s + l <= n)
+    }
+    // partition independence (pure row-local projection)
+    val got7 = Packing.strideChunks(df.repartition(7), "doc_id", "n_tok",
+      32L, 24L).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got7 === got)
+  }
+
+  test("strideChunks: stride = window degenerates to disjoint tiling") {
+    import spark.implicits._
+    val df = Seq((1L, 65L)).toDF("doc_id", "n_tok")
+    val got = Packing.strideChunks(df, "doc_id", "n_tok", 32L, 32L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(got === Seq((1L, 65L, 0L, 0L, 32L), (1L, 65L, 1L, 32L, 32L),
+      (1L, 65L, 2L, 64L, 1L)))
+  }
 }
