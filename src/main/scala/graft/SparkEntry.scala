@@ -1590,6 +1590,23 @@ r2o AS (
     "q117_bpe_token_counts" -> ((s, dir) =>
       graft.ext.Bpe.tokenCounts(
         t(s, dir, "documents"), "doc_id", "text", merges = 5)),
+    // tokenizer FERTILITY by language (ext.Bpe.fertility): pieces-per-
+    // word under the trained merge table, per document lang — the
+    // tokenizer-eval ratio that flags under-served languages, as an
+    // exact ppm integer. Rides q110's memoised training; one vocab
+    // aggregate + one corpus word explode + map-side group sums.
+    "q124_bpe_fertility" -> ((s, dir) =>
+      graft.ext.Bpe.fertility(
+        t(s, dir, "documents"), "doc_id", "text", "lang", merges = 5)),
+    // CONTAINMENT near-dup (ext.Dedup.containmentPairs, Broder's
+    // asymmetric metric): ordered pairs where doc_a's bigram shingles
+    // are >= 4/5 contained in doc_b's — quote/subset duplication that
+    // symmetric Jaccard (q44) dilutes away. Rare-shingle prefix join
+    // against the full posting list (provably complete), packed-string
+    // merge-walk verify, exact-integer threshold and ppm score.
+    "q125_containment" -> ((s, dir) =>
+      graft.ext.Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text")),
     // hard-negative mining (ext.Similarity.hardNegatives): each
     // vector's top-10 most-similar vectors drawn only from its probed
     // NEIGHBOURING clusters (the q71 candidate machinery minus the
@@ -3626,6 +3643,28 @@ r2o AS (
          |ORDER BY lift_fp DESC, src, ctx LIMIT 200""".stripMargin,
     // q110's final symbol table → per-word subword counts → one corpus
     // word explode joined on the word key; wordless docs count 0
+    // per-lang word stream joined on the per-word piece counts; exact
+    // ppm ratio (all positive, // ≡ div)
+    "q124_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+         |pw AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s5 GROUP BY wd),
+         |dw AS (SELECT lang AS grp, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd FROM documents)
+         |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(n_sub) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm
+         |FROM dw JOIN pw USING (wd) GROUP BY grp""".stripMargin,
+    // all ordered pairs with exact shingle-set containment >= 4/5 (the
+    // threshold and score are pure integers on both sides)
+    "q125_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |),
+        |s AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST((len(list_intersect(a.sh, b.sh)) * 1000000) // len(a.sh) AS BIGINT) AS containment_ppm
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4""".stripMargin,
     // the final symbol table collected per word in pos order — the
     // word → pieces lexicon, top-200 by (freq DESC, word)
     "q119_bpe_segments" ->

@@ -123,6 +123,36 @@ object Bpe {
       .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Tokenizer FERTILITY per document group (typically language) — the
+    * standard tokenizer-eval ratio pieces-per-word (Ács's fertility
+    * metric; high fertility flags a group the learned vocabulary
+    * under-serves, the number multilingual-tokenizer papers report).
+    * Ships as an exact ppm-scaled integer so a second engine
+    * hash-matches where a float ratio never could.
+    *
+    * Scale shape: rides [[trainCore]]'s memoised symbol table — one
+    * (word → piece count) vocab-sized aggregate, one corpus word
+    * explode joined on the word key (vocab side broadcastable), one
+    * map-side-combined per-group sum. */
+  def fertility(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      merges: Int = 5): DataFrame = {
+    val perWord = trainCore(docs, idCol, textCol, merges)._2
+      .groupBy("wd").agg(count(lit(1)).as("n_sub"))
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("wd"))
+      .filter(col("wd") =!= "")
+      .join(perWord, Seq("wd"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .select(col("grp"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 1000000 div n_words").as("fertility_ppm"))
+  }
+
   /** Shared trainer core: the per-round winner frames and the final
     * fused symbol table `(wd, freq, pos, sym)` — memoised per (corpus
     * plan, cols, merges) so the merge-table query and the vocab query

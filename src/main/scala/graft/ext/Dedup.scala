@@ -374,6 +374,68 @@ object Dedup {
       tauDen: Int): DataFrame =
     jaccardPairsFromHashed(prep(docs, idCol, textCol, n), tauNum, tauDen)
 
+  /** CONTAINMENT near-dup pairs — `C(A→B) = |A∩B| div |A| ≥ τ` over the
+    * word-bigram shingle SETS (Broder 1997's containment, the
+    * asymmetric sibling of resemblance/Jaccard): catches a document
+    * CONTAINED in a larger one — quotes, boilerplate-wrapped reposts,
+    * page-in-crawl subsets — where symmetric Jaccard dilutes below any
+    * usable threshold because the union is dominated by the big side.
+    * Output `(doc_a, doc_b, containment_ppm)`, one row per ORDERED pair
+    * with doc_a's shingles ≥ τ-contained in doc_b's; the threshold and
+    * the ppm score are exact integers (`inter·tauDen ≥ |A|·tauNum`), no
+    * float anywhere.
+    *
+    * Complete candidate generation: if C ≥ τ then at most
+    * `|A| − ⌈τ|A|⌉` of A's shingles miss B, so A's prefix of its
+    * `|A| − ⌈τ|A|⌉ + 1` RAREST shingles (the AllPairs document-frequency
+    * order [[nearDupJaccardExact]] uses) must share an element with B —
+    * joined against the FULL posting list, because containment has no
+    * symmetric length filter (B may be arbitrarily larger; `|B| ≥ τ|A|`
+    * is implied by the verify since `inter ≤ |B|`).
+    *
+    * Scale shape: the posting-list equi-join is keyed on the shingle
+    * with the prefix side biased to RARE shingles, so per-key fan-out
+    * tracks the df of rare keys (near-singleton buckets), never corpus²;
+    * the exact verify is the packed-string merge walk over a broadcast
+    * per-doc side, counting the intersection in one pass. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = prep(docs, idCol, textCol, n)
+    val posts = hashed.select(col("doc_id").as("doc_b"),
+      explode(col("sh")).as("p"))
+    val exploded = hashed.select(col("doc_id").as("doc_a"),
+      size(col("sh")).as("na"), explode(col("sh")).as("p"))
+    val dfreq = exploded.groupBy("p").agg(count(lit(1)).as("df"))
+    val prefLen = (col("na") - expr(
+      s"(na * $tauNum + ${tauDen - 1}) div $tauDen").cast("int") + 1)
+    val pref = exploded.join(dfreq, Seq("p"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_a").orderBy(col("df"), col("p"))))
+      .filter(col("rk") <= prefLen)
+      .select(col("doc_a"), col("na"), col("p"))
+    val cand = pref.join(posts, Seq("p"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "na").distinct()
+    val packed = hashed.select(col("doc_id"),
+      concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
+    cand
+      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
+        col("shp").as("pa"))), Seq("doc_a"))
+      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
+        col("shp").as("pb"))), Seq("doc_b"))
+      .withColumn("inter", interPackedUdf(col("pa"), col("pb")))
+      .filter(col("inter") * tauDen >= col("na") * tauNum)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(CAST(inter AS BIGINT) * 1000000) div na")
+          .as("containment_ppm"))
+  }
+
   /** The prefix-filter pipeline from an already-prepped `(doc_id, sh,
     * hs)` frame — shared by [[nearDupJaccardExact]] (whole corpus) and
     * [[nearDupSimhash]]'s short-doc completeness net (a filtered
@@ -503,6 +565,34 @@ object Dedup {
     * compile-time constant: the UDF body inlines it instead of capturing
     * the enclosing object in its closure. */
   private final val ShingleSep = '\u0001'
+
+  /** Merge-intersection COUNT over two packed (ShingleSep-delimited,
+    * sorted, distinct) shingle strings — [[jaccardPackedUdf]]'s walk,
+    * returning the raw intersection size for [[containmentPairs]]'s
+    * asymmetric exact-integer threshold. */
+  private val interPackedUdf = udf { (a: String, b: String) =>
+    val la = a.length; val lb = b.length
+    var i = 0; var j = 0; var inter = 0
+    def segEnd(s: String, from: Int, len: Int): Int = {
+      var e = from
+      while (e < len && s.charAt(e) != ShingleSep) e += 1
+      e
+    }
+    while (i < la && j < lb) {
+      val ea = segEnd(a, i, la); val eb = segEnd(b, j, lb)
+      var x = i; var y = j
+      while (x < ea && y < eb && a.charAt(x) == b.charAt(y)) { x += 1; y += 1 }
+      val c =
+        if (x == ea && y == eb) 0
+        else if (x == ea) -1
+        else if (y == eb) 1
+        else if (a.charAt(x) < b.charAt(y)) -1 else 1
+      if (c == 0) { inter += 1; i = ea + 1; j = eb + 1 }
+      else if (c < 0) i = ea + 1
+      else j = eb + 1
+    }
+    inter
+  }
 
   /** Merge-intersection Jaccard over two packed (ShingleSep-delimited,
     * sorted, distinct) shingle strings — one linear walk, no per-element

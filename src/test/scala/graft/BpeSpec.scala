@@ -166,6 +166,38 @@ class BpeSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("fertility: exact per-group pieces-per-word ratio") {
+    val rows = Seq(
+      (0L, "the cat sat", "en"), (1L, "thethe the", "en"),
+      (2L, "catcat sat sat", "de"), (3L, "", "de"), (4L, "cat", "de"))
+    val rules = naive(rows.map(_._2), 3).map { case (_, a, b, _) => (a, b) }
+    def nSub(w: String): Long = {
+      var v = w.split("").toVector.filter(_.nonEmpty)
+      rules.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < v.size) {
+          if (i < v.size - 1 && v(i) == a && v(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += v(i); i += 1 }
+        }
+        v = out.result()
+      }
+      v.size.toLong
+    }
+    val expected = rows
+      .flatMap { case (_, t, g) =>
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(g -> _) }
+      .groupBy(_._1).map { case (g, ws) =>
+        val words = ws.size.toLong
+        val subs = ws.map(w => nSub(w._2)).sum
+        (g, words, subs, subs * 1000000L / words)
+      }.toSet
+    val got = Bpe.fertility(rows.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", merges = 3)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("partition independence") {
     val texts = (0 until 30).map(i => s"pack pac $i ack aack aaack pack")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -109,6 +109,66 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus must actually exercise the pass
   }
 
+  test("containmentPairs == brute-force ordered containment; asymmetric") {
+    // doc 20 is a strict shingle-subset of doc 21 (a quote inside a
+    // longer doc): C(20→21) = 1.0 but the Jaccard is 5/11 — the case
+    // the asymmetric metric exists for. 23 shares 4/5 of 22's shingles.
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (20L, "aa bb cc dd ee ff"),
+      (21L, "zz yy aa bb cc dd ee ff xx ww vv uu"),
+      (22L, "k1 k2 k3 k4 k5 k6"),
+      (23L, "k1 k2 k3 k4 k5 q9")
+    )).toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id",
+        Dedup.shingles(Dedup.tokens($"text"), 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        size(array_intersect($"a.sh", $"b.sh")).as("inter"),
+        size($"a.sh").as("na"))
+      .filter($"inter" * 5 >= $"na" * 4)
+      .select($"doc_a", $"doc_b",
+        expr("(CAST(inter AS BIGINT) * 1000000) div na"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(got.contains((20L, 21L, 1000000L))) // full containment
+    assert(!got.exists(p => p._1 == 21L && p._2 == 20L)) // not symmetric
+    assert(got.contains((22L, 23L, 800000L))) // 4/5 boundary inclusive
+  }
+
+  test("containmentPairs == brute force on the seeded random corpus") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (0 until 50).map { i =>
+      val len = 2 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant supersets: a long doc wrapping a short doc's full text
+    val wraps = base.filter(_._2.split(" ").length <= 5).take(6)
+      .zipWithIndex.map { case ((_, text), j) =>
+        (200L + j, s"${vocab(j % 8)} ${vocab((j + 3) % 8)} " + text +
+          " " + base(j * 3)._2)
+      }
+    val corpus = (base ++ wraps).toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id",
+        Dedup.shingles(Dedup.tokens($"text"), 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        size(array_intersect($"a.sh", $"b.sh")).as("inter"),
+        size($"a.sh").as("na"))
+      .filter($"inter" * 5 >= $"na" * 4)
+      .select($"doc_a", $"doc_b",
+        expr("(CAST(inter AS BIGINT) * 1000000) div na"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("simhash blocks find exact+near dups with exact verify") {
     val out = Dedup.nearDupSimhash(docs, "doc_id", "text", tau = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
