@@ -79,12 +79,19 @@ object PlanDump {
     "q109_random_walks",    // per-step 2-key equi-join of O(#walks) frontier
     "q110_bpe_merges",      // BPE round: wd-window passes + 1-row winner bcast
     "q115_node2vec_walks",  // biased step: deg-join + membership join + window
-    "q116_walk_pmi")        // pair marginals + broadcast total + TakeOrdered
+    "q116_walk_pmi",        // pair marginals + broadcast total + TakeOrdered
+    "q118_temporal_walks",  // time-residual frontier join + per-walk window
+    "q122_doc_chunks",      // row-local sequence+explode, zero exchanges
+    "q123_ppr",             // broadcast seed flag; sparse nonzero frontier
+    "q125_containment")     // rare-prefix ⨝ posting list + packed verify
   // q111/q112/q113/q117 are shape-duplicates of audited sections (q58's
   // component chain + a row-local projection; q71's probed top-k with a
   // probe-rank filter; a plain equi-join + map-side-combined count; an
-  // explode ⨝ vocab lookup + per-doc sum) — PlanLintSpec still sweeps
-  // them every `sbt test`
+  // explode ⨝ vocab lookup + per-doc sum) — as are r11's q119/q124
+  // (q110's memoised symbol table + one aggregate / one explode-join),
+  // q120 (q113's pair join over the q118 corpus) and q121 (q51's
+  // broadcast brute-force scan ×2) — PlanLintSpec still sweeps them
+  // every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -410,6 +417,27 @@ object PlanDump {
       |- **q116 (walk PMI)**: marginals are O(|V|) aggregates over the
       |  checkpointed pair table re-joined on their own keys; the corpus
       |  total broadcasts as one row; the cut is `TakeOrderedAndProject`.
+      |- **q118 (temporal walks)**: each step joins the pinned frontier
+      |  to the symmetrized day-stamped edges on the current node with
+      |  the `d ≥ clock` residual (validity depends on the walk's own
+      |  clock — the candidate volume is the paper-inherent O(Σ deg)),
+      |  then one per-walk count+rank window bounded by the max temporal
+      |  degree picks the deterministic slot. Frontiers checkpoint per
+      |  step like q109/q115.
+      |- **q122 (stride chunks)**: token counts, the closed-form chunk
+      |  count, and a `sequence` explode — all row-local projections
+      |  over one pruned scan; ZERO exchanges in the whole plan.
+      |- **q123 (personalized PageRank)**: the seed indicator joins as a
+      |  BROADCAST; each round ships only the `r ≠ 0` frontier into the
+      |  contribution join, so at 3 rounds the plan moves the seeds'
+      |  ≤3-hop ball instead of the whole graph — the locality that
+      |  makes PPR cheap at 100 TB where global PageRank touches
+      |  everything.
+      |- **q125 (containment)**: candidates come from the RARE-shingle
+      |  prefix (AllPairs df order) equi-joined against the full posting
+      |  list — per-key fan-out tracks rare-key document frequency, not
+      |  corpus² — and the exact verify is a packed-string merge walk
+      |  against two broadcast per-doc sides.
       |
       |At 100 TB the same shapes hold: scans prune columns and push
       |predicates, dimensions broadcast, aggregations combine map-side, the
