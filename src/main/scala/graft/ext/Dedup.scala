@@ -394,10 +394,23 @@ object Dedup {
     * is implied by the verify since `inter ≤ |B|`).
     *
     * Scale shape: the posting-list equi-join is keyed on the shingle
-    * with the prefix side biased to RARE shingles, so per-key fan-out
-    * tracks the df of rare keys (near-singleton buckets), never corpus²;
-    * the exact verify is the packed-string merge walk over a broadcast
-    * per-doc side, counting the intersection in one pass. */
+    * with the prefix side biased to RARE shingles, and THREE
+    * completeness-preserving residuals run inside the join — the length
+    * filter `|B| ≥ τ|A|` (implied by any true pair since inter ≤ |B|),
+    * the B-side positional filter (a qualifying pair's FIRST shared
+    * element — both sides rank shingles in the same global (df, p)
+    * order, so "first shared" is the same element on both — must sit at
+    * B-rank `j ≤ |B| − ⌈τ|A|⌉ + 1`), and the PPJoin overlap bound
+    * `1 + min(|A|−i, |B|−j) ≥ ⌈τ|A|⌉`. Later shared occurrences carry
+    * tighter bounds, so killing an occurrence never kills a true pair's
+    * first occurrence — candidates stay complete while a degenerate
+    * small-vocabulary corpus prunes from millions to roughly the true
+    * pairs. The exact verify is the packed-string merge walk over a
+    * broadcast per-doc side; the candidate frame is explicitly
+    * repartitioned first so AQE's post-shuffle coalesce cannot collapse
+    * the UDF-heavy probe onto one task, and the UDF is marked
+    * nondeterministic so Catalyst evaluates the walk ONCE per pair
+    * instead of duplicating it into filter and projection. */
   def containmentPairs(
       docs: DataFrame,
       idCol: String,
@@ -407,21 +420,40 @@ object Dedup {
       tauDen: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = prep(docs, idCol, textCol, n)
-    val posts = hashed.select(col("doc_id").as("doc_b"),
-      explode(col("sh")).as("p"))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val exploded = hashed.select(col("doc_id").as("doc_a"),
       size(col("sh")).as("na"), explode(col("sh")).as("p"))
     val dfreq = exploded.groupBy("p").agg(count(lit(1)).as("df"))
+    // full posting list in the SAME global (df, p) rank order as the
+    // prefixes — the B-side positional coordinate
+    val posts = exploded
+      .select(col("doc_a").as("doc_b"), col("na").as("nb"), col("p"))
+      .join(dfreq, Seq("p"))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("doc_b").orderBy(col("df"), col("p"))))
+      .select(col("doc_b"), col("nb"), col("rb"), col("p"))
     val prefLen = (col("na") - expr(
       s"(na * $tauNum + ${tauDen - 1}) div $tauDen").cast("int") + 1)
     val pref = exploded.join(dfreq, Seq("p"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_a").orderBy(col("df"), col("p"))))
       .filter(col("rk") <= prefLen)
-      .select(col("doc_a"), col("na"), col("p"))
-    val cand = pref.join(posts, Seq("p"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b", "na").distinct()
+      .select(col("doc_a"), col("na"), col("rk"), col("p"))
+    // ⌈τ·|A|⌉ — the required overlap, a function of the A side only
+    val alphaA = expr(s"(na * $tauNum + ${tauDen - 1}) div $tauDen")
+    val cand = pref.join(posts,
+        pref("p") === posts("p") && col("doc_a") =!= col("doc_b") &&
+          col("nb") * tauDen >= col("na") * tauNum &&
+          col("rb") <= col("nb") - alphaA + lit(1) &&
+          lit(1) + least(col("na") - col("rk"), col("nb") - col("rb")) >= alphaA)
+      .select("doc_a", "doc_b", "na")
+      // fixed-width repartition: the verify below is UDF-bound, and on a
+      // degenerate corpus AQE would coalesce the small-byte candidate
+      // shuffle onto one task. No pre-verify distinct — duplicate
+      // occurrences of a pair re-run the (cheap) walk and collapse in
+      // the FINAL distinct over the few true rows, which beats a
+      // candidate-scale dedup exchange + hash aggregate.
+      .repartition(parts, col("doc_a"), col("doc_b"))
     val packed = hashed.select(col("doc_id"),
       concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
     cand
@@ -434,6 +466,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("(CAST(inter AS BIGINT) * 1000000) div na")
           .as("containment_ppm"))
+      .distinct()
   }
 
   /** The prefix-filter pipeline from an already-prepped `(doc_id, sh,
@@ -570,7 +603,11 @@ object Dedup {
     * sorted, distinct) shingle strings — [[jaccardPackedUdf]]'s walk,
     * returning the raw intersection size for [[containmentPairs]]'s
     * asymmetric exact-integer threshold. */
-  private val interPackedUdf = udf { (a: String, b: String) =>
+  // The function is pure; asNondeterministic is an OPTIMIZER FENCE —
+  // without it Catalyst collapses the inter projection into both its
+  // consumers (the threshold filter and the ppm projection) and the
+  // merge walk runs twice per candidate pair.
+  private val interPackedUdf = (udf { (a: String, b: String) =>
     val la = a.length; val lb = b.length
     var i = 0; var j = 0; var inter = 0
     def segEnd(s: String, from: Int, len: Int): Int = {
@@ -592,7 +629,7 @@ object Dedup {
       else j = eb + 1
     }
     inter
-  }
+  }).asNondeterministic()
 
   /** Merge-intersection Jaccard over two packed (ShingleSep-delimited,
     * sorted, distinct) shingle strings — one linear walk, no per-element
