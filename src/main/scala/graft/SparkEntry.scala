@@ -1607,6 +1607,51 @@ r2o AS (
     "q125_containment" -> ((s, dir) =>
       graft.ext.Dedup.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text")),
+    // STREAMING incremental near-dedup under the oracle (streaming.
+    // DocIngest — the real StreamingQuery lifecycle, like q106 does for
+    // PqIngest): the corpus lands as three staged micro-batches, each
+    // batch MinHash-signed and band-joined against the accumulated
+    // store (new × all, never all × all), exact-verified, appended.
+    // The accumulated pair store must equal the batch all-pairs answer
+    // — the q34/q44 oracle — bit for bit, across batch boundaries.
+    "q126_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.DocIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q126").toString
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = DocIngest.start(s, inDir, store, ckpt)
+        try {
+          stage(0L); q.processAllAvailable()
+          stage(1L); q.processAllAvailable()
+          stage(2L); q.processAllAvailable()
+        } finally q.stop()
+        DocIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true) // materialise before tmp cleanup
+      } finally {
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // hard-negative mining (ext.Similarity.hardNegatives): each
     // vector's top-10 most-similar vectors drawn only from its probed
     // NEIGHBOURING clusters (the q71 candidate machinery minus the
@@ -2573,6 +2618,8 @@ r2o AS (
       "SELECT doc_id, md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp FROM documents",
     "q34_dedup_minhash" -> jaccardPairsSql,
     "q36_dedup_simhash" -> jaccardPairsSql,
+    // the streaming store must accumulate exactly the batch answer
+    "q126_stream_dedup" -> jaccardPairsSql,
     // transitive closure of the near-dup pairs (recursive CTE; UNION
     // dedups, so the fixpoint terminates), canon = min over self + all
     // reachable docs — the SQL twin of GraphX min-label propagation.
