@@ -944,6 +944,18 @@ r2o AS (
           .select(col("doc_id"), size(toks).cast("long").as("n_tok")),
         "doc_id", "n_tok", windowTokens = 32L, stride = 24L)
     }),
+    // deterministic weighted PRIORITY sampling (ext.Sampling.
+    // prioritySample, Duffield et al. 2007): top-200 docs by w/u
+    // priority with token-count weights — inclusion tracks weight,
+    // reproducible from (data, seed); exact integer priorities, planned
+    // as one row-local projection + TakeOrderedAndProject.
+    "q127_priority_sample" -> ((s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      graft.ext.Sampling.prioritySample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tok")),
+        "doc_id", "n_tok", k = 200, seed = 7L)
+    }),
     // PII anonymization (the pre-training privacy pass): keyed SHA-256
     // pseudonymization of the name (joinable, irreversible without the
     // pepper), digit-run redaction with an audit count, and k-anonymity-
@@ -2861,6 +2873,15 @@ r2o AS (
         |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last,
         |  CAST((start_off + n_tok - 1) // 512 - start_off // 512 + 1 AS BIGINT) AS n_chunks
         |FROM cum""".stripMargin,
+    // priority = (w*M) // (mix+1), top-200 by (priority DESC, doc_id)
+    "q127_priority_sample" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST((n_tok * ${graft.learn.DetRandom.M}) // ((${graft.learn.DetRandom.mixSql("doc_id", "doc_id", 7L)}) + 1) AS BIGINT) AS priority_fp
+        |FROM tok WHERE n_tok >= 1
+        |ORDER BY priority_fp DESC, doc_id LIMIT 200""".stripMargin,
     // per-doc stride windows: n_chunks = 1 + max(0, ceil((n-32)/24)),
     // chunk g covers [g*24, g*24 + min(32, n - g*24))
     "q122_doc_chunks" ->

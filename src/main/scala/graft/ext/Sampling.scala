@@ -80,6 +80,37 @@ object Sampling {
       .filter(col("cum_w") <= budget)
   }
 
+  /** Deterministic weighted PRIORITY SAMPLE (Duffield, Lund & Thorup,
+    * "Priority sampling", JACM 2007): the top-`k` rows by priority
+    * `w/u` with `u` seeded-uniform — inclusion probability tracks the
+    * weight (a 100× heavier document is ~100× likelier to survive the
+    * cut), the weighted corpus-subsampling step between q48's
+    * stratified draw (no weights) and q64's budget fill (hard quotas).
+    * Reproducible bit-for-bit from (data, seed): the priority ships as
+    * the exact integer image `(w·M) div (mix+1)` with mix ∈ [0, M), so
+    * both engines rank identical numbers and the deterministic
+    * (priority DESC, id) cut is hash-exact.
+    *
+    * Scale shape: one row-local projection + `TakeOrderedAndProject` —
+    * no global sort, no shuffle beyond the top-k combine. Rows with
+    * weight < 1 are excluded (zero-weight rows can't carry mass). */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.filter(col(weightCol) >= 1)
+      .withColumn("__u",
+        DetRandom.mix(col(idCol), col(idCol), seed) + lit(1L))
+      .withColumn("priority_fp",
+        expr(s"($weightCol * ${DetRandom.M}L) div __u"))
+      .drop("__u")
+      .orderBy(desc("priority_fp"), asc(idCol))
+      .limit(k)
+  }
+
   /** Scale-safe grouped running sum — the shared kernel behind
     * [[budgeted]] and [[Packing.concatChunk]]. Computes, for every row,
     * the running `weightCol` sum over rows of the same `groupCols` value

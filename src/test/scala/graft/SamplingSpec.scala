@@ -61,4 +61,36 @@ class SamplingSpec extends SparkSpec {
     val k = b1.count()
     assert(math.abs(k.toDouble / n - 0.2) < 0.05)
   }
+
+  test("prioritySample: exact naive replay, weight bias, partition independence") {
+    import graft.learn.DetRandom
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 500L).map(i => (i, 1L + rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "w")
+    def naive(seed: Long): Seq[(Long, Long, Long)] = rows
+      .map { case (i, w) =>
+        (i, w, w * DetRandom.M / (DetRandom.mixLong(i, i, seed) + 1)) }
+      .sortBy { case (i, _, p) => (-p, i) }.take(40)
+    val got = Sampling.prioritySample(df, "id", "w", k = 40, seed = 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === naive(3L))
+    val got13 = Sampling.prioritySample(df.repartition(13), "id", "w",
+      k = 40, seed = 3L).as[(Long, Long, Long)].collect().toSeq
+    assert(got13 === got)
+    // inclusion tracks weight: across seeds, heavy rows survive the cut
+    // far more often than light ones
+    val heavy = rows.filter(_._2 >= 40).map(_._1).toSet
+    val light = rows.filter(_._2 <= 10).map(_._1).toSet
+    val counts = (0L until 20L).flatMap(s => naive(s).map(_._1))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val heavyRate = heavy.toSeq.map(counts.getOrElse(_, 0)).sum.toDouble / heavy.size
+    val lightRate = light.toSeq.map(counts.getOrElse(_, 0)).sum.toDouble / light.size
+    assert(heavyRate > 3 * lightRate,
+      s"weighting lost: heavy $heavyRate vs light $lightRate")
+    // a zero-weight row never appears
+    val withZero = ((500L, 0L) +: rows).toDF("id", "w")
+    assert(!Sampling.prioritySample(withZero, "id", "w", 500, 3L)
+      .as[(Long, Long, Long)].collect().exists(_._1 == 500L))
+  }
 }
