@@ -1335,6 +1335,23 @@ r2o AS (
     "q45_ann_ivf_kmeans" -> ((s, dir) =>
       graft.ext.Similarity.ivfTopKKMeansFixed(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)),
+    // IVF index-health audit (ext.Similarity.ivfListStats): per-list
+    // population + the FAISS imbalance factor K*sum(n^2)/(sum n)^2 as
+    // an exact ppm integer — the number index-ops watch because a hot
+    // inverted list serializes every probing query. Rides q45's
+    // memoised fixed k-means fit; one assignment pass + K-row math.
+    "q128_ivf_imbalance" -> ((s, dir) =>
+      graft.ext.Similarity.ivfListStats(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // temperature-balanced mixing quotas (ext.Selection.
+    // temperatureQuotas, the mBERT/XLM-R/mT5 alpha-sampling rule at
+    // alpha = 1/2): per-source isqrt(token-mass) weights, a 10k budget
+    // split by largest-remainder apportionment — deterministic integer
+    // quotas summing to exactly the budget, up-weighting low-resource
+    // sources. One per-group aggregate; nothing else moves.
+    "q129_temperature_mix" -> ((s, dir) =>
+      graft.ext.Selection.temperatureQuotas(
+        t(s, dir, "documents"), "source", "text", budget = 10000L)),
     // PQ/ADC top-k (Jégou et al. 2011): per-block integer codebooks,
     // 8-byte codes, query-side asymmetric-distance table — the
     // memory-bounded ANN serving tier above the IVF pair; codebooks,
@@ -3585,6 +3602,30 @@ r2o AS (
         |SELECT id FROM asg JOIN probes USING (cid)
         |WHERE id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
+    // list sizes over the replayed assignment + the global ppm factor
+    "q128_ivf_imbalance" ->
+      s"""WITH $kmeansFixedCtes,
+        |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid),
+        |f AS (SELECT CAST((16 * SUM(n_vecs * n_vecs) * 1000000) // (SUM(n_vecs) * SUM(n_vecs)) AS BIGINT) AS imbalance_ppm FROM sz)
+        |SELECT cid, n_vecs, imbalance_ppm FROM sz, f""".stripMargin,
+    // isqrt weights (corrected floor-sqrt) + largest-remainder split
+    "q129_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source AS grp, CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |i AS (SELECT grp, n_tokens, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS l0 FROM g),
+        |w AS (SELECT grp, n_tokens,
+        |    CASE WHEN (l0 + 1) * (l0 + 1) <= n_tokens THEN l0 + 1
+        |         WHEN l0 * l0 > n_tokens THEN l0 - 1 ELSE l0 END AS w_isqrt FROM i),
+        |t AS (SELECT grp, n_tokens, w_isqrt,
+        |    (10000 * w_isqrt) // SUM(w_isqrt) OVER () AS base,
+        |    (10000 * w_isqrt) % SUM(w_isqrt) OVER () AS rem
+        |  FROM w),
+        |d AS (SELECT *, 10000 - SUM(base) OVER () AS deficit,
+        |    row_number() OVER (ORDER BY rem DESC, grp) AS rk FROM t)
+        |SELECT grp, n_tokens, w_isqrt,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM d""".stripMargin,
     "q100_ann_pq" ->
       s"""WITH $pqCtes
         |SELECT id FROM pqtop""".stripMargin,

@@ -145,4 +145,52 @@ object Selection {
       .select(col(idCol), col("n_bigrams"),
         expr("__s div n_bigrams").as("lm_fp"))
   }
+
+  /** TEMPERATURE-balanced mixing quotas — the multilingual sampling
+    * rule of mBERT/XLM-R/mT5 (Devlin et al. 2019 app.; Conneau et al.
+    * 2020 §3; Xue et al. 2021 §3.2): sample group g with probability
+    * ∝ p_g^α, α < 1, so low-resource groups are up-weighted relative
+    * to their raw share. α = 1/2 here, which makes the group weight the
+    * exact INTEGER square root of its token mass (`isqrt` via a
+    * corrected floor(sqrt) — the two CASE arms fix the ±1 a
+    * double-rounded sqrt can land on, so both engines agree on every
+    * input), and the budget splits by largest-remainder apportionment
+    * (Hamilton's method): `base = (N·w) div W` plus one extra for the
+    * `N − Σ base` largest remainders (ties by group ascending) —
+    * deterministic, integer-exact, quotas sum to EXACTLY `N`.
+    *
+    * Output: `(grp, n_tokens, w_isqrt, quota)`. Scale shape: one
+    * map-side-combined per-group aggregate (≤ #groups rows ever move),
+    * then O(#groups) window arithmetic — nothing else touches the
+    * corpus. */
+  def temperatureQuotas(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val toks = regexp_extract_all(col(textCol), lit("[a-z0-9]+"), lit(0))
+    val grp = docs
+      .select(col(groupCol).as("grp"), size(toks).cast("long").as("__n"))
+      .groupBy("grp").agg(sum("__n").as("n_tokens"))
+      .withColumn("__l0",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_isqrt", expr(
+        """CASE WHEN (__l0 + 1) * (__l0 + 1) <= n_tokens THEN __l0 + 1
+          |     WHEN __l0 * __l0 > n_tokens THEN __l0 - 1
+          |     ELSE __l0 END""".stripMargin))
+      .drop("__l0")
+    val all = Window.partitionBy(lit(1))
+    grp
+      .withColumn("__W", sum("w_isqrt").over(all))
+      .withColumn("__base", expr(s"($budget * w_isqrt) div __W"))
+      .withColumn("__rem", expr(s"($budget * w_isqrt) % __W"))
+      .withColumn("__deficit", lit(budget) - sum("__base").over(all))
+      .withColumn("__rk", row_number().over(
+        all.orderBy(desc("__rem"), asc("grp"))))
+      .select(col("grp"), col("n_tokens"), col("w_isqrt"),
+        (col("__base") + when(col("__rk") <= col("__deficit"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
 }

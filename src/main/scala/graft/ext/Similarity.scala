@@ -304,6 +304,42 @@ object Similarity {
     cents
   }
 
+  /** IVF index-health audit — per-list population plus the FAISS
+    * imbalance factor `K·Σn² / (Σn)²` as an exact ppm integer
+    * (1 000 000 = perfectly balanced lists; the metric index-ops watch
+    * because one hot inverted list serializes every query that probes
+    * it, and the number FAISS prints after training). Shares the
+    * memoised fixed-point k-means fit with q45/q54, so auditing an
+    * index costs one assignment pass + a K-row aggregate; the global
+    * factor re-enters as a 1-row broadcast. Only populated lists emit
+    * rows (empty lists contribute 0 to both sums). */
+  def ivfListStats(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.select(col(idCol).cast("long").as("id"),
+      scaledIntVec(col(vecCol)).as("vi"))
+    val cents = kmeansFixedCentroids(emb, idCol, vecCol, nCentroids, iters, seed)
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("cid"))
+    val sizes = s.crossJoin(broadcast(cents))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vi"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val factor = sizes.agg(
+        sum("n_vecs").as("nt"),
+        sum(col("n_vecs") * col("n_vecs")).as("n2"))
+      .select(expr(
+        s"($nCentroids * n2 * 1000000) div (nt * nt)").as("imbalance_ppm"))
+    sizes.crossJoin(broadcast(factor))
+      .select(col("cid"), col("n_vecs"), col("imbalance_ppm"))
+  }
+
   /** IVF top-k over the fixed-point k-means fit — the hash-exact quality
     * tier (q45): same inverted-file serving shape as [[ivfTopK]], but the
     * centroids come from a REAL Lloyd's run ([[kmeansFixedCentroids]])

@@ -80,4 +80,56 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got(1L) > got(2L), s"prose ${got(1L)} !> salad ${got(2L)}")
   }
+
+  test("temperatureQuotas: naive replay, exact-budget sum, low-resource upweighting") {
+    import spark.implicits._
+    // four sources with very unequal token mass (tokens ∝ repeated 'tk')
+    val docs = Seq(
+      (0L, Seq.fill(1600)("tk").mkString(" "), "big"),
+      (1L, Seq.fill(400)("tk").mkString(" "), "mid"),
+      (2L, Seq.fill(100)("tk").mkString(" "), "small"),
+      (3L, Seq.fill(9)("tk").mkString(" "), "tiny")
+    ).toDF("doc_id", "text", "source")
+    val got = Selection.temperatureQuotas(docs, "source", "text", 1000L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // naive: isqrt weights 40/20/10/3, W=73; base = 1000*w div 73;
+    // remainders decide the leftover
+    val w = Map("big" -> 40L, "mid" -> 20L, "small" -> 10L, "tiny" -> 3L)
+    val n = Map("big" -> 1600L, "mid" -> 400L, "small" -> 100L, "tiny" -> 9L)
+    val sumW = w.values.sum
+    val base = w.view.mapValues(v => 1000L * v / sumW).toMap
+    val rem = w.view.mapValues(v => 1000L * v % sumW).toMap
+    val deficit = 1000L - base.values.sum
+    val extra = w.keys.toSeq.sortBy(g => (-rem(g), g)).take(deficit.toInt).toSet
+    val expected = w.keys.toSeq.sorted.map(g =>
+      (g, n(g), w(g), base(g) + (if (extra(g)) 1L else 0L)))
+    assert(got === expected)
+    assert(got.map(_._4).sum === 1000L) // exact budget
+    // temperature upweights the low-resource tail: tiny's quota share
+    // exceeds its raw token share, big's is below
+    val totTok = n.values.sum
+    val gotMap = got.map(t => t._1 -> t._4).toMap
+    assert(gotMap("tiny").toDouble / 1000 > n("tiny").toDouble / totTok)
+    assert(gotMap("big").toDouble / 1000 < n("big").toDouble / totTok)
+    // partition independence
+    val got13 = Selection.temperatureQuotas(docs.repartition(13),
+        "source", "text", 1000L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got13 === got)
+  }
+
+  test("temperatureQuotas isqrt: exact at and around perfect squares") {
+    import spark.implicits._
+    // token counts k²−1, k², k²+1 must give isqrt k−1, k, k exactly
+    val k = 37L
+    val docs = Seq(
+      (0L, Seq.fill((k * k - 1).toInt)("t").mkString(" "), "a"),
+      (1L, Seq.fill((k * k).toInt)("t").mkString(" "), "b"),
+      (2L, Seq.fill((k * k + 1).toInt)("t").mkString(" "), "c")
+    ).toDF("doc_id", "text", "source")
+    val got = Selection.temperatureQuotas(docs, "source", "text", 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(got === Map("a" -> (k - 1), "b" -> k, "c" -> k))
+  }
 }

