@@ -788,6 +788,17 @@ r2o AS (
         t(s, dir, "documents").select(col("doc_id")),
         graft.ext.Dedup.nearDupJaccardExact(
           t(s, dir, "documents"), "doc_id", "text"))),
+    // dedup TELEMETRY (the report a curation run ships): the component
+    // size histogram over q58's canonical groups — how many singletons,
+    // pairs, triples… the near-dup pass found. Rides the memoised
+    // component chain; two map-side-combined aggregates on top.
+    "q130_dedup_report" -> ((s, dir) =>
+      graft.ext.Dedup.dedupGroups(
+        t(s, dir, "documents").select(col("doc_id")),
+        graft.ext.Dedup.nearDupJaccardExact(
+          t(s, dir, "documents"), "doc_id", "text"))
+        .groupBy("canon_id").agg(count(lit(1)).as("grp_size"))
+        .groupBy("grp_size").agg(count(lit(1)).as("n_groups"))),
     // 100 TB profiling sketches, machine-checked: the raw one-pass
     // HLL++/approx-percentile profile (ext.Sketches.profile — constant
     // per-group state where exact distinct/quantiles over 100 TB would
@@ -2655,6 +2666,11 @@ r2o AS (
     "q58_dedup_groups" ->
       s"""$dedupGroupsCtes
         |SELECT doc_id, canon_id FROM g""".stripMargin,
+    // component sizes -> size histogram over the same closure
+    "q130_dedup_report" ->
+      s"""$dedupGroupsCtes,
+        |s AS (SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS grp_size FROM g GROUP BY canon_id)
+        |SELECT grp_size, CAST(COUNT(*) AS BIGINT) AS n_groups FROM s GROUP BY grp_size""".stripMargin,
     // 5 unrolled BPE rounds over the word-frequency symbol table: pair
     // lead + weighted count + (cnt DESC, a, b) winner, then the greedy
     // left-to-right fuse as its run-parity closed form — for (a,a) a
