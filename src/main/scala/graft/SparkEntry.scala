@@ -1354,6 +1354,53 @@ r2o AS (
     "q128_ivf_imbalance" -> ((s, dir) =>
       graft.ext.Similarity.ivfListStats(
         t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // PQ DISTORTION audit (ext.Similarity.pqDistortion): per-block
+    // reconstruction SSE/MSE of the trained product quantizer over the
+    // scaled integer image — FAISS's PQ training error, the retrain
+    // signal, localised to the worst-served subspace. Rides q100's
+    // memoised codebook fit; one assignment pass + 8-row arithmetic.
+    "q131_pq_distortion" -> ((s, dir) =>
+      graft.ext.Similarity.pqDistortion(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // corpus n-gram COMMONNESS per doc (boilerplate/memorization
+    // signal): the ppm share of a doc's distinct trigram TYPES that are
+    // corpus-common (type df >= 10 docs) — the q62 within-doc repetition
+    // lens turned ACROSS documents. One type explode + df aggregate +
+    // per-doc count; the df side joins on the trigram key.
+    "q132_ngram_commonness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tri = docs.select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("tri"))
+        .distinct()
+      val df = tri.groupBy("tri").agg(count(lit(1)).as("df"))
+      tri.join(df, Seq("tri"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("df") >= 10, 1L).otherwise(0L)).as("n_common"))
+        .select(col("doc_id"), col("n_types"), col("n_common"),
+          expr("(n_common * 1000000) div n_types").as("common_ppm"))
+    }),
+    // near-dup PROVENANCE matrix (where duplication comes from): q44's
+    // exact-Jaccard pairs bucketed by unordered source pair — the
+    // cross-source leakage report (same-source dup is re-posting;
+    // cross-source dup is syndication/contamination). Rides the
+    // memoised pair build; two broadcast doc->source joins + one count.
+    "q133_dup_provenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      graft.ext.Dedup.nearDupJaccardExact(docs, "doc_id", "text")
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb"))), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    }),
     // temperature-balanced mixing quotas (ext.Selection.
     // temperatureQuotas, the mBERT/XLM-R/mT5 alpha-sampling rule at
     // alpha = 1/2): per-source isqrt(token-mass) weights, a 10k budget
@@ -3645,6 +3692,42 @@ r2o AS (
     "q100_ann_pq" ->
       s"""WITH $pqCtes
         |SELECT id FROM pqtop""".stripMargin,
+    // per-block squared reconstruction error of the replayed fit
+    "q131_pq_distortion" -> {
+      val per = (0 until 8).map { b =>
+        s"""e$b AS (SELECT s.id, t.d AS d, (s.vi[t.d] - c.cv[t.d]) AS df
+           |  FROM pb${b}_s s JOIN pb${b}_code k ON k.id = s.id
+           |    JOIN pb${b}_c$kmeansFixedIters c ON c.cid = k.cid,
+           |  UNNEST(range(1, len(s.vi) + 1)) AS t(d)),
+           |g$b AS (SELECT CAST($b AS BIGINT) AS blk,
+           |    CAST(COUNT(DISTINCT id) AS BIGINT) AS n_vecs,
+           |    CAST(SUM(df * df) AS BIGINT) AS sse FROM e$b)""".stripMargin
+      }.mkString(",\n")
+      val u = (0 until 8).map(b => s"SELECT * FROM g$b").mkString(" UNION ALL ")
+      s"""WITH $pqCtes,
+         |$per
+         |SELECT blk, n_vecs, sse, CAST(sse // n_vecs AS BIGINT) AS mse
+         |FROM ($u)""".stripMargin
+    },
+    // distinct trigram types per doc vs their corpus document frequency
+    "q132_ngram_commonness" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |tri AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
+        |  FROM w, UNNEST(range(1, len(toks) - 1)) AS t(i) WHERE len(toks) >= 3),
+        |dfr AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS df FROM tri GROUP BY tri)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN dfr.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST((SUM(CASE WHEN dfr.df >= 10 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS common_ppm
+        |FROM tri JOIN dfr USING (tri) GROUP BY doc_id""".stripMargin,
+    // the q44 pair set bucketed by unordered source pair
+    "q133_dup_provenance" ->
+      s"""WITH pr AS ($jaccardPairsSql)
+        |SELECT LEAST(da.source, db.source) AS src_a,
+        |  GREATEST(da.source, db.source) AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+        |  JOIN documents db ON db.doc_id = pr.doc_b
+        |GROUP BY 1, 2""".stripMargin,
     // q103 serves from the PqIngest code store; its contract is exact
     // equality with the batch coding of the union (replay + re-send
     // absorbed), so the expected answer IS q100's — the oracle replays

@@ -550,6 +550,45 @@ object Similarity {
       .select(col("id"), expr("transform(ps, p -> p.cid)").as("codes"))
   }
 
+  /** PQ codebook DISTORTION audit — per-block reconstruction error of
+    * the trained product quantizer over the scaled integer image:
+    * `sse = Σ_id ‖vb − cv(code)‖²` and its per-vector mean, exact
+    * integers (the quantity FAISS reports as PQ training error; rising
+    * distortion on refresh is the retrain signal, and per-BLOCK
+    * distortion localises which subspace the codebook serves worst).
+    * Rides the memoised codebook fit; one assignment pass + K-row
+    * arithmetic, same shape as [[ivfListStats]]. */
+  def pqDistortion(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blocks: Int = 8,
+      dim: Int = 64,
+      nCodes: Int = 16,
+      iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bw = dim / blocks
+    val books = pqCodebooksFixed(emb, idCol, vecCol, blocks, dim, nCodes,
+      iters, seed)
+    val w = Window.partitionBy("id", "blk").orderBy(desc("score"), asc("cid"))
+    emb.select(col(idCol).cast("long").as("id"),
+        scaledIntVec(col(vecCol)).as("vi"))
+      .crossJoin(broadcast(books))
+      .withColumn("vb",
+        slice(col("vi"), col("blk").cast("int") * bw + lit(1), lit(bw)))
+      .withColumn("score",
+        lit(2.0) * ArrayOps.dot(col("vb"), col("cv")) -
+          ArrayOps.dot(col("cv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .withColumn("se", expr(
+        "aggregate(zip_with(vb, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("n_vecs"), sum("se").as("sse"))
+      .select(col("blk").cast("long").as("blk"), col("n_vecs"), col("sse"),
+        expr("sse div n_vecs").as("mse"))
+  }
+
   /** The full ADC scoring frame `(id, score)` — codes every vector
     * against the codebooks and sums its query-ADC table entries; the
     * shared core of [[pqTopKFixed]] (rank everything) and

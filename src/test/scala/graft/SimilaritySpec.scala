@@ -517,6 +517,25 @@ class SimilaritySpec extends SparkSpec {
       4L * sizes.map(s => s * s).sum * 1000000L / (sizes.sum * sizes.sum))
   }
 
+  test("pqDistortion: covers the corpus per block; zero when every vector is a centroid") {
+    val got = Similarity.pqDistortion(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = emb.count()
+    assert(got.size === 8 && got.map(_._1).sorted === (0L to 7L))
+    assert(got.forall(_._2 === n), "every block codes every vector")
+    got.foreach { case (_, nv, sse, mse) =>
+      assert(sse >= 0L && mse === sse / nv)
+    }
+    // 16 vectors, 16 codes: the seeded init takes all of them as
+    // centroids, each vector codes to itself, distortion exactly 0
+    val tiny = emb.limit(16).localCheckpoint(true)
+    val zero = Similarity.pqDistortion(tiny, "vec_id", "embedding",
+        nCodes = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(zero.forall(_._3 === 0L),
+      s"self-codebook must reconstruct exactly: $zero")
+  }
+
   test("semanticDedup plan: pair step is an equi-join on the cluster key, no cartesian") {
     val plan = Similarity
       .semanticDedup(emb, "vec_id", "embedding",
