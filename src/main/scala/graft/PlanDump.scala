@@ -89,9 +89,10 @@ object PlanDump {
   // probe-rank filter; a plain equi-join + map-side-combined count; an
   // explode ⨝ vocab lookup + per-doc sum) — as are r11's q119/q124
   // (q110's memoised symbol table + one aggregate / one explode-join),
-  // q120 (q113's pair join over the q118 corpus) and q121 (q51's
-  // broadcast brute-force scan ×2) — PlanLintSpec still sweeps them
-  // every `sbt test`
+  // q120 (q113's pair join over the q118 corpus), q121 (q51's
+  // broadcast brute-force scan ×2), and q126–q133 (memo rides, K-row
+  // arithmetic, explode+df joins, or q128's audited assignment shape)
+  // — PlanLintSpec still sweeps them every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
