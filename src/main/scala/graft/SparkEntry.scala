@@ -1388,15 +1388,20 @@ r2o AS (
     // exact-Jaccard pairs bucketed by unordered source pair — the
     // cross-source leakage report (same-source dup is re-posting;
     // cross-source dup is syndication/contamination). Rides the
-    // memoised pair build; two broadcast doc->source joins + one count.
+    // memoised pair build; two doc->source joins + one count. The
+    // doc->source side is |docs|-scale, so it carries NO broadcast hint:
+    // it is a plain parquet projection whose size statistics Catalyst
+    // sees, so the fixture plan still broadcasts it under the auto
+    // threshold while a 100 TB corpus degrades to the shuffled join
+    // (the pairs side is near-empty and AQE flips the build side then).
     "q133_dup_provenance" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
       graft.ext.Dedup.nearDupJaccardExact(docs, "doc_id", "text")
-        .join(broadcast(src.select(col("doc_id").as("doc_a"),
-          col("source").as("sa"))), Seq("doc_a"))
-        .join(broadcast(src.select(col("doc_id").as("doc_b"),
-          col("source").as("sb"))), Seq("doc_b"))
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), Seq("doc_b"))
         .select(least(col("sa"), col("sb")).as("src_a"),
           greatest(col("sa"), col("sb")).as("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))

@@ -405,8 +405,9 @@ object Dedup {
     * tighter bounds, so killing an occurrence never kills a true pair's
     * first occurrence — candidates stay complete while a degenerate
     * small-vocabulary corpus prunes from millions to roughly the true
-    * pairs. The exact verify is the packed-string merge walk over a
-    * broadcast per-doc side; the candidate frame is explicitly
+    * pairs. The exact verify is the packed-string merge walk over the
+    * per-doc packed side (gate-broadcast below [[packedHint]]'s doc
+    * bound, shuffled equi-join above it); the candidate frame is explicitly
     * repartitioned first so AQE's post-shuffle coalesce cannot collapse
     * the UDF-heavy probe onto one task, and the UDF is marked
     * nondeterministic so Catalyst evaluates the walk ONCE per pair
@@ -456,10 +457,11 @@ object Dedup {
       .repartition(parts, col("doc_a"), col("doc_b"))
     val packed = hashed.select(col("doc_id"),
       concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
+    val hint = packedHint(hashed)
     cand
-      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
+      .join(hint(packed.select(col("doc_id").as("doc_a"),
         col("shp").as("pa"))), Seq("doc_a"))
-      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
+      .join(hint(packed.select(col("doc_id").as("doc_b"),
         col("shp").as("pb"))), Seq("doc_b"))
       .withColumn("inter", interPackedUdf(col("pa"), col("pb")))
       .filter(col("inter") * tauDen >= col("na") * tauNum)
@@ -467,6 +469,34 @@ object Dedup {
         expr("(CAST(inter AS BIGINT) * 1000000) div na")
           .as("containment_ppm"))
       .distinct()
+  }
+
+  /** Gated broadcast hint for the |docs|-scale PACKED-SHINGLE side of the
+    * exact-verify tier (shared by [[jaccardPairsFromHashed]] and
+    * [[containmentPairs]]). The packed frame carries one row per document
+    * with its full ShingleSep-joined shingle string — |docs|×KB by
+    * construction — so an UNCONDITIONAL `broadcast()` is a driver-side
+    * scale-killer: at corpus scale it blows Spark's 8 GB broadcast ceiling
+    * (or OOMs the driver building the relation) long before any executor
+    * sees a row. Same measured-count gate as
+    * [[graft.graph.Analytics]]' stateHint: `prep` eagerly
+    * localCheckpoints the hashed frame, so counting it is an
+    * O(cached partitions) job paid once per memoised build. Below the
+    * gate (default 500k docs ≈ ½ GB packed) the verify keeps the
+    * broadcast build the fixtures measure; above it the hint vanishes
+    * and Catalyst's genuine size statistics decide (eager localCheckpoint
+    * records real sizeInBytes) — past the auto-broadcast threshold that
+    * is the shuffled equi-join on doc id, the only shape that survives
+    * 100 TB. `spark.graft.dedup.broadcastDocs` overrides the gate
+    * (0 removes the hint outright; SkewStressSpec uses that plus a -1
+    * auto-broadcast threshold to pin the shuffled shape). */
+  private def packedHint(hashed: DataFrame): DataFrame => DataFrame = {
+    val below = hashed.sparkSession.conf
+      .getOption("spark.graft.dedup.broadcastDocs")
+      .map(_.toLong).getOrElse(500000L)
+    if (below > 0L && hashed.count() <= below)
+      (df: DataFrame) => broadcast(df)
+    else identity[DataFrame] _
   }
 
   /** The prefix-filter pipeline from an already-prepped `(doc_id, sh,
@@ -546,13 +576,16 @@ object Dedup {
     // walk equals array_sort's binary string order for ASCII. Survivors of
     // the in-join hash test (≈ true pairs + rare collision flukes) still
     // pass the full shingle-string verification — the exactness contract
-    // is untouched. Broadcast: the per-doc packed side is |docs|×KB.
+    // is untouched. The per-doc packed side is |docs|×KB, so its
+    // broadcast is GATED on the measured doc count ([[packedHint]]);
+    // above the gate the verify is a shuffled equi-join on doc id.
     val tau = tauNum.toDouble / tauDen
     val packed = hashed.select(col("doc_id"),
       concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
+    val hint = packedHint(hashed)
     cand
-      .join(broadcast(packed.select(col("doc_id").as("doc_a"), col("shp").as("pa"))), Seq("doc_a"))
-      .join(broadcast(packed.select(col("doc_id").as("doc_b"), col("shp").as("pb"))), Seq("doc_b"))
+      .join(hint(packed.select(col("doc_id").as("doc_a"), col("shp").as("pa"))), Seq("doc_a"))
+      .join(hint(packed.select(col("doc_id").as("doc_b"), col("shp").as("pb"))), Seq("doc_b"))
       .filter(jaccardPackedUdf(col("pa"), col("pb")) >= tau)
       .select(col("doc_a"), col("doc_b"))
   }

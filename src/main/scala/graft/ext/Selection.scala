@@ -182,10 +182,18 @@ object Selection {
           |     ELSE __l0 END""".stripMargin))
       .drop("__l0")
     val all = Window.partitionBy(lit(1))
+    // Degenerate-corpus guard: if EVERY group has zero tokens the window
+    // sum __W is 0 and the apportionment below is a division by zero —
+    // which must fail LOUDLY with the cause, not surface as a null/err
+    // quota column. (Groups with zero tokens among positive ones are
+    // fine: they get base 0, rem 0, quota 0 and stay in the output.)
     grp
       .withColumn("__W", sum("w_isqrt").over(all))
-      .withColumn("__base", expr(s"($budget * w_isqrt) div __W"))
-      .withColumn("__rem", expr(s"($budget * w_isqrt) % __W"))
+      .withColumn("__base", expr(
+        s"""CASE WHEN __W > 0 THEN ($budget * w_isqrt) div __W
+           |ELSE CAST(raise_error('temperatureQuotas: total isqrt weight is 0 — every group has zero tokens') AS BIGINT) END""".stripMargin))
+      .withColumn("__rem", expr(
+        s"CASE WHEN __W > 0 THEN ($budget * w_isqrt) % __W ELSE CAST(NULL AS BIGINT) END"))
       .withColumn("__deficit", lit(budget) - sum("__base").over(all))
       .withColumn("__rk", row_number().over(
         all.orderBy(desc("__rem"), asc("grp"))))

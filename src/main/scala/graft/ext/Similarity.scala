@@ -331,9 +331,14 @@ object Similarity {
           ArrayOps.dot(col("cv"), col("cv")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    // The factor is computed in DECIMAL(38,0): n2 can reach (Σn)², so the
+    // ppm product silently overflows 64-bit Long beyond ~10⁶ vectors while
+    // the oracle's SUM promotes to a wide integer — the decimal image keeps
+    // both engines exact to ~10¹⁵ vectors (38 digits), and `div` lands the
+    // quotient back in BIGINT so the output schema is unchanged.
     val factor = sizes.agg(
-        sum("n_vecs").as("nt"),
-        sum(col("n_vecs") * col("n_vecs")).as("n2"))
+        sum("n_vecs").cast("decimal(38,0)").as("nt"),
+        sum(col("n_vecs").cast("decimal(38,0)") * col("n_vecs")).as("n2"))
       .select(expr(
         s"($nCentroids * n2 * 1000000) div (nt * nt)").as("imbalance_ppm"))
     sizes.crossJoin(broadcast(factor))
@@ -584,7 +589,15 @@ object Similarity {
       .withColumn("se", expr(
         "aggregate(zip_with(vb, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
       .groupBy("blk")
-      .agg(count(lit(1)).as("n_vecs"), sum("se").as("sse"))
+      // Per-row `se` is Long-safe (≤ bw·(2·10⁶)² ≈ 3·10¹³), but the
+      // per-block SUM crosses 2⁶³ near 3·10⁵ vectors, where a Long sum
+      // wraps silently while the oracle's wide-integer sum doesn't. The
+      // decimal(38,0) sum stays exact; the BIGINT output cast then either
+      // fits (identical in both engines) or fails loudly under ANSI —
+      // matching the oracle's own HUGEINT→BIGINT cast error — instead of
+      // diverging by wraparound.
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("se").cast("decimal(38,0)")).cast("long").as("sse"))
       .select(col("blk").cast("long").as("blk"), col("n_vecs"), col("sse"),
         expr("sse div n_vecs").as("mse"))
   }

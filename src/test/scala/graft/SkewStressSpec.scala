@@ -197,6 +197,95 @@ class SkewStressSpec extends SparkSpec {
       "unexpected hot-background cross pairs")
   }
 
+  test("dedup exact-verify: packed broadcast is gated — above the gate the " +
+      "verify plans as a shuffled join with identical results") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    // initialPlan, not inputPlan: the broadcast/requirement exchanges are
+    // inserted by the queryStagePreparation rules (see PlanLintSpec)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+        case _ => Seq(p) ++ p.children.flatMap(nodes)
+      }
+      self ++ p.subqueries.flatMap(nodes)
+    }
+    def nBroadcast(df: org.apache.spark.sql.DataFrame): Int =
+      nodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[BroadcastExchangeExec])
+    def nShuffledJoin(df: org.apache.spark.sql.DataFrame): Int =
+      nodes(df.queryExecution.executedPlan).count {
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+        case _ => false
+      }
+
+    // 10 known near-dup pairs (docs 2k/2k+1 share a 40-token vocabulary-k
+    // template, the odd one carries one extra token: J = 39/41 ≥ 0.8,
+    // containment(A→B) = 39/40 ≥ 0.8) over 20 disjoint-vocab background
+    // docs — closed-form truth, so the gated and ungated runs are checked
+    // for exactness, not just for agreeing with each other.
+    val near = (0 until 10).flatMap { k =>
+      val tmpl = (1 to 40).map(i => s"w${k}x$i").mkString(" ")
+      Seq((2L * k, tmpl), (2L * k + 1, s"$tmpl extra$k"))
+    }
+    val bg = (0 until 20).map(i =>
+      (100L + i, (1 to 30).map(j => s"bg${i}q$j").mkString(" ")))
+    val truth = (0 until 10).map(k => (2L * k, 2L * k + 1)).toSet
+
+    // Auto-broadcast is disabled for BOTH legs: eagerly-checkpointed
+    // frames carry real size statistics, so at fixture scale Catalyst
+    // auto-broadcasts the tiny sides regardless of any hint — which is
+    // the self-correcting, statistics-chosen kind that degrades on its
+    // own at corpus scale and would make both assertions vacuous.
+    // threshold = -1 emulates corpus-scale statistics ("too big to
+    // broadcast"), isolating exactly what the gate controls: the FORCED
+    // broadcast that overrides statistics. The conf changes live on a
+    // separate session (own SQLConf, shared context) so concurrently
+    // running suites never see them.
+    val s2 = spark.newSession()
+    val docs = s2.createDataFrame(near ++ bg).toDF("doc_id", "text")
+    val key = "spark.graft.dedup.broadcastDocs"
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    try {
+      s2.conf.set(thr, "-1")
+      // below the gate (default): the hint forces the packed broadcast
+      s2.conf.unset(key)
+      val gatedJ = graft.ext.Dedup.nearDupJaccardExactLazy(docs, "doc_id", "text")
+      val gatedC = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text")
+      assert(nBroadcast(gatedJ) >= 2,
+        "below the gate the packed verify side should broadcast")
+
+      // above the gate (conf = 0): the hint vanishes and statistics say
+      // "too big", so the verify MUST plan as a shuffled equi-join — the
+      // only shape that survives corpus scale
+      s2.conf.set(key, "0")
+      val shufJ = graft.ext.Dedup.nearDupJaccardExactLazy(docs, "doc_id", "text")
+      val shufC = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text")
+      for ((df, tag) <- Seq(shufJ -> "jaccard", shufC -> "containment")) {
+        assert(nBroadcast(df) == 0,
+          s"$tag: BroadcastExchange above the gate — the hint is not gated")
+        assert(nShuffledJoin(df) >= 2,
+          s"$tag: expected shuffled equi-joins in the ungated verify")
+      }
+
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsOf(gatedJ) == truth, "gated jaccard != closed-form truth")
+      assert(pairsOf(shufJ) == truth, "shuffled jaccard != closed-form truth")
+      assert(pairsOf(gatedC) == pairsOf(shufC) && pairsOf(shufC).nonEmpty,
+        "containment pairs differ between gated and shuffled plans")
+      assert(truth.subsetOf(pairsOf(shufC)),
+        "containment must cover the near-dup truth pairs")
+    } finally {
+      s2.conf.unset(key)
+      s2.conf.unset(thr)
+    }
+  }
+
   test("minhash LSH: a hot band bucket emits all C(H,2) true pairs exactly") {
     // The LSH hot-band case (CurScaleProbe's skew leg, in-suite at H=200):
     // H near-identical docs — one shared 40-token template + a unique
