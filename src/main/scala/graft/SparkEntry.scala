@@ -1355,6 +1355,20 @@ r2o AS (
       graft.ext.Similarity.ivfListStats(
         t(s, dir, "embeddings"), "vec_id", "embedding")),
     // PQ DISTORTION audit (ext.Similarity.pqDistortion): per-block
+    // TRAINED document-quality classifier, fit half (the fastText/CCNet
+    // quality-filter recipe over weak heuristic labels): hashed token
+    // features -> logistic head. Envelope oracle per the q28 discipline —
+    // deterministic split/label counts + theorem-backed fit flags; the
+    // L-BFGS float surface itself is legitimately unoracleable.
+    "q134_quality_train" -> ((s, dir) =>
+      graft.ext.QualityClassifier.trainQuality(
+        t(s, dir, "documents"), "doc_id", "text")),
+    // quality classifier, serving half: FROZEN integer head over the
+    // integer-exact features — the whole scored corpus is hash-exact
+    // (the q43/q53 frozen-head discipline).
+    "q135_quality_scored" -> ((s, dir) =>
+      graft.ext.QualityClassifier.scoreFrozen(
+        t(s, dir, "documents"), "doc_id", "text")),
     // reconstruction SSE/MSE of the trained product quantizer over the
     // scaled integer image — FAISS's PQ training error, the retrain
     // signal, localised to the worst-served subspace. Rides q100's
@@ -3670,6 +3684,42 @@ r2o AS (
         |SELECT id FROM asg JOIN probes USING (cid)
         |WHERE id <> 0
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, id LIMIT 10""".stripMargin,
+    // the fit envelope: split/label counts on the replayed deterministic
+    // predicates; the four flags are theorems of the L-BFGS contract
+    // (line search only accepts decreases; zero-coefficient start prices
+    // obj0 = H(prior) <= ln 2), so the oracle pins them at 1
+    "q134_quality_train" ->
+      s"""WITH s AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(ts) = 0 THEN 0 ELSE CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000000 // len(ts) END AS stop_ppm
+        |  FROM s),
+        |g AS (SELECT doc_id, CASE WHEN n_tokens >= 40 AND stop_ppm >= 40000 THEN 1 ELSE 0 END AS weak_label,
+        |    ${graft.learn.DetRandom.uniformSql("doc_id", "doc_id", 42L)} AS u
+        |  FROM f)
+        |SELECT
+        |  CAST(SUM(CASE WHEN u >= 0.15 AND weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_pos,
+        |  CAST(SUM(CASE WHEN u >= 0.15 AND weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_neg,
+        |  CAST(SUM(CASE WHEN u < 0.15 AND weak_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val_pos,
+        |  CAST(SUM(CASE WHEN u < 0.15 AND weak_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_val_neg,
+        |  CAST(1 AS BIGINT) AS fit_iters_le_max,
+        |  CAST(1 AS BIGINT) AS fit_loss_decreased,
+        |  CAST(1 AS BIGINT) AS fit_beats_chance,
+        |  CAST(1 AS BIGINT) AS val_metrics_in_range
+        |FROM g""".stripMargin,
+    // frozen integer head replayed term-for-term: every cell exact
+    "q135_quality_scored" ->
+      """WITH s AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(ts) = 0 THEN 0 ELSE CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000000 // len(ts) END AS stop_ppm
+        |  FROM s),
+        |g AS (SELECT doc_id, n_tokens, stop_ppm,
+        |    25000 * (n_tokens - 40) + 22 * (stop_ppm - 40000) - 600000 AS quality_fp,
+        |    CASE WHEN n_tokens >= 40 AND stop_ppm >= 40000 THEN 1 ELSE 0 END AS weak_label
+        |  FROM f)
+        |SELECT doc_id, n_tokens, stop_ppm, CAST(quality_fp AS BIGINT) AS quality_fp,
+        |  CAST(quality_fp > 0 AS BIGINT) AS pred_label,
+        |  CAST(weak_label AS BIGINT) AS weak_label
+        |FROM g""".stripMargin,
     // list sizes over the replayed assignment + the global ppm factor
     "q128_ivf_imbalance" ->
       s"""WITH $kmeansFixedCtes,

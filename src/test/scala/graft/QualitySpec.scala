@@ -1,0 +1,44 @@
+package graft
+
+import graft.ext.QualityClassifier
+
+/** Trained document-quality classifier (q134/q135): frozen-head scores
+  * against hand-computed closed forms, and the fit envelope's contract
+  * on the fixture corpus. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreFrozen: hand-computed integer scores, including a head-vs-label disagreement") {
+    def doc(stops: Int, stopWord: String, others: Int): String =
+      (Seq.fill(stops)(stopWord) ++ (1 to others).map(i => s"tok$i"))
+        .mkString(" ")
+    val docs = Seq(
+      (1L, doc(5, "the", 45)), // 50 toks, stop_ppm 100000 → fp  970000, weak 1
+      (2L, doc(0, "the", 10)), // 10 toks, stop_ppm      0 → fp -2230000, weak 0
+      (3L, doc(1, "a", 59)),   // 60 toks, stop_ppm  16666 → fp  -613348, weak 0
+      (4L, doc(2, "the", 43))  // 45 toks, stop_ppm  44444 → fp  -377232, weak 1
+    ).toDF("doc_id", "text")
+    val got = QualityClassifier.scoreFrozen(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(1L) == ((50L, 100000L, 970000L, 1L, 1L)))
+    assert(got(2L) == ((10L, 0L, -2230000L, 0L, 0L)))
+    assert(got(3L) == ((60L, 16666L, -613348L, 0L, 0L)))
+    // the linear head disagrees with the conjunctive label here — kept as
+    // a fixture so nobody "fixes" the head into replaying the label rule
+    assert(got(4L) == ((45L, 44444L, -377232L, 0L, 1L)))
+  }
+
+  test("trainQuality: envelope flags hold and split counts partition the corpus") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val row = QualityClassifier.trainQuality(docs, "doc_id", "text")
+      .collect().head
+    val Seq(ntp, ntn, nvp, nvn) = (0 to 3).map(row.getLong)
+    assert(ntp + ntn + nvp + nvn == docs.count(),
+      "split counts must partition the corpus")
+    assert(ntp > 0 && ntn > 0, "both classes must appear in training")
+    for (i <- 4 to 7)
+      assert(row.getLong(i) == 1L, s"fit flag ${row.schema(i).name} failed")
+  }
+}

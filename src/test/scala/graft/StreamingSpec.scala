@@ -435,6 +435,80 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.toSet == batch, "replay changed the accumulated pairs")
   }
 
+  test("DocIngest.compact: pairs-identical store, superseded partitions " +
+      "folded, eviction bounds the dedup horizon") {
+    import graft.streaming.DocIngest
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").cache()
+    val n = docs.count()
+    val cuts = Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1))
+    def chunk(i: Int) = docs.filter(
+      $"doc_id" >= cuts(i)._1 && $"doc_id" < cuts(i)._2)
+    def pairsOf(d: String) = DocIngest.pairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // control (never compacted) vs compacted-mid-stream store
+    val ctl = s"$tmp/ctl"; val cmp = s"$tmp/cmp"
+    for ((dir, doCompact) <- Seq(ctl -> false, cmp -> true)) {
+      DocIngest.ingestBatch(chunk(0), dir, tau = 0.8, batchId = 0L)
+      DocIngest.ingestBatch(chunk(1), dir, tau = 0.8, batchId = 1L)
+      if (doCompact) DocIngest.compact(spark, dir, upToBatch = 1L)
+      DocIngest.ingestBatch(chunk(2), dir, tau = 0.8, batchId = 2L)
+    }
+    assert(pairsOf(cmp) == pairsOf(ctl),
+      "compaction changed the accumulated pairs")
+    assert(pairsOf(ctl).nonEmpty, "fixture should contain planted near-dups")
+
+    // layout: batches 0 and 1 folded into batch_id=1; batch 2 untouched
+    for (store <- Seq("sigs", "shingles")) {
+      val parts = new java.io.File(s"$cmp/$store").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+      assert(parts == Set("batch_id=1", "batch_id=2"),
+        s"$store partitions after compact: $parts")
+    }
+
+    // replay AFTER compaction: batch 2 (> upToBatch) re-runs against the
+    // folded store and must overwrite, not duplicate or drift
+    DocIngest.ingestBatch(chunk(2), cmp, tau = 0.8, batchId = 2L)
+    assert(pairsOf(cmp) == pairsOf(ctl), "replay after compact drifted")
+
+    // supersede: the SAME doc ids re-ingested with new text — after
+    // compact the index holds exactly one signature set per doc (the
+    // latest), not two
+    val sup = s"$tmp/sup"
+    DocIngest.ingestBatch(chunk(0), sup, tau = 0.8, batchId = 0L)
+    DocIngest.ingestBatch(
+      chunk(0).withColumn("text", concat($"text", lit(" rev2"))),
+      sup, tau = 0.8, batchId = 1L)
+    DocIngest.compact(spark, sup, upToBatch = 1L)
+    val one = s"$tmp/one"
+    DocIngest.ingestBatch(
+      chunk(0).withColumn("text", concat($"text", lit(" rev2"))),
+      one, tau = 0.8, batchId = 0L)
+    val supSigs = spark.read.parquet(s"$sup/sigs").drop("batch_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oneSigs = spark.read.parquet(s"$one/sigs").drop("batch_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(supSigs == oneSigs,
+      "compacted index != the latest text's signature set (supersede broke)")
+
+    // eviction: drop everything below the horizon, then ingest shifted
+    // copies of the evicted docs — no cross pair may reach back past the
+    // horizon, while the un-evicted control store finds them all
+    val shifted = chunk(0).withColumn("doc_id", $"doc_id" + 1000000L)
+    DocIngest.compact(spark, cmp, upToBatch = 2L, evictBelow = 3L)
+    val before = pairsOf(cmp)
+    DocIngest.ingestBatch(shifted, cmp, tau = 0.8, batchId = 3L)
+    val gained = pairsOf(cmp) -- before
+    assert(gained.forall { case (a, b) => a >= 1000000L && b >= 1000000L },
+      s"evicted docs still matched: ${gained.filter(_._1 < 1000000L).take(5)}")
+    DocIngest.ingestBatch(shifted, ctl, tau = 0.8, batchId = 3L)
+    val gainedCtl = pairsOf(ctl) -- pairsOf(cmp) -- before
+    assert(gainedCtl.exists { case (a, b) => a < 1000000L && b >= 1000000L },
+      "control store should match the shifted copies to their originals")
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
