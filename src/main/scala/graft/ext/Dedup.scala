@@ -419,9 +419,34 @@ object Dedup {
       n: Int = 2,
       tauNum: Int = 4,
       tauDen: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hashed = prep(docs, idCol, textCol, n)
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = containmentCandidates(hashed, tauNum, tauDen)
+    val packed = hashed.select(col("doc_id"),
+      concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
+    val hint = packedHint(hashed)
+    cand
+      .join(hint(packed.select(col("doc_id").as("doc_a"),
+        col("shp").as("pa"))), Seq("doc_a"))
+      .join(hint(packed.select(col("doc_id").as("doc_b"),
+        col("shp").as("pb"))), Seq("doc_b"))
+      .withColumn("inter", interPackedUdf(col("pa"), col("pb")))
+      .filter(col("inter") * tauDen >= col("na") * tauNum)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(CAST(inter AS BIGINT) * 1000000) div na")
+          .as("containment_ppm"))
+      .distinct()
+  }
+
+  /** The containment prefix-filter CANDIDATE occurrences `(doc_a, doc_b,
+    * na)` from an already-prepped frame — split out of
+    * [[containmentPairs]] so the scale probe (SCALE_r12.md) can price
+    * candidate volume against corpus size without paying the verify. */
+  private[graft] def containmentCandidates(
+      hashed: DataFrame,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = hashed.sparkSession.sessionState.conf.numShufflePartitions
     val exploded = hashed.select(col("doc_id").as("doc_a"),
       size(col("sh")).as("na"), explode(col("sh")).as("p"))
     val dfreq = exploded.groupBy("p").agg(count(lit(1)).as("df"))
@@ -442,33 +467,19 @@ object Dedup {
       .select(col("doc_a"), col("na"), col("rk"), col("p"))
     // ⌈τ·|A|⌉ — the required overlap, a function of the A side only
     val alphaA = expr(s"(na * $tauNum + ${tauDen - 1}) div $tauDen")
-    val cand = pref.join(posts,
+    pref.join(posts,
         pref("p") === posts("p") && col("doc_a") =!= col("doc_b") &&
           col("nb") * tauDen >= col("na") * tauNum &&
           col("rb") <= col("nb") - alphaA + lit(1) &&
           lit(1) + least(col("na") - col("rk"), col("nb") - col("rb")) >= alphaA)
       .select("doc_a", "doc_b", "na")
-      // fixed-width repartition: the verify below is UDF-bound, and on a
-      // degenerate corpus AQE would coalesce the small-byte candidate
-      // shuffle onto one task. No pre-verify distinct — duplicate
-      // occurrences of a pair re-run the (cheap) walk and collapse in
-      // the FINAL distinct over the few true rows, which beats a
-      // candidate-scale dedup exchange + hash aggregate.
+      // fixed-width repartition: the verify consuming this is UDF-bound,
+      // and on a degenerate corpus AQE would coalesce the small-byte
+      // candidate shuffle onto one task. No pre-verify distinct —
+      // duplicate occurrences of a pair re-run the (cheap) walk and
+      // collapse in the FINAL distinct over the few true rows, which
+      // beats a candidate-scale dedup exchange + hash aggregate.
       .repartition(parts, col("doc_a"), col("doc_b"))
-    val packed = hashed.select(col("doc_id"),
-      concat_ws(ShingleSep.toString, array_sort(col("sh"))).as("shp"))
-    val hint = packedHint(hashed)
-    cand
-      .join(hint(packed.select(col("doc_id").as("doc_a"),
-        col("shp").as("pa"))), Seq("doc_a"))
-      .join(hint(packed.select(col("doc_id").as("doc_b"),
-        col("shp").as("pb"))), Seq("doc_b"))
-      .withColumn("inter", interPackedUdf(col("pa"), col("pb")))
-      .filter(col("inter") * tauDen >= col("na") * tauNum)
-      .select(col("doc_a"), col("doc_b"),
-        expr("(CAST(inter AS BIGINT) * 1000000) div na")
-          .as("containment_ppm"))
-      .distinct()
   }
 
   /** Gated broadcast hint for the |docs|-scale PACKED-SHINGLE side of the
@@ -819,7 +830,7 @@ object Dedup {
   // Session-scoped via Memos (like Tables.load): equal canonical plans
   // from a second session in the same JVM must not resolve to
   // checkpointed frames of a stopped SparkContext.
-  private def prep(
+  private[graft] def prep(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     graft.functions.Memos.getOrElseUpdate(
       docs.sparkSession,
