@@ -83,7 +83,8 @@ object PlanDump {
     "q118_temporal_walks",  // time-residual frontier join + per-walk window
     "q122_doc_chunks",      // row-local sequence+explode, zero exchanges
     "q123_ppr",             // broadcast seed flag; sparse nonzero frontier
-    "q125_containment")     // rare-prefix ⨝ posting list + packed verify
+    "q125_containment",     // rare-prefix ⨝ posting list + packed verify
+    "q135_quality_scored")  // frozen integer head: row-local, 0 exchanges
   // q111/q112/q113/q117 are shape-duplicates of audited sections (q58's
   // component chain + a row-local projection; q71's probed top-k with a
   // probe-rank filter; a plain equi-join + map-side-combined count; an
@@ -91,8 +92,9 @@ object PlanDump {
   // (q110's memoised symbol table + one aggregate / one explode-join),
   // q120 (q113's pair join over the q118 corpus), q121 (q51's
   // broadcast brute-force scan ×2), and q126–q133 (memo rides, K-row
-  // arithmetic, explode+df joins, or q128's audited assignment shape)
-  // — PlanLintSpec still sweeps them every `sbt test`
+  // arithmetic, explode+df joins, or q128's audited assignment shape);
+  // r12's q134 is q28's audited fit/envelope shape over hashed doc
+  // features — PlanLintSpec still sweeps them every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -437,8 +439,39 @@ object PlanDump {
       |- **q125 (containment)**: candidates come from the RARE-shingle
       |  prefix (AllPairs df order) equi-joined against the full posting
       |  list — per-key fan-out tracks rare-key document frequency, not
-      |  corpus² — and the exact verify is a packed-string merge walk
-      |  against two broadcast per-doc sides.
+      |  corpus² (R12ScaleProbe measured candidate volume exactly
+      |  corpus-LINEAR at K = 1/2/4) — and the exact verify is a
+      |  packed-string merge walk against two per-doc sides whose
+      |  broadcast is GATED on the measured doc count (above the gate the
+      |  verify is a shuffled equi-join on doc id; SCALE_r12.md shows the
+      |  two plans result-identical at equal cost). This plan carries the
+      |  round-11 REUSABLE FIX CLASS, visible as two nodes: (a) the
+      |  explicit fixed-width `Exchange REPARTITION_BY_NUM` feeding the
+      |  verify — a UDF-bound stage fed by a small-BYTE shuffle gets
+      |  coalesced to ONE task by AQE (the bytes lie about the work: 34 s
+      |  single-task verify before the fix), so UDF-heavy stages get an
+      |  explicit width the optimizer cannot fold; and (b) the merge-walk
+      |  UDF marked `asNondeterministic` as an optimizer fence — Catalyst
+      |  project-collapse otherwise DUPLICATES the UDF into every
+      |  consumer (filter + projection = the walk evaluated twice).
+      |- **q126 (streaming near-dedup)**: not a DataFrame dump — the entry
+      |  certifies a REAL StreamingQuery lifecycle (3 staged micro-batches
+      |  through foreachBatch against the parquet signature store), so its
+      |  bench cost is stream machinery (startup, per-batch planning,
+      |  store IO), not operator work: ~4 s at fixture scale like q106,
+      |  inherent to exercising the real path. The per-batch data plane is
+      |  new×all on the LSH band index — |batch| signature computations +
+      |  one equi-join on short band keys — never all×all; since r12 the
+      |  store is foldable (`DocIngest.compact`: latest-batch-wins per
+      |  doc, eviction horizon) so the partition list the batch reads
+      |  stays bounded.
+      |- **q134/q135 (trained quality classifier)**: the fit (q134) is
+      |  Spark ML L-BFGS over dim-64 hashed token counts — one
+      |  treeAggregate per iteration, gradient width scaling with the
+      |  cluster via the same coalesce target as q28; the envelope counts
+      |  are one map-side-combined aggregate. Serving (q135) is a pure
+      |  row-local projection over one pruned scan — frozen integer head,
+      |  ZERO exchanges.
       |
       |At 100 TB the same shapes hold: scans prune columns and push
       |predicates, dimensions broadcast, aggregations combine map-side, the
