@@ -1369,6 +1369,13 @@ r2o AS (
     "q135_quality_scored" -> ((s, dir) =>
       graft.ext.QualityClassifier.scoreFrozen(
         t(s, dir, "documents"), "doc_id", "text")),
+    // reliability-diagram calibration table of the frozen head: 500k-wide
+    // integer score bins (engine-agnostic floor binning) -> per-bin doc
+    // count / weak-positive count / ppm rate. One map-side-combined
+    // aggregate; <= #bins rows move.
+    "q136_quality_calibration" -> ((s, dir) =>
+      graft.ext.QualityClassifier.calibration(
+        t(s, dir, "documents"), "doc_id", "text")),
     // reconstruction SSE/MSE of the trained product quantizer over the
     // scaled integer image — FAISS's PQ training error, the retrain
     // signal, localised to the worst-served subspace. Rides q100's
@@ -1751,6 +1758,52 @@ r2o AS (
           .coalesce(1)
           .localCheckpoint(eager = true) // materialise before tmp cleanup
       } finally {
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q126's lifecycle over the BUCKETED signature index (DocIngest.
+    // startBucketed): the store side of the per-batch candidate join
+    // reads a catalog table bucketed on exactly the join keys, so the
+    // only per-batch exchange moves the |batch| new signatures —
+    // O(|batch|), not O(|store|), the shuffle shape that survives a
+    // 100 TB/day stream. Same pairs contract, same oracle.
+    "q137_stream_dedup_bucketed" -> ((s, dir) => {
+      import graft.streaming.DocIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q137").toString
+      val tbl = "graft_q137_sigs_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = DocIngest.startBucketed(s, inDir, store, tbl, ckpt)
+        try {
+          stage(0L); q.processAllAvailable()
+          stage(1L); q.processAllAvailable()
+          stage(2L); q.processAllAvailable()
+        } finally q.stop()
+        DocIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
         val p = java.nio.file.Paths.get(tmp)
         if (java.nio.file.Files.exists(p))
           java.nio.file.Files.walk(p)
@@ -2726,6 +2779,7 @@ r2o AS (
     "q36_dedup_simhash" -> jaccardPairsSql,
     // the streaming store must accumulate exactly the batch answer
     "q126_stream_dedup" -> jaccardPairsSql,
+    "q137_stream_dedup_bucketed" -> jaccardPairsSql,
     // transitive closure of the near-dup pairs (recursive CTE; UNION
     // dedups, so the fixpoint terminates), canon = min over self + all
     // reachable docs — the SQL twin of GraphX min-label propagation.
@@ -3720,6 +3774,22 @@ r2o AS (
         |  CAST(quality_fp > 0 AS BIGINT) AS pred_label,
         |  CAST(weak_label AS BIGINT) AS weak_label
         |FROM g""".stripMargin,
+    // the frozen-head scores re-derived, floor-binned (the CASE keeps
+    // both engines on floor semantics for negatives), per-bin rates
+    "q136_quality_calibration" ->
+      """WITH s AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(ts) = 0 THEN 0 ELSE CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS BIGINT) * 1000000 // len(ts) END AS stop_ppm
+        |  FROM s),
+        |g AS (SELECT 25000 * (n_tokens - 40) + 22 * (stop_ppm - 40000) - 600000 AS quality_fp,
+        |    CASE WHEN n_tokens >= 40 AND stop_ppm >= 40000 THEN 1 ELSE 0 END AS weak_label
+        |  FROM f),
+        |b AS (SELECT CASE WHEN quality_fp >= 0 THEN quality_fp // 500000
+        |    ELSE -((-quality_fp + 499999) // 500000) END AS bin, weak_label FROM g)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(weak_label) AS BIGINT) AS n_pos,
+        |  CAST((SUM(weak_label) * 1000000) // COUNT(*) AS BIGINT) AS pos_ppm
+        |FROM b GROUP BY bin""".stripMargin,
     // list sizes over the replayed assignment + the global ppm factor
     "q128_ivf_imbalance" ->
       s"""WITH $kmeansFixedCtes,

@@ -75,6 +75,28 @@ object QualityClassifier {
         (col("quality_fp") > 0).cast("long").as("pred_label"),
         col("weak_label"))
 
+  /** Calibration audit of the frozen head (q136) — the reliability-
+    * diagram table (DeGroot & Fienberg 1983; Niculescu-Mizil & Caruana
+    * 2005): scores bucketed into fixed 500k-wide integer bins, per bin
+    * the doc count, weak-positive count, and positive rate in ppm. A
+    * monotone pos_ppm column is what "higher score ⇒ more likely good"
+    * looks like; flat or inverted bins localise where the head lies.
+    * Exact integers end to end (floor-div binning, ppm rates), so the
+    * whole table is oracle-replayable. One map-side-combined aggregate
+    * over the row-local scores; ≤ #bins rows ever move. */
+  def calibration(
+      docs: DataFrame, idCol: String, textCol: String,
+      binWidth: Long = 500000L): DataFrame =
+    scoreFrozen(docs, idCol, textCol)
+      .withColumn("bin", expr(
+        s"CASE WHEN quality_fp >= 0 THEN quality_fp div $binWidth " +
+          s"ELSE -((-quality_fp + ${binWidth - 1}) div $binWidth) END"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weak_label")).as("n_pos"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000) div n_docs").as("pos_ppm"))
+
   /** Train the quality head (q134): HashingTF token counts → logistic
     * regression on the weak labels, deterministic doc-keyed split
     * ([[DetRandom]], partition-independent). Returns the one-row

@@ -120,6 +120,115 @@ object DocIngest {
     writeStore(newSh, "shingles")
   }
 
+  /** Start the ingest stream with the BUCKETED signature index. */
+  def startBucketed(
+      spark: SparkSession,
+      inDir: String,
+      storeDir: String,
+      sigsTable: String,
+      checkpointDir: String,
+      tau: Double = 0.8,
+      buckets: Int = 32): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchBucketed(batch, storeDir, sigsTable, tau, batchId, buckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** [[ingestBatch]] with the signature index kept as a BUCKETED catalog
+    * table on the join keys — the 100 TB shape of the per-batch candidate
+    * join. The plain store re-shuffles the WHOLE accumulated index on
+    * (band, key) every micro-batch (the store side of the SortMergeJoin
+    * pays an exchange that grows with the corpus while the batch stays
+    * constant-size). Bucketing the table by exactly the join keys makes
+    * the store side's scan already hash-partitioned: per batch the only
+    * exchange moves the |batch| new signatures into the bucket layout —
+    * per-batch shuffle cost O(|batch|), not O(|store|)
+    * (StreamingSpec pins the no-store-side-exchange plan).
+    *
+    * The candidate join splits into (new × store-table) ∪ (new × new):
+    * unioning the table with the in-memory batch first — the plain
+    * path's shape — would erase the scan's bucketed distribution.
+    *
+    * Index maintenance is APPEND-ONLY (Spark datasource tables do not
+    * support per-partition dynamic overwrite together with buckets), and
+    * replay stays correct without overwrite: a replayed batch excludes
+    * its own `batch_id` when reading, so it recomputes against exactly
+    * the pre-batch index, and the duplicate index rows its second append
+    * leaves behind are candidate-join duplicates that collapse in the
+    * pair `distinct` — benign re-work, never wrong pairs. The pairs and
+    * shingles stores keep the plain parquet layout and its dynamic
+    * partition overwrite (their joins are id-keyed: the tiny candidate
+    * side broadcasts at scale, so those stores never pay a corpus-scale
+    * exchange to begin with). */
+  def ingestBatchBucketed(
+      batch: DataFrame,
+      storeDir: String,
+      sigsTable: String,
+      tau: Double,
+      batchId: Long = 0L,
+      buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val sigs = Dedup.signatures(batch, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    if (sigs.isEmpty) return
+    val newKeys = sigs.select(col("doc_id"), col("band"), col("key"))
+    val newSh = sigs.select(col("doc_id"), col("sh")).distinct()
+
+    def readStore(name: String): Option[DataFrame] =
+      if (storeExists(spark, s"$storeDir/$name"))
+        Some(spark.read.parquet(s"$storeDir/$name")
+          .filter(col("batch_id") =!= batchId)
+          .drop("batch_id"))
+      else None
+
+    val allSh = readStore("shingles")
+      .map(_.unionByName(newSh)).getOrElse(newSh)
+    val cand = bucketedCandidates(spark, sigsTable, newKeys, batchId)
+
+    def writeStore(df: DataFrame, name: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$storeDir/$name")
+
+    writeStore(Dedup.verifyJaccard(cand, allSh, tau), "pairs")
+    writeStore(newSh, "shingles")
+    val w = newKeys.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+    if (spark.catalog.tableExists(sigsTable)) w.mode("append").saveAsTable(sigsTable)
+    else w.mode("overwrite").saveAsTable(sigsTable)
+  }
+
+  /** The bucketed-index candidate pairs `(doc_a, doc_b)` for one batch —
+    * exposed for the StreamingSpec plan assert (store-side scan carries
+    * NO exchange into the join). */
+  private[graft] def bucketedCandidates(
+      spark: SparkSession,
+      sigsTable: String,
+      newKeys: DataFrame,
+      batchId: Long): DataFrame = {
+    def pairsOf(ys: DataFrame): DataFrame =
+      newKeys.as("x")
+        .join(ys.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(
+          least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val vsStore =
+      if (spark.catalog.tableExists(sigsTable))
+        Some(pairsOf(spark.table(sigsTable)
+          .filter(col("batch_id") =!= batchId)
+          .select("doc_id", "band", "key")))
+      else None
+    vsStore.map(_.unionByName(pairsOf(newKeys))).getOrElse(pairsOf(newKeys))
+      .distinct()
+  }
+
   /** Compact the signature store (r11 verdict, Missing #4): without this
     * the store accumulates one `batch_id=N` partition per micro-batch
     * forever — unbounded small files, and every [[ingestBatch]] reads an

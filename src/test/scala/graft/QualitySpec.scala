@@ -30,6 +30,22 @@ class QualitySpec extends SparkSpec {
     assert(got(4L) == ((45L, 44444L, -377232L, 0L, 1L)))
   }
 
+  test("calibration: floor bins partition the corpus, rates are exact ppm") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val rows = QualityClassifier.calibration(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == docs.count(), "bins must partition the corpus")
+    assert(rows.forall { case (_, n, p, ppm) =>
+      p <= n && ppm == p * 1000000L / n }, "pos_ppm must be exact floor ppm")
+    // floor semantics at negative scores: a -613348 score lands in bin -2
+    // (floor(-613348/500000) = -2), not the truncation bin -1
+    val neg = QualityClassifier.calibration(
+      Seq((1L, (Seq.fill(1)("a") ++ (1 to 59).map(i => s"tok$i"))
+        .mkString(" "))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(neg == Map(-2L -> 1L), s"expected bin -2, got $neg")
+  }
+
   test("trainQuality: envelope flags hold and split counts partition the corpus") {
     val docs = Tables.load(spark, sf(), "documents")
     val row = QualityClassifier.trainQuality(docs, "doc_id", "text")

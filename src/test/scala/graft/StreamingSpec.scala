@@ -509,6 +509,76 @@ class StreamingSpec extends SparkSpec {
       "control store should match the shifted copies to their originals")
   }
 
+  test("bucketed signature index: pairs parity with the plain store; " +
+      "no exchange between the index scan and the candidate join") {
+    import graft.streaming.DocIngest
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    // own session: the plan leg disables auto-broadcast (emulating
+    // corpus-scale statistics) without touching concurrent suites
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("bktingest").toString
+    val tbl = "graft_test_bkt_sigs"
+    s2.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val chunks = (0 until 3).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      val ctl = s"$tmp/ctl"; val bkt = s"$tmp/bkt"
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        DocIngest.ingestBatch(c, ctl, tau = 0.8, batchId = i.toLong)
+        DocIngest.ingestBatchBucketed(c, bkt, tbl, tau = 0.8,
+          batchId = i.toLong, buckets = 8)
+      }
+      def pairsOf(d: String) = DocIngest.pairs(s2, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsOf(bkt) == pairsOf(ctl), "bucketed index changed the pairs")
+      assert(pairsOf(ctl).nonEmpty, "fixture should contain planted near-dups")
+
+      // append-only replay: batch 2 re-runs, recomputes against the
+      // pre-batch index (own batch_id excluded) — pairs must not drift,
+      // and the duplicate index rows it appends must stay benign
+      DocIngest.ingestBatchBucketed(chunks(2), bkt, tbl, tau = 0.8,
+        batchId = 2L, buckets = 8)
+      assert(pairsOf(bkt) == pairsOf(ctl), "replay drifted the pairs")
+
+      // THE scale claim: with auto-broadcast off (corpus-scale statistics),
+      // the candidate join plans as a shuffled join whose index side reads
+      // the BUCKETED table — no exchange between that scan and the join;
+      // only the |batch|-sized new side shuffles.
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val self = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+          case _ => Seq(p) ++ p.children.flatMap(nodes)
+        }
+        self ++ p.subqueries.flatMap(nodes)
+      }
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newKeys = graft.ext.Dedup.signatures(chunks(0), "doc_id", "text")
+        .select("doc_id", "band", "key").localCheckpoint(eager = true)
+      val cand = DocIngest.bucketedCandidates(s2, tbl, newKeys, batchId = 99L)
+      val joins = nodes(cand.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val scanSides = joins.flatMap(_.children).filter(c =>
+        nodes(c).exists(_.isInstanceOf[FileSourceScanExec]))
+      assert(scanSides.nonEmpty,
+        "expected the sigs table scan under a shuffled candidate join")
+      val bad = scanSides.filter(c =>
+        nodes(c).exists(_.isInstanceOf[ShuffleExchangeExec]))
+      assert(bad.isEmpty,
+        "the bucketed index side pays an exchange — bucketing not engaged")
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
