@@ -138,6 +138,17 @@ object SparkEntry {
         "a", "b", "d", nWalks = 2, steps = 4, seed = 42L)
     }
 
+  /** q125's directed containment pairs, memoised + checkpointed like
+    * [[fuzzyPairs]] — q138's benchmark-decontamination view rides the
+    * same prefix-filter + verify build instead of re-running it. */
+  private def containPairs(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("containment-pairs", dir)) {
+      graft.ext.Dedup.containmentPairs(
+          t(s, dir, "documents"), "doc_id", "text")
+        .coalesce(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(eager = true)
+    }
+
   /** q89's edit-distance-1 customer-name pairs, memoised + checkpointed
     * like [[partPairs]] — q90's grouping rides the same build instead of
     * re-running the variant join + levenshtein verify. */
@@ -1717,9 +1728,43 @@ r2o AS (
     // symmetric Jaccard (q44) dilutes away. Rare-shingle prefix join
     // against the full posting list (provably complete), packed-string
     // merge-walk verify, exact-integer threshold and ppm score.
-    "q125_containment" -> ((s, dir) =>
-      graft.ext.Dedup.containmentPairs(
-        t(s, dir, "documents"), "doc_id", "text")),
+    "q125_containment" -> ((s, dir) => containPairs(s, dir)),
+    // NEAR-DUP benchmark DECONTAMINATION (the GPT-3 appendix-C leakage
+    // check, Brown et al. 2020; Dodge et al. 2021's C4 audit): corpus
+    // docs that CONTAIN >= 4/5 of some benchmark item's shingles —
+    // q63's exact n-gram decontam generalised to near-dup containment,
+    // with src0 standing in as the held-out benchmark the way q63 does.
+    // Direction matters: the benchmark item is the contained (A) side.
+    // Rides the memoised q125 build; one semi/anti filter pair + one
+    // map-side-combined per-doc aggregate on top.
+    "q138_neardup_decontam" -> ((s, dir) => {
+      val bench = t(s, dir, "documents")
+        .filter(col("source") === "src0").select(col("doc_id"))
+      containPairs(s, dir)
+        .join(bench.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+          "left_semi")
+        .join(bench.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+          "left_anti")
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("containment_ppm")).as("max_containment_ppm"))
+    }),
+    // duplicate-aware SAMPLING WEIGHTS (count every near-dup cluster
+    // once — Lee et al. 2022's dedup-for-LM correction as a soft
+    // weighting instead of a hard drop): per doc, its q58 cluster size
+    // and the inverse-size weight in exact ppm. Rides the memoised pair
+    // build + the bounded-round closure; one size aggregate + one join.
+    "q139_dup_weights" -> ((s, dir) => {
+      val groups = graft.ext.Dedup.dedupGroups(
+        t(s, dir, "documents").select(col("doc_id")),
+        graft.ext.Dedup.nearDupJaccardExact(
+          t(s, dir, "documents"), "doc_id", "text"))
+      val sizes = groups.groupBy("canon_id")
+        .agg(count(lit(1)).as("grp_size"))
+      groups.join(sizes, Seq("canon_id"))
+        .select(col("doc_id"), col("grp_size"),
+          expr("1000000 div grp_size").as("weight_ppm"))
+    }),
     // STREAMING incremental near-dedup under the oracle (streaming.
     // DocIngest — the real StreamingQuery lifecycle, like q106 does for
     // PqIngest): the corpus lands as three staged micro-batches, each
@@ -3998,6 +4043,32 @@ r2o AS (
         |  CAST((len(list_intersect(a.sh, b.sh)) * 1000000) // len(a.sh) AS BIGINT) AS containment_ppm
         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4""".stripMargin,
+    // same brute-force containment, restricted to (benchmark -> corpus)
+    // directed pairs, grouped per contaminated corpus doc
+    "q138_neardup_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |),
+        |s AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+        |bm AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT b.doc_id AS doc_id,
+        |    (len(list_intersect(a.sh, b.sh)) * 1000000) // len(a.sh) AS c
+        |  FROM s a JOIN bm ON bm.doc_id = a.doc_id
+        |  JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM bm)
+        |    AND len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+        |  CAST(MAX(c) AS BIGINT) AS max_containment_ppm
+        |FROM hits GROUP BY doc_id""".stripMargin,
+    // cluster sizes over the same closure, inverse-size ppm weights
+    "q139_dup_weights" ->
+      s"""$dedupGroupsCtes,
+        |sz AS (SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS grp_size FROM g GROUP BY canon_id)
+        |SELECT g.doc_id, sz.grp_size,
+        |  CAST(1000000 // sz.grp_size AS BIGINT) AS weight_ppm
+        |FROM g JOIN sz USING (canon_id)""".stripMargin,
     // the final symbol table collected per word in pos order — the
     // word → pieces lexicon, top-200 by (freq DESC, word)
     "q119_bpe_segments" ->
