@@ -58,18 +58,10 @@ object DocIngest {
       .option("checkpointLocation", checkpointDir)
       .start()
 
-  /** `exists` through the Hadoop FileSystem API so the store works on any
-    * supported filesystem (HDFS/S3A/local), not just driver-local disk.
-    * "Exists" means holds at least one `batch_id=` partition: a compact
-    * whose eviction horizon emptied the store leaves the directory (and
-    * its `_SUCCESS` marker) behind, which plain parquet reads reject with
-    * UNABLE_TO_INFER_SCHEMA. */
-  private def storeExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-  }
+  /** See [[StoreCompact.storeExists]] — at least one `batch_id=`
+    * partition present (an eviction-emptied store reads as absent). */
+  private def storeExists(spark: SparkSession, dir: String): Boolean =
+    StoreCompact.storeExists(spark, dir)
 
   /** One micro-batch: signatures for the NEW docs, candidates from the
     * band-key join against (store ∪ new), exact-Jaccard verify, overwrite
@@ -268,43 +260,11 @@ object DocIngest {
       storeDir: String,
       upToBatch: Long,
       evictBelow: Long = Long.MinValue): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val latestWins: DataFrame => DataFrame = df =>
-      df.withColumn("__mx",
-          max("batch_id").over(Window.partitionBy("doc_id")))
-        .filter(col("batch_id") === col("__mx") && col("__mx") >= evictBelow)
-        .drop("__mx", "batch_id")
-    def foldStore(name: String)(fold: DataFrame => DataFrame): Unit = {
-      val dir = s"$storeDir/$name"
-      if (!storeExists(spark, dir)) return
-      val slice = spark.read.parquet(dir)
-        .filter(col("batch_id") <= upToBatch)
-      if (slice.isEmpty) return
-      val folded = fold(slice).localCheckpoint(eager = true)
-      // An EMPTY fold (eviction dropped every surviving row) writes no
-      // partitions, and dynamic overwrite replaces only partitions present
-      // in the written data — so the folded-away slice must then be
-      // removed by deletion alone, INCLUDING batch_id = upToBatch.
-      val foldedEmpty = folded.isEmpty
-      if (!foldedEmpty)
-        folded.withColumn("batch_id", lit(upToBatch))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(dir)
-      val p = new Path(dir)
-      val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).foreach { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith("batch_id=")) {
-          val b = nm.stripPrefix("batch_id=").toLong
-          if (b < upToBatch || (foldedEmpty && b == upToBatch))
-            fs.delete(st.getPath, true)
-        }
-      }
-    }
-    foldStore("sigs")(latestWins)
-    foldStore("shingles")(latestWins)
-    foldStore("pairs")(df => df.drop("batch_id").distinct())
+    val latestWins = StoreCompact.latestWinsPerKey("doc_id", evictBelow)
+    StoreCompact.fold(spark, s"$storeDir/sigs", upToBatch)(latestWins)
+    StoreCompact.fold(spark, s"$storeDir/shingles", upToBatch)(latestWins)
+    StoreCompact.fold(spark, s"$storeDir/pairs", upToBatch)(
+      df => df.drop("batch_id").distinct())
   }
 
   /** The accumulated near-dup pairs (empty frame if nothing ingested). */

@@ -113,6 +113,16 @@ object EmbIngest {
       .mode("overwrite").parquet(s"$storeDir/items")
   }
 
+  /** Compact the items store ([[StoreCompact]]'s shared contract —
+    * replay/crash safety, `upToBatch` ≤ last committed batch): folds the
+    * per-batch partitions into one, latest-batch-wins per `vec_id` so a
+    * vector re-delivered under a later batch id keeps exactly one row —
+    * verdicts are FINAL at ingest, so the winning row is the one
+    * [[result]] should surface anyway. */
+  def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
+    StoreCompact.fold(spark, s"$storeDir/items", upToBatch)(
+      StoreCompact.latestWinsPerKey("vec_id"))
+
   /** The accumulated verdicts — [[Similarity.semanticDedup]]'s schema
     * (empty frame if nothing ingested). */
   def result(spark: SparkSession, storeDir: String): DataFrame =

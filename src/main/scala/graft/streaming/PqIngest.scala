@@ -72,6 +72,16 @@ object PqIngest {
       .mode("overwrite").parquet(s"$storeDir/codes")
   }
 
+  /** Compact the code store ([[StoreCompact]]'s shared contract —
+    * replay/crash safety, `upToBatch` ≤ last committed batch): folds the
+    * per-batch partitions into one, latest-batch-wins per `vec_id` —
+    * materialising exactly the max-batch choice [[result]]'s `max_by`
+    * read applies, so the serving read is unchanged while its input
+    * shrinks to one row per vector. */
+  def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
+    StoreCompact.fold(spark, s"$storeDir/codes", upToBatch)(
+      StoreCompact.latestWinsPerKey("vec_id"))
+
   /** The accumulated code index — [[Similarity.pqAssignCodes]]'s schema
     * (empty frame if nothing ingested). A replayed batch already
     * overwrites its own `batch_id` partition, but a vector RE-DELIVERED

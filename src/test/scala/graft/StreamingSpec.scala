@@ -595,6 +595,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EmbIngest/PqIngest compact: results identical, partitions folded, re-delivery superseded") {
+    import graft.ext.Similarity
+    import graft.streaming.{EmbIngest, PqIngest}
+    val tmp = java.nio.file.Files.createTempDirectory("ingcompact").toString
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding", $"label").cache()
+    val cents = Similarity.kmeansFixedCentroids(
+      emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+    val cSeq = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    val tau = 300000000000L
+    val preds = Seq($"vec_id" % 3 === 0, $"vec_id" % 3 === 1, $"vec_id" % 3 === 2)
+
+    // EmbIngest: compacted mid-stream vs never-compacted control — the
+    // verdicts depend on arrival order, so equality is exact parity
+    for ((dir, doCompact) <- Seq(s"$tmp/ectl" -> false, s"$tmp/ecmp" -> true)) {
+      preds.zipWithIndex.foreach { case (p, i) =>
+        EmbIngest.ingestBatch(emb.filter(p), dir, cSeq, tau, batchId = i.toLong)
+        if (doCompact && i == 1) EmbIngest.compact(spark, dir, upToBatch = 1L)
+      }
+    }
+    def embRead(d: String) = EmbIngest.result(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(embRead(s"$tmp/ecmp") === embRead(s"$tmp/ectl"),
+      "EmbIngest compaction changed the verdicts")
+    val eParts = new java.io.File(s"$tmp/ecmp/items").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(eParts == Set("batch_id=1", "batch_id=2"), s"items partitions: $eParts")
+
+    // PqIngest: re-deliver chunk 0 under a new batch id, compact over it —
+    // the folded store holds ONE row per vector and serves the same index
+    val books = Similarity.pqCodebooksFixed(emb, "vec_id", "embedding")
+    val bSeq = books.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.sortBy(b => (b._1, b._2))
+    val pq = s"$tmp/pq"
+    preds.zipWithIndex.foreach { case (p, i) =>
+      PqIngest.ingestBatch(emb.filter(p), pq, bSeq, batchId = i.toLong) }
+    PqIngest.ingestBatch(emb.filter(preds(0)), pq, bSeq, batchId = 3L) // re-send
+    def pqRead() = PqIngest.result(spark, pq).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val before = pqRead()
+    assert(before === Similarity.pqAssignCodes(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    PqIngest.compact(spark, pq, upToBatch = 3L)
+    assert(pqRead() === before, "PqIngest compaction changed the code index")
+    val rows = spark.read.parquet(s"$pq/codes").count()
+    assert(rows == emb.count(),
+      s"folded store must hold one row per vector, got $rows")
+  }
+
   test("foreachBatch PQ coding equals the batch code index; replay idempotent") {
     import graft.streaming.PqIngest
     val tmp = java.nio.file.Files.createTempDirectory("pqingest").toString
