@@ -123,24 +123,30 @@ object R12ScaleProbe {
           .coalesce(parts).localCheckpoint(eager = true))
       val basePairs = graft.ext.Dedup.nearDupMinhash(
         docsBase, "doc_id", "text", bands = 32, rows = 4).count()
-      for (compactAfter <- Seq(None, Some(3))) {
-        val tag = compactAfter.fold("plain")(b => s"compact@$b")
+      for (mode <- Seq("plain", "compact@3", "bucketed")) {
         val store = java.nio.file.Files
           .createTempDirectory(s"r12ingest").toString
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val (_, t) = timed(graft.streaming.DocIngest.ingestBatch(
-            b, store, tau = 0.8, batchId = i.toLong))
-          println(f"R12SCALE ingest $tag batch=$i wall=$t%.2f s")
-          if (compactAfter.contains(i)) {
-            val (_, tc) = timed(graft.streaming.DocIngest.compact(
-              spark, store, upToBatch = i.toLong))
-            println(f"R12SCALE ingest $tag compact wall=$tc%.2f s")
+        val tbl = "r12probe_sigs_" + store.filter(_.isLetterOrDigit).takeRight(10)
+        try {
+          batches.zipWithIndex.foreach { case (b, i) =>
+            val (_, t) = timed(
+              if (mode == "bucketed")
+                graft.streaming.DocIngest.ingestBatchBucketed(
+                  b, store, tbl, tau = 0.8, batchId = i.toLong)
+              else graft.streaming.DocIngest.ingestBatch(
+                b, store, tau = 0.8, batchId = i.toLong))
+            println(f"R12SCALE ingest $mode batch=$i wall=$t%.2f s")
+            if (mode == "compact@3" && i == 3) {
+              val (_, tc) = timed(graft.streaming.DocIngest.compact(
+                spark, store, upToBatch = i.toLong))
+              println(f"R12SCALE ingest $mode compact wall=$tc%.2f s")
+            }
           }
-        }
-        val n = graft.streaming.DocIngest.pairs(spark, store).count()
-        println(f"R12SCALE ingest $tag total_pairs=$n%,d " +
-          f"expected=${6 * basePairs}%,d " +
-          (if (n == 6 * basePairs) "PARITY" else "MISMATCH"))
+          val n = graft.streaming.DocIngest.pairs(spark, store).count()
+          println(f"R12SCALE ingest $mode total_pairs=$n%,d " +
+            f"expected=${6 * basePairs}%,d " +
+            (if (n == 6 * basePairs) "PARITY" else "MISMATCH"))
+        } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
       }
     }
 
