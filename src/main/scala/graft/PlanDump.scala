@@ -94,7 +94,12 @@ object PlanDump {
   // broadcast brute-force scan ×2), and q126–q133 (memo rides, K-row
   // arithmetic, explode+df joins, or q128's audited assignment shape);
   // r12's q134 is q28's audited fit/envelope shape over hashed doc
-  // features — PlanLintSpec still sweeps them every `sbt test`
+  // features, q136 one map-side-combined aggregate over q135's audited
+  // row-local scores, q137 q126's audited lifecycle over the bucketed
+  // index (whose no-exchange store-side shape StreamingSpec pins
+  // directly), and q138/q139 are semi/anti + aggregate rides on the
+  // memoised q125/q58 builds — PlanLintSpec still sweeps them every
+  // `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
