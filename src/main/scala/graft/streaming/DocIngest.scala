@@ -144,6 +144,13 @@ object DocIngest {
     * unioning the table with the in-memory batch first — the plain
     * path's shape — would erase the scan's bucketed distribution.
     *
+    * `sortBy(band, key)` declares the within-bucket order, but Spark only
+    * EXPLOITS a bucket sort when each bucket holds one file — the
+    * per-batch partitions put several files in every bucket, so the SMJ
+    * re-sorts the (exchange-free) store side; a post-[[compact]] store is
+    * back to one file per bucket. The exchange elimination — the claim
+    * StreamingSpec pins — never depends on the sort.
+    *
     * Index maintenance is APPEND-ONLY (Spark datasource tables do not
     * support per-partition dynamic overwrite together with buckets), and
     * replay stays correct without overwrite: a replayed batch excludes

@@ -185,15 +185,18 @@ class PlanLintSpec extends SparkSpec {
     case other => other.children.flatMap(unboundedFixtureScan).headOption
   }
 
-  /** All `(queryName: table)` violations in one query's optimized plan. */
-  private def broadcastViolations(name: String, df: DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collect { case j: Join =>
+  /** All `(queryName: table)` violations in one query's optimized plan,
+    * including joins inside (nested) subqueries. */
+  private def broadcastViolations(name: String, df: DataFrame): Seq[String] = {
+    val root = df.queryExecution.optimizedPlan
+    (root +: root.subqueriesAll).flatMap(_.collect { case j: Join =>
       Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).flatMap {
         case (h, side) if h.exists(_.strategy.contains(BROADCAST)) =>
           unboundedFixtureScan(side).map(t => s"$name: broadcast($t)")
         case _ => None
       }
-    }.flatten.distinct
+    }).flatten.distinct
+  }
 
   test("plan lint: no broadcast() hint forces a data-scale fixture frame") {
     val bad = plans.flatMap { case (name, df) => broadcastViolations(name, df) }

@@ -271,6 +271,16 @@ class SkewStressSpec extends SparkSpec {
           s"$tag: expected shuffled equi-joins in the ungated verify")
       }
 
+      // the gate BOUNDARY is inclusive on the measured doc count (40
+      // docs here): threshold = count keeps the hint, count − 1 drops it
+      s2.conf.set(key, "40")
+      assert(nBroadcast(graft.ext.Dedup.nearDupJaccardExactLazy(
+        docs, "doc_id", "text")) >= 2, "hint must hold AT the gate")
+      s2.conf.set(key, "39")
+      assert(nBroadcast(graft.ext.Dedup.nearDupJaccardExactLazy(
+        docs, "doc_id", "text")) == 0, "hint must drop past the gate")
+      s2.conf.set(key, "0")
+
       def pairsOf(df: org.apache.spark.sql.DataFrame) =
         df.select("doc_a", "doc_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
