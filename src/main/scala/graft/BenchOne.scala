@@ -20,6 +20,10 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // single-file-bucket scans (BucketedStore / compactBucketed) report
+      // their declared sortBy, dropping the SMJ sort on the store side;
+      // multi-file buckets are guarded (bucketsContainSingleFile) either way
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -515,6 +515,10 @@ object PlanDump {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // single-file-bucket scans (BucketedStore / compactBucketed) report
+      // their declared sortBy, dropping the SMJ sort on the store side;
+      // multi-file buckets are guarded (bucketsContainSingleFile) either way
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -119,6 +119,25 @@ object QualityClassifier {
       .coalesce(TrainLR.trainPartitionTarget(
         spark.sparkContext.defaultParallelism))
       .cache()
+    // Degenerate-corpus guard: a single-class weak-label set makes LR
+    // short-circuit (trivial/empty objectiveHistory — `hist.last` below
+    // would throw on empty) and an empty validation split yields NaN
+    // metrics — either would surface as an uninformative q134 oracle
+    // flag mismatch. Fail loudly with the actual defect instead. Cost:
+    // the class count runs on the cache the fit materialises anyway;
+    // the split check is a limit-1 probe.
+    locally {
+      val cls = trainDf.agg(
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)),
+          sum(when(col("label") === 0.0, 1L).otherwise(0L)))
+        .head()
+      require(cls.getLong(0) > 0L && cls.getLong(1) > 0L,
+        "trainQuality: training split needs BOTH weak-label classes " +
+          s"(pos=${cls.getLong(0)}, neg=${cls.getLong(1)}) — degenerate corpus")
+      require(!f.filter(col("u") < valFrac).isEmpty,
+        "trainQuality: validation split is empty — corpus too small for " +
+          s"valFrac=$valFrac")
+    }
     val lr = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
     val model = try lr.fit(trainDf) finally trainDf.unpersist()

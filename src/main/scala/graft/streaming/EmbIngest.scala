@@ -117,18 +117,34 @@ object EmbIngest {
     * replay/crash safety, `upToBatch` ≤ last committed batch): folds the
     * per-batch partitions into one, latest-batch-wins per `vec_id` so a
     * vector re-delivered under a later batch id keeps exactly one row —
-    * verdicts are FINAL at ingest, so the winning row is the one
-    * [[result]] should surface anyway. */
+    * materialising exactly the max-batch choice [[result]]'s `max_by`
+    * read applies, so compacted and uncompacted reads agree
+    * ([[PqIngest.result]]'s arrangement). */
   def compact(spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
     StoreCompact.fold(spark, s"$storeDir/items", upToBatch)(
       StoreCompact.latestWinsPerKey("vec_id"))
 
   /** The accumulated verdicts — [[Similarity.semanticDedup]]'s schema
-    * (empty frame if nothing ingested). */
+    * (empty frame if nothing ingested). A replayed batch already
+    * overwrites its own `batch_id` partition, but a vector RE-DELIVERED
+    * under a different batch id (source re-send, not foreachBatch
+    * replay) would otherwise surface once per batch with possibly
+    * conflicting verdicts — so the read dedups per `vec_id`, keeping the
+    * latest (max `batch_id`) verdict, the same row [[compact]]'s
+    * latest-wins fold materialises: compacted and uncompacted reads
+    * agree. `max_by` keeps the dedup a hash aggregate with a map-side
+    * partial instead of a full-store window sort ([[PqIngest.result]]'s
+    * serving-read arrangement). */
   def result(spark: SparkSession, storeDir: String): DataFrame =
     if (storeExists(spark, s"$storeDir/items"))
       spark.read.parquet(s"$storeDir/items")
-        .select("vec_id", "cid", "n_neardup_prior", "kept")
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(col("cid"), col("n_neardup_prior"), col("kept")),
+          col("batch_id")).as("v"))
+        .select(col("vec_id"), col("v.cid").as("cid"),
+          col("v.n_neardup_prior").as("n_neardup_prior"),
+          col("v.kept").as("kept"))
     else {
       import spark.implicits._
       Seq.empty[(Long, Long, Long, Long)]

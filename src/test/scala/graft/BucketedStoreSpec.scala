@@ -37,6 +37,34 @@ class BucketedStoreSpec extends SparkSpec {
     val expected = orders.join(customer,
       orders("o_custkey") === customer("c_custkey")).count()
     assert(n == expected)
+
+    // writeBucketed's repartition-first leaves ONE file per bucket even
+    // after a REPEATED save (overwrite replaces the file set) — the
+    // precondition for the scan to report its declared sortBy
+    BucketedStore.writeBucketed(
+      orders.withColumn("k", col("o_custkey")), "b_orders", "k", 4)
+    for (t <- Seq("b_orders", "b_customer")) {
+      val files = Option(new java.io.File(s"spark-warehouse/$t")
+        .listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+      assert(files <= 4, s"$t: expected at most one file per bucket, got $files")
+    }
+    // ...and with single-file buckets the SMJ needs NO sort on either
+    // side: both scans carry the bucket sort order
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+      case _ => Seq(p) ++ p.children.flatMap(nodes)
+    }
+    val rejoined = BucketedStore.read(spark, "b_orders").hint("merge")
+      .join(BucketedStore.read(spark, "b_customer"), Seq("k"))
+    val sorts = nodes(rejoined.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[SortExec])
+    assert(sorts.isEmpty,
+      s"expected sort-free co-located join (bucket sort exploited), got:\n" +
+        rejoined.queryExecution.executedPlan)
+    assert(rejoined.count() == expected)
   }
 
   test("bucketed graph store: the propagation-round join is exchange-free after reload") {
@@ -70,6 +98,13 @@ class BucketedStoreSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"expected exchange-free co-located propagation join, got:\n$plan")
+    // saveBucketed writes one file per bucket (writeBucketed's
+    // repartition-first), so BOTH sides report the bucket sort — the
+    // edge scan directly, the node scan through the alias-aware `id AS
+    // src` projection — and the SMJ plans without a Sort on either side
+    assert(!plan.contains("Sort ["),
+      s"expected sort-free co-located propagation join " +
+        s"(bucket sort exploited on both sides), got:\n$plan")
     assert(joined.count() === g.edges(k).count())
     val _ = h
   }

@@ -17,6 +17,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // single-file-bucket scans (BucketedStore / compactBucketed) report
+      // their declared sortBy, dropping the SMJ sort on the store side;
+      // multi-file buckets are guarded (bucketsContainSingleFile) either way
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       // suites that COUNT scheduler events (SkewStressSpec's straggler
       // audit, GraphBuilderSpec's job counts) share this bus with every

@@ -579,6 +579,140 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed: pairs parity across a mid-stream fold, replayed " +
+      "duplicates removed, folded-all table one file per bucket with a " +
+      "sort-free exchange-free store side, interrupted swap resumes") {
+    import graft.streaming.DocIngest
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    // own session: the plan leg disables auto-broadcast (emulating
+    // corpus-scale statistics) without touching concurrent suites
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("bktcompact").toString
+    val tbl = "graft_test_bktcmp_sigs"
+    val ctlTbl = "graft_test_bktcmp_ctl"
+    Seq(tbl, ctlTbl, s"${tbl}__compact", s"${tbl}__old")
+      .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val chunks = (0 until 4).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === i))
+      val ctl = s"$tmp/ctl"; val bkt = s"$tmp/bkt"
+      def ing(c: Int, dir: String, t: String, b: Long): Unit =
+        DocIngest.ingestBatchBucketed(chunks(c), dir, t, tau = 0.8,
+          batchId = b, buckets = 8)
+      def pairsOf(d: String) = DocIngest.pairs(s2, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // control: never compacted (batches 0..2 now, batch 3 later)
+      (0 until 3).foreach(i => ing(i, ctl, ctlTbl, i.toLong))
+      // compacted store: fold after batch 1 (with a replayed duplicate
+      // append the fold must remove), again after batch 2, batch 3 last
+      ing(0, bkt, tbl, 0L); ing(1, bkt, tbl, 1L)
+      ing(1, bkt, tbl, 1L) // replayed append: duplicate rows, same batch_id
+      DocIngest.compactBucketed(s2, tbl, upToBatch = 1L, buckets = 8)
+      ing(2, bkt, tbl, 2L)
+      assert(pairsOf(bkt) == pairsOf(ctl), "mid-stream fold changed the pairs")
+      // replay AFTER the fold: batch 2 > upToBatch re-runs — no drift
+      ing(2, bkt, tbl, 2L)
+      assert(pairsOf(bkt) == pairsOf(ctl), "replay after fold drifted")
+      // layout: batches 0,1 folded into 1; batch 2 kept (two appends)
+      val parts = s2.table(tbl).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(1L, 2L), s"partitions after fold: $parts")
+      val folded1 = s2.table(tbl).filter(col("batch_id") === 1L)
+      assert(folded1.count() == folded1.distinct().count(),
+        "fold kept the replayed duplicate rows")
+
+      // fold EVERYTHING → one partition with ONE file per bucket, and
+      // the declared sortBy becomes exploitable
+      DocIngest.compactBucketed(s2, tbl, upToBatch = 2L, buckets = 8)
+      val loc = s2.sql(s"DESCRIBE FORMATTED $tbl").collect()
+        .find(_.getString(0).trim == "Location").get.getString(1)
+      val dataFiles = {
+        val it = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(new java.net.URI(loc)))
+        try it.filter(p => p.getFileName.toString.startsWith("part-")).count()
+        finally it.close()
+      }
+      assert(dataFiles <= 8L && dataFiles >= 1L,
+        s"expected at most one file per bucket, got $dataFiles")
+
+      // THE claim the rebuild unlocks: with auto-broadcast off the
+      // candidate join's store side reads the bucketed table with
+      // neither an exchange NOR a sort (single-file buckets satisfy the
+      // SMJ's ordering requirement from the declared sortBy)
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val self = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+          case _ => Seq(p) ++ p.children.flatMap(nodes)
+        }
+        self ++ p.subqueries.flatMap(nodes)
+      }
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newKeys = graft.ext.Dedup.signatures(chunks(0), "doc_id", "text")
+        .select("doc_id", "band", "key").localCheckpoint(eager = true)
+      val cand = DocIngest.bucketedCandidates(s2, tbl, newKeys, batchId = 99L)
+      val joins = nodes(cand.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val scanSides = joins.flatMap(_.children).filter(c =>
+        nodes(c).exists(_.isInstanceOf[FileSourceScanExec]))
+      assert(scanSides.nonEmpty,
+        "expected the sigs table scan under a shuffled candidate join")
+      assert(scanSides.forall(c =>
+        !nodes(c).exists(_.isInstanceOf[ShuffleExchangeExec])),
+        "the post-compact index side pays an exchange")
+      assert(scanSides.forall(c =>
+        !nodes(c).exists(_.isInstanceOf[SortExec])),
+        "the post-compact index side re-sorts — bucket sort not exploited")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+      // interrupted swap: live table renamed away, rebuild present — the
+      // next call finishes the rename pair instead of refolding
+      s2.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      DocIngest.compactBucketed(s2, tbl, upToBatch = 2L, buckets = 8)
+      assert(s2.catalog.tableExists(tbl) &&
+        !s2.catalog.tableExists(s"${tbl}__compact"),
+        "interrupted swap did not resume")
+
+      // post-fold ingest: batch 3 against the folded index — parity with
+      // the never-compacted control
+      ing(3, ctl, ctlTbl, 3L)
+      ing(3, bkt, tbl, 3L)
+      assert(pairsOf(bkt) == pairsOf(ctl), "post-fold ingest drifted")
+      assert(pairsOf(ctl).nonEmpty, "fixture should contain planted near-dups")
+
+      // supersede: same doc ids re-ingested with new text, folded — the
+      // index holds exactly the latest text's signature set
+      val supTbl = "graft_test_bktcmp_sup"
+      val oneTbl = "graft_test_bktcmp_one"
+      Seq(supTbl, oneTbl).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+      val rev2 = chunks(0).withColumn("text", concat($"text", lit(" rev2")))
+      DocIngest.ingestBatchBucketed(chunks(0), s"$tmp/sup", supTbl,
+        tau = 0.8, batchId = 0L, buckets = 8)
+      DocIngest.ingestBatchBucketed(rev2, s"$tmp/sup", supTbl,
+        tau = 0.8, batchId = 1L, buckets = 8)
+      DocIngest.compactBucketed(s2, supTbl, upToBatch = 1L, buckets = 8)
+      DocIngest.ingestBatchBucketed(rev2, s"$tmp/one", oneTbl,
+        tau = 0.8, batchId = 0L, buckets = 8)
+      def sigSet(t: String) = s2.table(t).drop("batch_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(sigSet(supTbl) == sigSet(oneTbl),
+        "folded index != the latest text's signature set (supersede broke)")
+      Seq(supTbl, oneTbl).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      Seq(tbl, ctlTbl, s"${tbl}__compact", s"${tbl}__old")
+        .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
@@ -623,6 +757,19 @@ class StreamingSpec extends SparkSpec {
     val eParts = new java.io.File(s"$tmp/ecmp/items").listFiles()
       .map(_.getName).filter(_.startsWith("batch_id=")).toSet
     assert(eParts == Set("batch_id=1", "batch_id=2"), s"items partitions: $eParts")
+
+    // source RE-SEND (same vectors under a NEW batch id): result() must
+    // surface each vec_id ONCE (the latest verdict), and compaction must
+    // leave the read unchanged — the max_by read and the latest-wins
+    // fold pick the same row
+    EmbIngest.ingestBatch(emb.filter(preds(0)), s"$tmp/ectl", cSeq, tau,
+      batchId = 3L)
+    assert(EmbIngest.result(spark, s"$tmp/ectl").count() == emb.count(),
+      "re-delivered vectors surfaced more than once")
+    val resent = embRead(s"$tmp/ectl")
+    EmbIngest.compact(spark, s"$tmp/ectl", upToBatch = 3L)
+    assert(embRead(s"$tmp/ectl") === resent,
+      "compaction changed result() for re-delivered keys")
 
     // PqIngest: re-deliver chunk 0 under a new batch id, compact over it —
     // the folded store holds ONE row per vector and serves the same index
