@@ -1856,6 +1856,110 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // EmbIngest — the real StreamingQuery lifecycle for the semantic-
+    // dedup ingest (the q126/q137 treatment for the one ingest path
+    // that was spec-only; r12 verdict Missing #3). The corpus lands as
+    // three staged micro-batches in ASCENDING vec_id ranges: ids are
+    // nondecreasing across batches, so the accumulated first-seen-wins
+    // verdicts equal the batch SemDeDup bit-for-bit — the q68 oracle.
+    // Centroids are the frozen fit over the corpus (deployed-model
+    // framing), the same fit the batch twin runs.
+    "q140_stream_semantic" -> ((s, dir) => {
+      import graft.streaming.EmbIngest
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cents = graft.ext.Similarity.kmeansFixedCentroids(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+      val bounds = emb.agg(min("vec_id"), max("vec_id")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi0 - lo0 + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q140").toString
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val lo = lo0 + b * span / 3
+          val hi = if (b == 2) hi0 + 1 else lo0 + (b + 1) * span / 3
+          val staging = s"$tmp/stage$b"
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = EmbIngest.start(s, inDir, store, ckpt, cents,
+          simThresholdFixed = 300000000000L)
+        try {
+          stage(0L); q.processAllAvailable()
+          stage(1L); q.processAllAvailable()
+          stage(2L); q.processAllAvailable()
+        } finally q.stop()
+        EmbIngest.result(s, store)
+          .orderBy("vec_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true) // materialise before tmp cleanup
+      } finally {
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q137's lifecycle WITH the maintenance pass a long-running stream
+    // actually takes: after batch 1 commits, the parquet stores fold
+    // (DocIngest.compact) and the bucketed signature table rebuilds to
+    // one file per bucket (compactBucketed) while the query is idle
+    // between micro-batches — then batch 2 ingests against the folded
+    // state. Same pairs contract, same oracle: compaction changes
+    // layout, never the answer.
+    "q141_stream_dedup_folded" -> ((s, dir) => {
+      import graft.streaming.DocIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q141").toString
+      val tbl = "graft_q141_sigs_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = DocIngest.startBucketed(s, inDir, store, tbl, ckpt)
+        try {
+          stage(0L); q.processAllAvailable()
+          stage(1L); q.processAllAvailable()
+          // maintenance between micro-batches: batches 0–1 are committed
+          // and can no longer replay — fold them
+          DocIngest.compact(s, store, upToBatch = 1L)
+          DocIngest.compactBucketed(s, tbl, upToBatch = 1L)
+          stage(2L); q.processAllAvailable()
+        } finally q.stop()
+        DocIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // hard-negative mining (ext.Similarity.hardNegatives): each
     // vector's top-10 most-similar vectors drawn only from its probed
     // NEIGHBOURING clusters (the q71 candidate machinery minus the
@@ -2089,6 +2193,23 @@ r2o AS (
     * precisely the pairs the brute-force finds (candidates are exact-
     * verified; band/block parameters give ~100% recall at τ=0.8 on any
     * corpus whose near-dups sit above the LSH S-curve). */
+  /** SemDeDup oracle (q68 and its streaming-lifecycle twin q140):
+    * replays the fixed-point Lloyd's fit ([[kmeansFixedCtes]]), then the
+    * within-cluster min-id-wins drop over the exact shift-removed dot. */
+  private def semanticDedupSql: String =
+    s"""WITH $kmeansFixedCtes,
+      |ws AS (SELECT id, list_transform(vi, x -> CAST(x - 1000000 AS DOUBLE)) AS w FROM si),
+      |pr AS (
+      |  SELECT b.id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_neardup_prior
+      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+      |  JOIN ws wa ON wa.id = a.id JOIN ws wb ON wb.id = b.id
+      |  WHERE list_dot_product(wa.w, wb.w) > 300000000000
+      |  GROUP BY b.id)
+      |SELECT asg.id AS vec_id, asg.cid,
+      |  CAST(COALESCE(pr.n_neardup_prior, 0) AS BIGINT) AS n_neardup_prior,
+      |  CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM asg LEFT JOIN pr ON pr.vec_id = asg.id""".stripMargin
+
   private val jaccardPairsSql =
     """WITH t AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
@@ -2825,6 +2946,9 @@ r2o AS (
     // the streaming store must accumulate exactly the batch answer
     "q126_stream_dedup" -> jaccardPairsSql,
     "q137_stream_dedup_bucketed" -> jaccardPairsSql,
+    // compaction (parquet fold + bucketed-table rebuild) mid-stream
+    // changes layout, never the accumulated pairs
+    "q141_stream_dedup_folded" -> jaccardPairsSql,
     // transitive closure of the near-dup pairs (recursive CTE; UNION
     // dedups, so the fixpoint terminates), canon = min over self + all
     // reachable docs — the SQL twin of GraphX min-label propagation.
@@ -3675,19 +3799,11 @@ r2o AS (
         |FROM base b LEFT JOIN clean c USING (doc_id)""".stripMargin,
     // replays the fixed-point Lloyd's fit (kmeansFixedCtes), then the
     // within-cluster min-id-wins drop over the exact shift-removed dot
-    "q68_semantic_dedup" ->
-      s"""WITH $kmeansFixedCtes,
-        |ws AS (SELECT id, list_transform(vi, x -> CAST(x - 1000000 AS DOUBLE)) AS w FROM si),
-        |pr AS (
-        |  SELECT b.id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_neardup_prior
-        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
-        |  JOIN ws wa ON wa.id = a.id JOIN ws wb ON wb.id = b.id
-        |  WHERE list_dot_product(wa.w, wb.w) > 300000000000
-        |  GROUP BY b.id)
-        |SELECT asg.id AS vec_id, asg.cid,
-        |  CAST(COALESCE(pr.n_neardup_prior, 0) AS BIGINT) AS n_neardup_prior,
-        |  CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM asg LEFT JOIN pr ON pr.vec_id = asg.id""".stripMargin,
+    "q68_semantic_dedup" -> semanticDedupSql,
+    // the streaming lifecycle accumulates the SAME verdicts: batches
+    // arrive in ascending vec_id ranges, so first-seen-wins at ingest
+    // equals min-id-wins over the corpus
+    "q140_stream_semantic" -> semanticDedupSql,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

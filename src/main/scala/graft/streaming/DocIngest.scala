@@ -229,11 +229,16 @@ object DocIngest {
           least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
     val vsStore =
-      if (spark.catalog.tableExists(sigsTable))
+      if (spark.catalog.tableExists(sigsTable)) {
+        // a concurrent maintenance session's [[compactBucketed]] swap
+        // moves the managed directory; this session (possibly a
+        // streaming clone whose relation cache the maintenance session
+        // cannot reach) must not read a pre-swap file listing
+        spark.catalog.refreshTable(sigsTable)
         Some(pairsOf(spark.table(sigsTable)
           .filter(col("batch_id") =!= batchId)
           .select("doc_id", "band", "key")))
-      else None
+      } else None
     vsStore.map(_.unionByName(pairsOf(newKeys))).getOrElse(pairsOf(newKeys))
       .distinct()
   }
