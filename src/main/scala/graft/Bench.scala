@@ -200,12 +200,59 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"calib":$calib,"pass_totals":${arr(passTotals)},"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
     println(line)
     println(line)
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
     // The driver's log capture truncated the (double-printed) line in BOTH
     // r5 and r6 — belt-and-braces: persist the JSON to a file the judge
     // can read even when the stdout window eats it. Never fatal.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
-    catch { case e: Throwable =>
+    //
+    // BENCH_SELF.json is SELF-DESCRIBING (r12 verdict Next #4): the LAST
+    // run AND the BEST in-band record, each stamped with commit +
+    // calibration, so a cold reader never mistakes an elevated-phase
+    // roll for the round's record. "In-band" (quiet) = every query
+    // passed, warm-pass noise median ≤ 10 %, every calibration pass's
+    // cpu in the 0.55–0.62 band (the BENCH_NOTES gate). The record is
+    // per-surface: a run with a different query count resets it.
+    try {
+      val calibCpu = calibCpuByPass.result()
+      val quiet = failures.isEmpty && noiseMed <= 10.0 &&
+        calibCpu.nonEmpty && calibCpu.forall(c => c >= 0.55 && c <= 0.62)
+      val stampedNow =
+        s"""{"commit":"$commit","epoch_sec":${System.currentTimeMillis() / 1000},""" +
+          s""""n_queries":${names.size},"total_sec":$total,""" +
+          s""""noise_med_pct":$noiseMed,"calib_cpu":${arr(calibCpu)},""" +
+          s""""in_band":$quiet,"bench":$line}"""
+      val selfPath = java.nio.file.Paths.get("BENCH_SELF.json")
+      def num(js: String, key: String): Option[Double] =
+        ("\"" + key + "\":(-?[0-9.eE+]+)").r
+          .findFirstMatchIn(js).map(_.group(1).toDouble)
+      val prevBest: Option[String] = {
+        val prev =
+          if (java.nio.file.Files.exists(selfPath))
+            java.nio.file.Files.readString(selfPath)
+          else ""
+        val marker = "\"best_quiet\":"
+        val i = prev.indexOf(marker)
+        if (i >= 0)
+          Some(prev.substring(i + marker.length, prev.lastIndexOf('}')).trim)
+            .filter(_.contains("\"in_band\":true"))
+        else None
+      }
+      val best = prevBest match {
+        // standing record on the same surface, not beaten by this run
+        case Some(pb) if num(pb, "n_queries").contains(names.size.toDouble) &&
+            (!quiet || num(pb, "total_sec").exists(_ <= total)) => pb
+        case _ if quiet => stampedNow
+        case Some(pb) => pb // surface changed but this run isn't quiet
+        case None => "null"
+      }
+      java.nio.file.Files.writeString(selfPath,
+        s"""{"last_run":$stampedNow,"best_quiet":$best}""" + "\n")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
     }
     // Durable run history: BENCH_SELF.json is overwrite-per-run, so
@@ -213,12 +260,6 @@ object Bench {
     // BENCH_HISTORY.jsonl stamped with commit + epoch so the sequence of
     // runs (quiet and noisy alike) survives in one committed file.
     try {
-      val commit = try {
-        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
-        if (p.waitFor() == 0) out else "unknown"
-      } catch { case _: Throwable => "unknown" }
       val stamped = s"""{"commit":"$commit","epoch_sec":${System.currentTimeMillis() / 1000},"bench":$line}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), stamped + "\n",
