@@ -97,9 +97,12 @@ object PlanDump {
   // features, q136 one map-side-combined aggregate over q135's audited
   // row-local scores, q137 q126's audited lifecycle over the bucketed
   // index (whose no-exchange store-side shape StreamingSpec pins
-  // directly), and q138/q139 are semi/anti + aggregate rides on the
-  // memoised q125/q58 builds — PlanLintSpec still sweeps them every
-  // `sbt test`
+  // directly; narrative below), and q138/q139 are semi/anti + aggregate
+  // rides on the memoised q125/q58 builds; r13's q140 is q126's
+  // lifecycle class over q68's audited within-cluster pair shape, and
+  // q141 is q137 plus the compactBucketed maintenance pass (fold +
+  // rename swap) between micro-batches — PlanLintSpec still sweeps
+  // them every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -470,6 +473,32 @@ object PlanDump {
       |  store is foldable (`DocIngest.compact`: latest-batch-wins per
       |  doc, eviction horizon) so the partition list the batch reads
       |  stays bounded.
+      |- **q137 (bucketed streaming near-dedup)** — the flagship streaming
+      |  plan. q126's data plane pays one hidden corpus-scale cost: the
+      |  store side of the candidate SortMergeJoin re-shuffles the WHOLE
+      |  accumulated index on (band, key) every micro-batch (measured
+      |  exactly corpus-linear: 2.81 MB of exchange per store replica,
+      |  SCALE_r13.md §1). q137 keeps the signature index as a catalog
+      |  table BUCKETED on exactly the join keys, so the store scan is
+      |  already hash-distributed: the only per-batch exchange moves the
+      |  |batch| new signatures into the bucket layout — measured
+      |  batch-constant (2.3 MB at 1×/10×/50× store). The candidate join
+      |  splits (new × store-table) ∪ (new × new) so the union cannot
+      |  erase the scan's bucketed distribution. Replay is APPEND-ONLY +
+      |  own-batch exclusion (datasource tables can't combine buckets
+      |  with dynamic partition overwrite): a replayed batch recomputes
+      |  against exactly the pre-batch index, and its duplicate appended
+      |  rows only produce candidate duplicates the pair `distinct`
+      |  collapses — benign re-work, never wrong pairs. Since r13 the
+      |  table is also MAINTAINABLE: `DocIngest.compactBucketed` rebuilds
+      |  it to ONE file per bucket (latest-wins fold, repartition on the
+      |  bucket hash, rename swap), after which the scan reports its
+      |  declared `sortBy(band,key)` and the store side of the SMJ
+      |  carries neither exchange NOR sort (StreamingSpec plan-asserts
+      |  both; the sort elimination is worth ~3× on the candidate wall
+      |  once the store dominates, SCALE_r13.md). q141 certifies the
+      |  whole maintenance pass inside a live StreamingQuery lifecycle
+      |  against the same pairs oracle.
       |- **q134/q135 (trained quality classifier)**: the fit (q134) is
       |  Spark ML L-BFGS over dim-64 hashed token counts — one
       |  treeAggregate per iteration, gradient width scaling with the
