@@ -1909,6 +1909,63 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // q140's lifecycle over the BUCKETED item index (EmbIngest.
+    // startBucketed): the store side of the per-batch in-cluster pair
+    // join reads a catalog table bucketed on the cluster key, so the
+    // only per-batch exchange moves the |batch| new items — O(|batch|)
+    // not O(|store|), q137's shape for the semantic path — WITH the
+    // mid-stream compactBucketed maintenance fold. Same verdict
+    // contract, same q68 oracle.
+    "q142_stream_semantic_bucketed" -> ((s, dir) => {
+      import graft.streaming.EmbIngest
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cents = graft.ext.Similarity.kmeansFixedCentroids(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+      val bounds = emb.agg(min("vec_id"), max("vec_id")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi0 - lo0 + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q142").toString
+      val tbl = "graft_q142_items_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val lo = lo0 + b * span / 3
+          val hi = if (b == 2) hi0 + 1 else lo0 + (b + 1) * span / 3
+          val staging = s"$tmp/stage$b"
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = EmbIngest.startBucketed(s, inDir, store, tbl, ckpt, cents,
+          simThresholdFixed = 300000000000L)
+        try {
+          stage(0L); q.processAllAvailable()
+          stage(1L); q.processAllAvailable()
+          // maintenance between micro-batches: fold the committed
+          // batches' index to one file per bucket
+          EmbIngest.compactBucketed(s, tbl, upToBatch = 1L)
+          stage(2L); q.processAllAvailable()
+        } finally q.stop()
+        EmbIngest.result(s, store)
+          .orderBy("vec_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true) // materialise before tmp cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // q137's lifecycle WITH the maintenance pass a long-running stream
     // actually takes: after batch 1 commits, the parquet stores fold
     // (DocIngest.compact) and the bucketed signature table rebuilds to
@@ -3804,6 +3861,9 @@ r2o AS (
     // arrive in ascending vec_id ranges, so first-seen-wins at ingest
     // equals min-id-wins over the corpus
     "q140_stream_semantic" -> semanticDedupSql,
+    // the bucketed index + mid-stream fold change the exchange shape
+    // and the file layout, never the verdicts
+    "q142_stream_semantic_bucketed" -> semanticDedupSql,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -296,52 +296,20 @@ object DocIngest {
   }
 
   /** Compact the BUCKETED signature-index table (the [[compact]] of the
-    * [[ingestBatchBucketed]] path — r12 verdict Missing #1). The table
+    * [[ingestBatchBucketed]] path — r12 verdict Missing #1): the table
     * is append-only between compactions, so it accretes one file set per
-    * micro-batch: unbounded small files, and multi-file buckets force
+    * micro-batch — unbounded small files, and multi-file buckets force
     * the candidate SMJ to re-sort the (exchange-free) store side every
-    * batch. Datasource tables cannot combine `bucketBy` with dynamic
-    * partition overwrite, so the fold is a REBUILD-AND-SWAP instead of a
-    * partition overwrite:
-    *
-    *   1. fold `batch_id <= upToBatch` latest-batch-wins per `doc_id`
-    *      (a re-ingested doc keeps only its newest signature set),
-    *      `distinct` away the duplicate rows replayed appends left,
-    *      drop docs whose winning batch is below `evictBelow`, re-stamp
-    *      the fold as `batch_id = upToBatch`;
-    *   2. union the untouched `batch_id > upToBatch` rows verbatim
-    *      (own-batch exclusion keeps their replay contract — `batch_id`
-    *      is a data column on this table, see [[ingestBatchBucketed]]);
-    *   3. write to a side table `<table>__compact` with the same
-    *      bucket/sort layout, `repartition(buckets, band, key)` first —
-    *      the bucket id is the same Murmur3 hash, so each task holds
-    *      exactly one bucket and writes ONE file (the
-    *      [[graft.sources.BucketedStore]] trick);
-    *   4. swap: rename the live table aside, rename the rebuild in,
-    *      drop the old.
-    *
-    * The rebuilt table holds ONE file per bucket (kept batches are
-    * co-written with the fold), so the bucketed scan's declared
-    * `sortBy(band, key)` becomes exploitable and the candidate join's
+    * batch. Mechanics, replay/crash contracts, and the one-file-per-
+    * bucket rebuild live in [[StoreCompact.foldBucketedTable]]; this
+    * binds them to the signature schema (latest-wins per `doc_id` — a
+    * re-ingested doc keeps only its newest signature set — bucket/sort
+    * on the (band, key) join keys). Post-fold the candidate join's
     * store side carries neither exchange NOR sort (StreamingSpec
-    * asserts the plan); appends after the fold re-introduce one file
-    * set per batch until the next fold.
-    *
-    * Replay safety is [[StoreCompact.fold]]'s contract: only fold
-    * batches that can no longer replay (`upToBatch` ≤ the last batch
-    * committed to the stream checkpoint); a later batch N > upToBatch
-    * still sees the pre-batch index exactly (the folded partition's id
-    * `upToBatch` ≠ N survives N's own-batch exclusion). Crash safety:
-    * the rebuild is complete and durable before the first rename; a
-    * crash inside the swap window leaves the live name absent with the
-    * rebuild intact, and the next call (or next [[compactBucketed]])
-    * finishes the rename pair — callers observe either the old table or
-    * the new, never a partial fold. Run it quiesced (between
-    * micro-batches, where `foreachBatch` maintenance naturally sits):
-    * an ingest that reads DURING the swap window would see an absent
-    * table as an empty index. Pairs-parity under compaction is the
-    * [[compact]] contract (no recurring doc_id across folded batches;
-    * re-ingested docs intentionally supersede).
+    * asserts the plan; the store≫batch curve is SCALE_r13.md §1).
+    * Pairs-parity under compaction is the [[compact]] contract (no
+    * recurring doc_id across folded batches; re-ingested docs
+    * intentionally supersede).
     *
     * Scale shape: one job over the table — a hash exchange on `doc_id`
     * for the latest-wins window plus the `repartition` exchange into
@@ -353,42 +321,11 @@ object DocIngest {
       sigsTable: String,
       upToBatch: Long,
       evictBelow: Long = Long.MinValue,
-      buckets: Int = 32): Unit = {
-    val tmpTable = sigsTable + "__compact"
-    val oldTable = sigsTable + "__old"
-    def exists(t: String) = spark.catalog.tableExists(t)
-    if (!exists(sigsTable)) {
-      // finish an interrupted swap: the rebuild is complete on disk
-      if (exists(tmpTable)) {
-        spark.sql(s"ALTER TABLE $tmpTable RENAME TO $sigsTable")
-        if (exists(oldTable)) spark.sql(s"DROP TABLE $oldTable")
-      } else if (exists(oldTable)) {
-        // crashed before the rebuild finished: restore the live table
-        spark.sql(s"ALTER TABLE $oldTable RENAME TO $sigsTable")
-      }
-      return
-    }
-    if (exists(oldTable)) spark.sql(s"DROP TABLE $oldTable") // stale leftover
-    if (exists(tmpTable)) spark.sql(s"DROP TABLE $tmpTable") // stale rebuild
-    val full = spark.table(sigsTable)
-    val folded = StoreCompact
-      .latestWinsPerKey("doc_id", evictBelow)(
-        full.filter(col("batch_id") <= upToBatch))
-      .distinct() // replayed appends duplicate rows under the SAME batch id
-      .withColumn("batch_id", lit(upToBatch))
-    folded.unionByName(full.filter(col("batch_id") > upToBatch))
-      .repartition(buckets, col("band"), col("key"))
-      .write
-      .bucketBy(buckets, "band", "key").sortBy("band", "key")
-      .saveAsTable(tmpTable)
-    spark.sql(s"ALTER TABLE $sigsTable RENAME TO $oldTable")
-    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $sigsTable")
-    spark.sql(s"DROP TABLE $oldTable")
-    // the rename pair moves the managed directories; readers that
-    // resolved the live name before the swap hold a cached relation
-    // pointing at moved files — invalidate it
-    spark.catalog.refreshTable(sigsTable)
-  }
+      buckets: Int = 32): Unit =
+    StoreCompact.foldBucketedTable(spark, sigsTable, upToBatch,
+      keyCol = "doc_id", bucketCols = Seq("band", "key"),
+      sortCols = Seq("band", "key"), buckets = buckets,
+      evictBelow = evictBelow)
 
   /** The accumulated near-dup pairs (empty frame if nothing ingested). */
   def pairs(spark: SparkSession, storeDir: String): DataFrame =

@@ -113,6 +113,124 @@ object EmbIngest {
       .mode("overwrite").parquet(s"$storeDir/items")
   }
 
+  /** Start the ingest stream with the BUCKETED item index (q142 — the
+    * [[DocIngest.startBucketed]] treatment for the semantic path). */
+  def startBucketed(
+      spark: SparkSession,
+      inDir: String,
+      storeDir: String,
+      itemsTable: String,
+      checkpointDir: String,
+      centroids: DataFrame,
+      simThresholdFixed: Long,
+      buckets: Int = 32): StreamingQuery = {
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+    spark.readStream.schema(embSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchBucketed(batch, storeDir, itemsTable, cents,
+          simThresholdFixed, batchId, buckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** [[ingestBatch]] with the item index kept as a catalog table
+    * BUCKETED on the cluster key — [[DocIngest.ingestBatchBucketed]]'s
+    * shape for the semantic path. The plain store re-shuffles the WHOLE
+    * accumulated item set on `cid` every micro-batch (the store side of
+    * the in-cluster pair join); bucketing by `cid` makes the store scan
+    * already hash-partitioned, so the only per-batch exchange moves the
+    * |batch| new items — O(|batch|), not O(|store|). The same
+    * replay-safe split applies: verdict rows stay in the parquet
+    * `items` store (dynamic partition overwrite — [[result]] is
+    * unchanged), only the join side `(vec_id, cid, w)` lives in the
+    * append-only table; `batch_id` is a DATA column (see
+    * [[DocIngest.ingestBatchBucketed]] on why not a partition), and the
+    * prior count is a `count_distinct` so the duplicate rows a replayed
+    * append leaves behind can never inflate a verdict. Maintain with
+    * [[compactBucketed]]. */
+  def ingestBatchBucketed(
+      batch: DataFrame,
+      storeDir: String,
+      itemsTable: String,
+      cents: Seq[(Long, Seq[Long])],
+      simThresholdFixed: Long,
+      batchId: Long = 0L,
+      buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val cDf = cents.toDF("cid", "cv")
+    val assigned = Similarity
+      .assignFixed(batch, "vec_id", "embedding", cDf)
+      .localCheckpoint(eager = true)
+
+    val n = bucketedPriorCounts(spark, itemsTable, assigned,
+      simThresholdFixed, batchId)
+    assigned.join(n, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cid"), col("w"),
+        coalesce(col("n_neardup_prior"), lit(0L)).as("n_neardup_prior"))
+      .withColumn("kept", (col("n_neardup_prior") === 0L).cast("long"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$storeDir/items")
+
+    val w = assigned.select(col("id").as("vec_id"), col("cid"), col("w"))
+      .withColumn("batch_id", lit(batchId))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+    if (spark.catalog.tableExists(itemsTable)) w.mode("append").saveAsTable(itemsTable)
+    else w.mode("overwrite").saveAsTable(itemsTable)
+  }
+
+  /** The bucketed-index smaller-id near-dup counts for one batch —
+    * exposed for the StreamingSpec plan assert (store-side scan carries
+    * NO exchange into the in-cluster join). The candidate join splits
+    * (new × store-table) ∪ (new × new) so the union cannot erase the
+    * scan's bucketed distribution; `count_distinct(a.id)` makes
+    * replay-appended duplicate store rows count once. */
+  private[graft] def bucketedPriorCounts(
+      spark: SparkSession,
+      itemsTable: String,
+      assigned: DataFrame,
+      simThresholdFixed: Long,
+      batchId: Long): DataFrame = {
+    def pairsOf(ys: DataFrame): DataFrame =
+      assigned.as("b").join(ys.as("a"),
+          col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+        .filter(ArrayOps.dot(col("a.w"), col("b.w")) > lit(simThresholdFixed))
+        .select(col("a.id").as("aid"), col("b.id").as("id"))
+    val vsStore =
+      if (spark.catalog.tableExists(itemsTable)) {
+        // see DocIngest.bucketedCandidates: a maintenance session's swap
+        // moves the managed directory; never read a pre-swap listing
+        spark.catalog.refreshTable(itemsTable)
+        Some(pairsOf(spark.table(itemsTable)
+          .filter(col("batch_id") =!= batchId)
+          .select(col("vec_id").as("id"), col("cid"), col("w"))))
+      } else None
+    vsStore.map(_.unionByName(pairsOf(assigned))).getOrElse(pairsOf(assigned))
+      .groupBy("id")
+      .agg(count_distinct(col("aid")).as("n_neardup_prior"))
+  }
+
+  /** Compact the BUCKETED item-index table — latest-wins per `vec_id`,
+    * rebuilt to one file per bucket on the `cid` join key
+    * ([[StoreCompact.foldBucketedTable]]'s mechanics and contracts).
+    * Post-fold the in-cluster join's store side carries neither
+    * exchange nor sort. */
+  def compactBucketed(
+      spark: SparkSession,
+      itemsTable: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      buckets: Int = 32): Unit =
+    StoreCompact.foldBucketedTable(spark, itemsTable, upToBatch,
+      keyCol = "vec_id", bucketCols = Seq("cid"), sortCols = Seq("cid"),
+      buckets = buckets, evictBelow = evictBelow)
+
   /** Compact the items store ([[StoreCompact]]'s shared contract —
     * replay/crash safety, `upToBatch` ≤ last committed batch): folds the
     * per-batch partitions into one, latest-batch-wins per `vec_id` so a

@@ -61,6 +61,83 @@ object StoreCompact {
         .drop("__mx", "batch_id")
     }
 
+  /** Fold a BUCKETED catalog index table (the [[fold]] of the
+    * `ingestBatchBucketed` family — [[DocIngest]]'s signature index,
+    * [[EmbIngest]]'s item index). Those tables are append-only between
+    * compactions (datasource tables cannot combine `bucketBy` with
+    * dynamic partition overwrite), so they accrete one file set per
+    * micro-batch; this rebuilds them in place:
+    *
+    *   1. fold `batch_id <= upToBatch` latest-batch-wins per `keyCol`
+    *      ([[latestWinsPerKey]] semantics incl. the `evictBelow`
+    *      horizon), `distinct` away the duplicate rows replayed appends
+    *      left, re-stamp as `batch_id = upToBatch`;
+    *   2. union the `batch_id > upToBatch` rows verbatim (`batch_id` is
+    *      a DATA column on these tables — the in-memory catalog's table
+    *      rename moves the directory but not partition metadata, so a
+    *      partitioned table would come back empty after the swap);
+    *   3. write to `<table>__compact` with the same bucket/sort layout,
+    *      `repartition(buckets, bucketCols)` first — the bucket id is
+    *      the same Murmur3 hash, so each task holds exactly one bucket
+    *      and writes ONE file ([[graft.sources.BucketedStore]]'s trick;
+    *      single-file buckets make the declared sort exploitable under
+    *      `spark.sql.legacy.bucketedTableScan.outputOrdering`);
+    *   4. swap: rename the live table aside, rename the rebuild in,
+    *      drop the old, refresh the relation cache.
+    *
+    * Replay safety is [[fold]]'s contract (`upToBatch` ≤ last committed
+    * batch; later batches' own-batch exclusion sees the folded rows
+    * under id `upToBatch`). Crash safety: the rebuild is durable before
+    * the first rename; a crash inside the swap window leaves the live
+    * name absent with the rebuild intact and the next call finishes the
+    * rename pair — callers observe the old table or the new, never a
+    * partial fold. Run quiesced (between micro-batches): a read DURING
+    * the swap window sees an absent table as an empty index. */
+  def foldBucketedTable(
+      spark: SparkSession,
+      table: String,
+      upToBatch: Long,
+      keyCol: String,
+      bucketCols: Seq[String],
+      sortCols: Seq[String],
+      buckets: Int,
+      evictBelow: Long = Long.MinValue): Unit = {
+    val tmpTable = table + "__compact"
+    val oldTable = table + "__old"
+    def exists(t: String) = spark.catalog.tableExists(t)
+    if (!exists(table)) {
+      // finish an interrupted swap: the rebuild is complete on disk
+      if (exists(tmpTable)) {
+        spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+        if (exists(oldTable)) spark.sql(s"DROP TABLE $oldTable")
+      } else if (exists(oldTable)) {
+        // crashed before the rebuild finished: restore the live table
+        spark.sql(s"ALTER TABLE $oldTable RENAME TO $table")
+      }
+      return
+    }
+    if (exists(oldTable)) spark.sql(s"DROP TABLE $oldTable") // stale leftover
+    if (exists(tmpTable)) spark.sql(s"DROP TABLE $tmpTable") // stale rebuild
+    val full = spark.table(table)
+    val folded = latestWinsPerKey(keyCol, evictBelow)(
+        full.filter(col("batch_id") <= upToBatch))
+      .distinct() // replayed appends duplicate rows under the SAME batch id
+      .withColumn("batch_id", lit(upToBatch))
+    folded.unionByName(full.filter(col("batch_id") > upToBatch))
+      .repartition(buckets, bucketCols.map(col): _*)
+      .write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(tmpTable)
+    spark.sql(s"ALTER TABLE $table RENAME TO $oldTable")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    spark.sql(s"DROP TABLE $oldTable")
+    // the rename pair moves the managed directories; readers that
+    // resolved the live name before the swap hold a cached relation
+    // pointing at moved files — invalidate it
+    spark.catalog.refreshTable(table)
+  }
+
   /** Fold `batch_id <= upToBatch` of one store into partition
     * `upToBatch`, then delete the superseded partitions. `fold` receives
     * the slice WITH its `batch_id` column and must drop it. */

@@ -793,6 +793,107 @@ class StreamingSpec extends SparkSpec {
       s"folded store must hold one row per vector, got $rows")
   }
 
+  test("EmbIngest bucketed item index: verdict parity with the plain " +
+      "store, replay benign, fold to one file per bucket leaves the " +
+      "in-cluster join's index side with neither exchange nor sort") {
+    import graft.ext.Similarity
+    import graft.streaming.EmbIngest
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("embbkt").toString
+    val tbl = "graft_test_embbkt_items"
+    Seq(tbl, s"${tbl}__compact", s"${tbl}__old")
+      .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val emb = Tables.load(s2, sf(), "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .localCheckpoint(eager = true)
+      val cents = Similarity.kmeansFixedCentroids(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+      val cSeq = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq.sortBy(_._1)
+      val tau = 300000000000L
+      val chunks = (0 until 3).map(i =>
+        emb.filter(pmod(col("vec_id"), lit(3)) === i))
+      val ctl = s"$tmp/ctl"; val bkt = s"$tmp/bkt"
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        EmbIngest.ingestBatch(c, ctl, cSeq, tau, batchId = i.toLong)
+        EmbIngest.ingestBatchBucketed(c, bkt, tbl, cSeq, tau,
+          batchId = i.toLong, buckets = 8)
+      }
+      def read(d: String) = EmbIngest.result(s2, d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val ctlRead = read(ctl)
+      assert(read(bkt) === ctlRead, "bucketed index changed the verdicts")
+      assert(ctlRead.values.exists(_._3 == 0L),
+        "fixture should contain planted semantic near-dups")
+
+      // replay: batch 2 re-runs — verdict partition overwrites, the
+      // duplicate index rows its second append leaves are collapsed by
+      // the count_distinct; verdicts must not drift
+      EmbIngest.ingestBatchBucketed(chunks(2), bkt, tbl, cSeq, tau,
+        batchId = 2L, buckets = 8)
+      assert(read(bkt) === ctlRead, "replay drifted the verdicts")
+
+      // fold everything: one file per bucket, duplicates gone, verdicts
+      // unchanged
+      EmbIngest.compactBucketed(s2, tbl, upToBatch = 2L, buckets = 8)
+      assert(read(bkt) === ctlRead, "fold changed the verdicts")
+      assert(s2.table(tbl).count() == emb.count(),
+        "folded index must hold one row per vector")
+      val loc = s2.sql(s"DESCRIBE FORMATTED $tbl").collect()
+        .find(_.getString(0).trim == "Location").get.getString(1)
+      val dataFiles = {
+        val it = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(new java.net.URI(loc)))
+        try it.filter(p => p.getFileName.toString.startsWith("part-")).count()
+        finally it.close()
+      }
+      assert(dataFiles <= 8L && dataFiles >= 1L,
+        s"expected at most one file per bucket, got $dataFiles")
+
+      // the scale claim: with auto-broadcast off the in-cluster pair
+      // join's index side reads the bucketed table with neither an
+      // exchange nor (post-fold) a sort
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val self = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+          case _ => Seq(p) ++ p.children.flatMap(nodes)
+        }
+        self ++ p.subqueries.flatMap(nodes)
+      }
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val assigned = Similarity
+        .assignFixed(chunks(0), "vec_id", "embedding", cents)
+        .localCheckpoint(eager = true)
+      val counts = EmbIngest.bucketedPriorCounts(s2, tbl, assigned, tau,
+        batchId = 99L)
+      val joins = nodes(counts.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val scanSides = joins.flatMap(_.children).filter(c =>
+        nodes(c).exists(_.isInstanceOf[FileSourceScanExec]))
+      assert(scanSides.nonEmpty,
+        "expected the items table scan under a shuffled in-cluster join")
+      assert(scanSides.forall(c =>
+        !nodes(c).exists(_.isInstanceOf[ShuffleExchangeExec])),
+        "the bucketed item-index side pays an exchange")
+      assert(scanSides.forall(c =>
+        !nodes(c).exists(_.isInstanceOf[SortExec])),
+        "the post-fold item-index side re-sorts — bucket sort not exploited")
+    } finally {
+      Seq(tbl, s"${tbl}__compact", s"${tbl}__old")
+        .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("foreachBatch PQ coding equals the batch code index; replay idempotent") {
     import graft.streaming.PqIngest
     val tmp = java.nio.file.Files.createTempDirectory("pqingest").toString
