@@ -99,10 +99,12 @@ object PlanDump {
   // index (whose no-exchange store-side shape StreamingSpec pins
   // directly; narrative below), and q138/q139 are semi/anti + aggregate
   // rides on the memoised q125/q58 builds; r13's q140 is q126's
-  // lifecycle class over q68's audited within-cluster pair shape, and
+  // lifecycle class over q68's audited within-cluster pair shape,
   // q141 is q137 plus the compactBucketed maintenance pass (fold +
-  // rename swap) between micro-batches — PlanLintSpec still sweeps
-  // them every `sbt test`
+  // rename swap) between micro-batches, and q142 is the same bucketed-
+  // index + fold treatment for the semantic path (store side bucketed
+  // on cid; StreamingSpec pins its no-exchange-no-sort shape directly)
+  // — PlanLintSpec still sweeps them every `sbt test`
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])
@@ -498,7 +500,10 @@ object PlanDump {
       |  both; the sort elimination is worth ~3× on the candidate wall
       |  once the store dominates, SCALE_r13.md). q141 certifies the
       |  whole maintenance pass inside a live StreamingQuery lifecycle
-      |  against the same pairs oracle.
+      |  against the same pairs oracle; q142 applies the same bucketed-
+      |  index + fold shape to the semantic-dedup ingest (item table
+      |  bucketed on the cluster key, count_distinct prior counts so
+      |  replay-appended duplicates cannot inflate a verdict).
       |- **q134/q135 (trained quality classifier)**: the fit (q134) is
       |  Spark ML L-BFGS over dim-64 hashed token counts — one
       |  treeAggregate per iteration, gradient width scaling with the

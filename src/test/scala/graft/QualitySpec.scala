@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.QualityClassifier
+import org.apache.spark.sql.functions.col
 
 /** Trained document-quality classifier (q134/q135): frozen-head scores
   * against hand-computed closed forms, and the fit envelope's contract
@@ -56,5 +57,31 @@ class QualitySpec extends SparkSpec {
     assert(ntp > 0 && ntn > 0, "both classes must appear in training")
     for (i <- 4 to 7)
       assert(row.getLong(i) == 1L, s"fit flag ${row.schema(i).name} failed")
+  }
+
+  test("trainQuality: degenerate corpora fail loudly, not as flag drift") {
+    import spark.implicits._
+    // single-class weak labels (every doc long + fluent): LR would
+    // short-circuit and the envelope would mismatch its oracle with no
+    // actionable signal — the guard names the defect instead
+    val goodText = (Seq.fill(10)("the") ++ (1 to 50).map(i => s"tok$i"))
+      .mkString(" ")
+    val oneClass = (1L to 40L).map(i => (i, goodText)).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      QualityClassifier.trainQuality(oneClass, "doc_id", "text"))
+    assert(e1.getMessage.contains("BOTH weak-label classes"))
+    // empty validation split: both classes present but every doc's
+    // deterministic draw lands in train (ids picked by replaying the
+    // split's own u) — NaN metrics would flip a flag
+    val trainIds = spark.range(1L, 200L)
+      .select(col("id"),
+        graft.learn.DetRandom.uniform(col("id"), col("id"), 42L).as("u"))
+      .filter(col("u") >= 0.15).limit(2)
+      .collect().map(_.getLong(0))
+    val tiny = Seq((trainIds(0), goodText), (trainIds(1), "x"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      QualityClassifier.trainQuality(tiny, "doc_id", "text"))
+    assert(e2.getMessage.contains("validation split is empty"))
   }
 }
