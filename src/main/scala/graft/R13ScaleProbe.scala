@@ -152,6 +152,23 @@ object R13ScaleProbe {
       }
     }
 
+    if (only.forall(_ == "bktsort")) {
+      println("== q55 propagation: bucket-sort exploitation A/B ==")
+      // same entry, conf flipped at runtime (it is a runtime SQL conf);
+      // alternating reps so ambient drift cannot masquerade as the delta
+      for (rep <- 1 to 4; on <- Seq(false, true)) {
+        spark.conf.set(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering", on.toString)
+        graft.functions.Memos.clear(spark)
+        spark.catalog.clearCache()
+        val (_, t) = timed(
+          SparkEntry.queries("q55_propagate_bucketed")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+        println(f"R13SCALE bktsort rep=$rep sortOrdering=$on wall=$t%.2f s")
+      }
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    }
+
     if (only.forall(_ == "quality")) {
       println("== q134 fit / q135 serving: K corpus copies ==")
       def docCopy(i: Int): DataFrame =
