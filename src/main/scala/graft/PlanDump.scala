@@ -84,7 +84,8 @@ object PlanDump {
     "q122_doc_chunks",      // row-local sequence+explode, zero exchanges
     "q123_ppr",             // broadcast seed flag; sparse nonzero frontier
     "q125_containment",     // rare-prefix ⨝ posting list + packed verify
-    "q135_quality_scored")  // frozen integer head: row-local, 0 exchanges
+    "q135_quality_scored",  // frozen integer head: row-local, 0 exchanges
+    "q143_gopher_coverage") // 9-size nested-HOF gram explode + doc-keyed aggs
   // q111/q112/q113/q117 are shape-duplicates of audited sections (q58's
   // component chain + a row-local projection; q71's probed top-k with a
   // probe-rank filter; a plain equi-join + map-side-combined count; an

@@ -887,6 +887,16 @@ r2o AS (
         .select(col("doc_id"), col("n_tri"), col("distinct_tri"), col("max_rep"),
           expr("((n_tri - distinct_tri) * 1000000) div n_tri").as("rep_ppm"))
     }),
+    // Gopher n-gram repetition coverage (Rae et al. 2021 table A1 — the
+    // published boilerplate gate q62's instance counts approximate):
+    // per doc, the character fraction covered by the top 2/3/4-gram and
+    // by all duplicated 5..10-grams, positional-union semantics, exact
+    // integer ppm. One tokenise pass + one nested-HOF occurrence
+    // explode; (doc, n, gram)-keyed count + selection join, (doc, pos)
+    // distinct, per-doc pivot over the 9 fixed n values.
+    "q143_gopher_coverage" -> ((s, dir) =>
+      graft.ext.Repetition.ngramCoverage(
+        t(s, dir, "documents"), "doc_id", "text")),
     // benchmark decontamination (the eval-leakage gate every serious LLM
     // data pipeline runs): count the n-gram overlaps between each corpus
     // document and a benchmark set (stand-in: doc_id < 10). Exact string
@@ -3237,6 +3247,46 @@ r2o AS (
         |  CAST(MAX(c) AS BIGINT) AS max_rep,
         |  CAST(((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS BIGINT) AS rep_ppm
         |FROM cnt GROUP BY doc_id""".stripMargin,
+    // replays the positional-union coverage exactly: same tokens, same
+    // occurrence table (n = 2..10 in one UNNEST pair), same top-gram
+    // tie-break (c DESC, g ASC), same token-character basis and ppm div
+    "q143_gopher_coverage" -> {
+      val cols = (2 to 10).map { n =>
+        val alias = if (n <= 4) s"top${n}_ppm" else s"dup${n}_ppm"
+        s"CAST(COALESCE(MAX(CASE WHEN cc.n = $n THEN cc.ppm END), 0) AS BIGINT) AS $alias"
+      }.mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |base AS (SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_chars FROM w),
+        |pos AS (SELECT doc_id, i AS p, CAST(length(toks[i]) AS BIGINT) AS tl
+        |  FROM w, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+        |occ AS (SELECT doc_id, n, i,
+        |    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
+        |  FROM w, UNNEST(range(2, 11)) AS tn(n),
+        |       UNNEST(range(1, len(toks) - n + 2)) AS ti(i)
+        |  WHERE len(toks) >= n),
+        |cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+        |sel AS (
+        |  SELECT doc_id, n, g FROM (
+        |    SELECT doc_id, n, g,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rk
+        |    FROM cnt WHERE n <= 4) WHERE rk = 1
+        |  UNION ALL
+        |  SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c >= 2),
+        |cov AS (SELECT DISTINCT o.doc_id, o.n, tp.p
+        |  FROM occ o JOIN sel s ON s.doc_id = o.doc_id AND s.n = o.n AND s.g = o.g,
+        |       UNNEST(range(o.i, o.i + o.n)) AS tp(p)),
+        |cc AS (SELECT cov.doc_id, cov.n,
+        |    CAST((SUM(tl) * 1000000) // MAX(b.n_chars) AS BIGINT) AS ppm
+        |  FROM cov
+        |  JOIN pos ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  JOIN base b ON b.doc_id = cov.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT b.doc_id, b.n_chars,
+        |  $cols
+        |FROM base b LEFT JOIN cc ON cc.doc_id = b.doc_id
+        |GROUP BY b.doc_id, b.n_chars""".stripMargin
+    },
     "q65_seq_packing" ->
       s"""WITH stats AS (
         |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
