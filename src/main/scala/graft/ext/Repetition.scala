@@ -41,7 +41,14 @@ object Repetition {
 
   def ngramCoverage(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // repartition on the id BEFORE tokenising (the q67/q125 lesson): a
+    // small corpus is ONE scan partition, and the tokenise + 9-size
+    // nested-HOF gram explode below would otherwise run in one task;
+    // doc_id hashing is the distribution every downstream doc-keyed
+    // exchange wants anyway
     val toks = docs
+      .repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long").as("doc_id"),
         regexp_extract_all(col(textCol), lit("[a-z0-9]+"), lit(0)).as("w"))
       .withColumn("n_chars",
