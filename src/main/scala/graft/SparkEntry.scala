@@ -1900,17 +1900,21 @@ r2o AS (
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
-        val q = EmbIngest.start(s, inDir, store, ckpt, cents,
-          simThresholdFixed = 300000000000L)
+        // the k-means fit (cents is lazy until start() collects it) +
+        // checkpoint/StreamingQuery startup — machinery, not data plane
+        val q = phase("q140 startup")(EmbIngest.start(s, inDir, store,
+          ckpt, cents, simThresholdFixed = 300000000000L))
         try {
-          stage(0L); q.processAllAvailable()
-          stage(1L); q.processAllAvailable()
-          stage(2L); q.processAllAvailable()
+          phase("q140 batches") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+            stage(2L); q.processAllAvailable()
+          }
         } finally q.stop()
-        EmbIngest.result(s, store)
+        phase("q140 result")(EmbIngest.result(s, store)
           .orderBy("vec_id")
           .coalesce(1)
-          .localCheckpoint(eager = true) // materialise before tmp cleanup
+          .localCheckpoint(eager = true)) // materialise before tmp cleanup
       } finally {
         val p = java.nio.file.Paths.get(tmp)
         if (java.nio.file.Files.exists(p))
@@ -1953,20 +1957,22 @@ r2o AS (
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
-        val q = EmbIngest.startBucketed(s, inDir, store, tbl, ckpt, cents,
-          simThresholdFixed = 300000000000L)
+        val q = phase("q142 startup")(EmbIngest.startBucketed(s, inDir,
+          store, tbl, ckpt, cents, simThresholdFixed = 300000000000L))
         try {
-          stage(0L); q.processAllAvailable()
-          stage(1L); q.processAllAvailable()
+          phase("q142 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
           // maintenance between micro-batches: fold the committed
           // batches' index to one file per bucket
-          EmbIngest.compactBucketed(s, tbl, upToBatch = 1L)
-          stage(2L); q.processAllAvailable()
+          phase("q142 fold")(EmbIngest.compactBucketed(s, tbl, upToBatch = 1L))
+          phase("q142 batch 2") { stage(2L); q.processAllAvailable() }
         } finally q.stop()
-        EmbIngest.result(s, store)
+        phase("q142 result")(EmbIngest.result(s, store)
           .orderBy("vec_id")
           .coalesce(1)
-          .localCheckpoint(eager = true) // materialise before tmp cleanup
+          .localCheckpoint(eager = true)) // materialise before tmp cleanup
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         val p = java.nio.file.Paths.get(tmp)
@@ -2004,20 +2010,84 @@ r2o AS (
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
-        val q = DocIngest.startBucketed(s, inDir, store, tbl, ckpt)
+        val q = phase("q141 startup")(
+          DocIngest.startBucketed(s, inDir, store, tbl, ckpt))
         try {
-          stage(0L); q.processAllAvailable()
-          stage(1L); q.processAllAvailable()
+          phase("q141 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
           // maintenance between micro-batches: batches 0–1 are committed
-          // and can no longer replay — fold them
-          DocIngest.compact(s, store, upToBatch = 1L)
-          DocIngest.compactBucketed(s, tbl, upToBatch = 1L)
-          stage(2L); q.processAllAvailable()
+          // and can no longer replay — fold them (the Maintenance facade
+          // orders the parquet folds before the bucketed rebuild)
+          phase("q141 fold")(graft.streaming.Maintenance.compactDocStore(
+            s, store, upToBatch = 1L, sigsTable = Some(tbl)))
+          phase("q141 batch 2") { stage(2L); q.processAllAvailable() }
         } finally q.stop()
-        DocIngest.pairs(s, store)
+        phase("q141 result")(DocIngest.pairs(s, store)
           .orderBy("doc_a", "doc_b")
           .coalesce(1)
-          .localCheckpoint(eager = true) // materialise before cleanup
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q141's lifecycle with the EVICTION HORIZON live (r13 verdict,
+    // Next #4) — the 100 TB/day steady state, where the dedup index
+    // holds a retention window, not history: the mid-stream fold runs
+    // with `evictBelow = 1`, so batch-0 docs LEAVE both the parquet
+    // sigs/shingles stores and the bucketed signature table while their
+    // already-emitted pairs persist (pairs are output, not state).
+    // Batch 2 then matches only surviving (batch-1) and same-batch
+    // docs. Oracle: the batch near-dup pairs MINUS the {batch-0 ×
+    // batch-2} cross pairs — the exact pair set a horizon of one batch
+    // implies (batches are doc_id mod 3, so the predicate is closed-
+    // form in SQL).
+    "q144_stream_dedup_evict" -> ((s, dir) => {
+      import graft.streaming.DocIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q144").toString
+      val tbl = "graft_q144_sigs_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q144 startup")(
+          DocIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q144 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          // fold with the retention horizon ON: rows whose winning
+          // batch is < 1 (batch 0) are evicted from the index stores
+          phase("q144 fold+evict")(
+            graft.streaming.Maintenance.compactDocStore(
+              s, store, upToBatch = 1L, evictBelow = 1L,
+              sigsTable = Some(tbl)))
+          phase("q144 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q144 result")(DocIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         val p = java.nio.file.Paths.get(tmp)
@@ -3016,6 +3086,13 @@ r2o AS (
     // compaction (parquet fold + bucketed-table rebuild) mid-stream
     // changes layout, never the accumulated pairs
     "q141_stream_dedup_folded" -> jaccardPairsSql,
+    // eviction horizon live: batch-0 docs (doc_id % 3 = 0) left the
+    // index before batch 2 ingested, so exactly the {batch-0 × batch-2}
+    // cross pairs are never emitted; every other pair matches the batch
+    // answer (pairs emitted before the fold persist — output, not state)
+    "q144_stream_dedup_evict" -> (jaccardPairsSql + """
+      |  AND NOT ((a.doc_id % 3 = 0 AND b.doc_id % 3 = 2)
+      |        OR (a.doc_id % 3 = 2 AND b.doc_id % 3 = 0))""".stripMargin),
     // transitive closure of the near-dup pairs (recursive CTE; UNION
     // dedups, so the fixpoint terminates), canon = min over self + all
     // reachable docs — the SQL twin of GraphX min-label propagation.

@@ -126,7 +126,11 @@ object QualityClassifier {
     // flag mismatch. Fail loudly with the actual defect instead. Cost:
     // the class count runs on the cache the fit materialises anyway;
     // the split check is a limit-1 probe.
-    locally {
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
+    // one try/finally spans the guards AND the fit: a guard that throws
+    // must not leak the cached frame into the session
+    val model = try {
       val cls = trainDf.agg(
           sum(when(col("label") === 1.0, 1L).otherwise(0L)),
           sum(when(col("label") === 0.0, 1L).otherwise(0L)))
@@ -137,10 +141,8 @@ object QualityClassifier {
       require(!f.filter(col("u") < valFrac).isEmpty,
         "trainQuality: validation split is empty — corpus too small for " +
           s"valFrac=$valFrac")
-    }
-    val lr = new LogisticRegression()
-      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-    val model = try lr.fit(trainDf) finally trainDf.unpersist()
+      lr.fit(trainDf)
+    } finally trainDf.unpersist()
     val hist = model.summary.objectiveHistory
     val scored = model.transform(htf.transform(f.filter(col("u") < valFrac)))
       .select(element_at(vector_to_array(col("probability")), 2).as("score"),

@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * This is the published boilerplate gate the heuristic q62 rule
   * approximates: q62 counts repeated trigram INSTANCES; these metrics
   * measure how much of the document's actual text sits inside repeated
-  * spans, which is what the Gopher thresholds (0.18 for top-2 … 0.10 for
-  * dup-10) are calibrated against.
+  * spans. NOTE the metric here is a positional-UNION variant of the
+  * published definition: Gopher/Dolma/DataTrove compute top-n coverage
+  * as count × gram-chars over WHOLE-document characters (whitespace
+  * included), which double-counts overlapping occurrences and uses a
+  * larger denominator — so the published thresholds (0.18 for top-2 …
+  * 0.10 for dup-10) transfer only approximately, and a gate built on
+  * these columns should be recalibrated against this variant's
+  * distribution. The union form is the deliberate choice: it is a true
+  * coverage (never exceeds 1) and both engines replay it exactly.
   *
   * Exactness contract (what makes the DuckDB oracle replay bit-for-bit):
   *   - tokens are the house `[a-z0-9]+` extraction; the character basis

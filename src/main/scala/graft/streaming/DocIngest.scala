@@ -205,11 +205,12 @@ object DocIngest {
     // stats, while [[compactBucketed]]'s rename-swap stays safe (the
     // in-memory catalog's table rename moves the directory but not
     // partition metadata — a partitioned table would come back empty).
-    val w = newKeys.withColumn("batch_id", lit(batchId))
-      .write
-      .bucketBy(buckets, "band", "key").sortBy("band", "key")
-    if (spark.catalog.tableExists(sigsTable)) w.mode("append").saveAsTable(sigsTable)
-    else w.mode("overwrite").saveAsTable(sigsTable)
+    // append-or-create with the swap guard: a swap racing this batch
+    // after the candidate read fails loudly instead of re-creating the
+    // live name over the rebuild (StoreCompact.appendToBucketedIndex)
+    StoreCompact.appendToBucketedIndex(spark, sigsTable,
+      newKeys.withColumn("batch_id", lit(batchId)),
+      buckets, Seq("band", "key"))
   }
 
   /** The bucketed-index candidate pairs `(doc_a, doc_b)` for one batch —
@@ -228,17 +229,15 @@ object DocIngest {
         .select(
           least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-    val vsStore =
-      if (spark.catalog.tableExists(sigsTable)) {
-        // a concurrent maintenance session's [[compactBucketed]] swap
-        // moves the managed directory; this session (possibly a
-        // streaming clone whose relation cache the maintenance session
-        // cannot reach) must not read a pre-swap file listing
-        spark.catalog.refreshTable(sigsTable)
-        Some(pairsOf(spark.table(sigsTable)
-          .filter(col("batch_id") =!= batchId)
-          .select("doc_id", "band", "key")))
-      } else None
+    // swap-aware resolution (StoreCompact.liveIndexTable): None only
+    // when the index was never created; a mid-swap/crashed-swap absent
+    // table is resumed or THROWN, never read as an empty index (which
+    // would silently emit this batch's pairs as new × new only) — and
+    // the relation cache is refreshed before the read (this session is
+    // a streaming clone a maintenance session's refresh cannot reach)
+    val vsStore = StoreCompact.liveIndexTable(spark, sigsTable).map(t =>
+      pairsOf(t.filter(col("batch_id") =!= batchId)
+        .select("doc_id", "band", "key")))
     vsStore.map(_.unionByName(pairsOf(newKeys))).getOrElse(pairsOf(newKeys))
       .distinct()
   }

@@ -178,11 +178,12 @@ object EmbIngest {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$storeDir/items")
 
-    val w = assigned.select(col("id").as("vec_id"), col("cid"), col("w"))
-      .withColumn("batch_id", lit(batchId))
-      .write.bucketBy(buckets, "cid").sortBy("cid")
-    if (spark.catalog.tableExists(itemsTable)) w.mode("append").saveAsTable(itemsTable)
-    else w.mode("overwrite").saveAsTable(itemsTable)
+    // append-or-create with the swap guard (see DocIngest): a swap
+    // racing this batch fails loudly, never re-creates over the rebuild
+    StoreCompact.appendToBucketedIndex(spark, itemsTable,
+      assigned.select(col("id").as("vec_id"), col("cid"), col("w"))
+        .withColumn("batch_id", lit(batchId)),
+      buckets, Seq("cid"))
   }
 
   /** The bucketed-index smaller-id near-dup counts for one batch —
@@ -202,15 +203,14 @@ object EmbIngest {
           col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
         .filter(ArrayOps.dot(col("a.w"), col("b.w")) > lit(simThresholdFixed))
         .select(col("a.id").as("aid"), col("b.id").as("id"))
-    val vsStore =
-      if (spark.catalog.tableExists(itemsTable)) {
-        // see DocIngest.bucketedCandidates: a maintenance session's swap
-        // moves the managed directory; never read a pre-swap listing
-        spark.catalog.refreshTable(itemsTable)
-        Some(pairsOf(spark.table(itemsTable)
-          .filter(col("batch_id") =!= batchId)
-          .select(col("vec_id").as("id"), col("cid"), col("w"))))
-      } else None
+    // swap-aware resolution (StoreCompact.liveIndexTable): None only
+    // when the index was never created; a mid-swap absent table is
+    // resumed or THROWN, never read as an empty index (which would
+    // silently undercount priors for this batch) — and the relation
+    // cache is refreshed before the read (streaming-clone session)
+    val vsStore = StoreCompact.liveIndexTable(spark, itemsTable).map(t =>
+      pairsOf(t.filter(col("batch_id") =!= batchId)
+        .select(col("vec_id").as("id"), col("cid"), col("w"))))
     vsStore.map(_.unionByName(pairsOf(assigned))).getOrElse(pairsOf(assigned))
       .groupBy("id")
       .agg(count_distinct(col("aid")).as("n_neardup_prior"))

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE operational entry point for ingest-store maintenance (r13
+  * verdict, Next #7): each ingest family keeps its state in one or two
+  * stores — per-batch-partitioned parquet dirs plus, on the bucketed
+  * paths, an append-only bucketed index table — and each store has its
+  * own fold method with its own contract scattered across
+  * [[DocIngest]]/[[EmbIngest]]/[[PqIngest]]/[[StoreCompact]]. This
+  * facade binds them into one quiesce-aware call per family that
+  *
+  *   1. finishes any interrupted bucketed-table swap FIRST
+  *      ([[StoreCompact.resumeSwap]] — idempotent, no-op when the live
+  *      table exists), so the fold never starts behind a crashed one;
+  *   2. folds the parquet stores (verdict/pairs/shingles/codes — the
+  *      dynamic-partition-overwrite stores);
+  *   3. rebuilds the bucketed index table last
+  *      ([[StoreCompact.foldBucketedTable]] — latest-wins, eviction
+  *      horizon, one-file-per-bucket, rename swap).
+  *
+  * Shared contract (see [[StoreCompact]] for the mechanics):
+  *
+  *   - REPLAY SAFETY: `upToBatch` must be ≤ the last batch COMMITTED to
+  *     the stream checkpoint; later batches still see the pre-batch
+  *     state exactly.
+  *   - QUIESCE: run between micro-batches (the stream idle). The read
+  *     paths are swap-aware ([[StoreCompact.liveIndexTable]]), so a
+  *     violated quiesce costs a loud failure — a rename race or an
+  *     [[IllegalStateException]] — never silently incomplete output.
+  *   - EVICTION: rows whose winning batch sits below `evictBelow` leave
+  *     the INDEX stores entirely (the retention horizon); emitted
+  *     outputs (pairs, verdicts, codes) are logs, not state, and are
+  *     never evicted.
+  *   - CRASH SAFETY: every fold is durable before it replaces anything;
+  *     a crash anywhere leaves a state the next call (or the next
+  *     swap-aware read) finishes or rolls back.
+  */
+object Maintenance {
+
+  /** Maintenance pass for a [[DocIngest]] deployment: fold the parquet
+    * sigs/shingles/pairs stores, then — when the stream runs the
+    * bucketed path ([[DocIngest.startBucketed]]) — rebuild the
+    * signature-index table. Pass the same `buckets` the stream uses. */
+  def compactDocStore(
+      spark: SparkSession,
+      storeDir: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      sigsTable: Option[String] = None,
+      buckets: Int = 32): Unit = {
+    sigsTable.foreach(StoreCompact.resumeSwap(spark, _))
+    DocIngest.compact(spark, storeDir, upToBatch, evictBelow)
+    sigsTable.foreach(t =>
+      DocIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets))
+  }
+
+  /** Maintenance pass for an [[EmbIngest]] deployment: fold the parquet
+    * items (verdict) store, then — on the bucketed path
+    * ([[EmbIngest.startBucketed]]) — rebuild the item-index table. */
+  def compactEmbStore(
+      spark: SparkSession,
+      storeDir: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      itemsTable: Option[String] = None,
+      buckets: Int = 32): Unit = {
+    itemsTable.foreach(StoreCompact.resumeSwap(spark, _))
+    EmbIngest.compact(spark, storeDir, upToBatch)
+    itemsTable.foreach(t =>
+      EmbIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets))
+  }
+
+  /** Maintenance pass for a [[PqIngest]] deployment (one parquet codes
+    * store; no bucketed index variant). */
+  def compactPqStore(
+      spark: SparkSession, storeDir: String, upToBatch: Long): Unit =
+    PqIngest.compact(spark, storeDir, upToBatch)
+
+  /** Finish an interrupted bucketed-index swap without folding anything
+    * — the explicit ops recovery entry ([[StoreCompact.resumeSwap]]).
+    * Safe to call any time; no-op when the live table exists. */
+  def resume(spark: SparkSession, table: String): Unit =
+    StoreCompact.resumeSwap(spark, table)
+}

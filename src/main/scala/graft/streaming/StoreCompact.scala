@@ -48,6 +48,93 @@ object StoreCompact {
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** True when a [[foldBucketedTable]] swap sibling exists for `table` —
+    * a compaction swap is in flight (between the two RENAMEs) or was
+    * interrupted by a crash. In either state the absence of the live
+    * name must NOT be read as "no index yet". */
+  def swapInFlight(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table + "__compact") ||
+      spark.catalog.tableExists(table + "__old")
+
+  /** Complete an interrupted [[foldBucketedTable]] swap, if one is
+    * pending: the live name absent with `__compact` (the durable,
+    * complete rebuild — finish the rename pair) or only `__old` (the
+    * pre-fold table — restore it) present. Idempotent, and safe to race:
+    * a rename lost to a concurrent resume is swallowed iff the live
+    * table came into existence, so two resumers converge and any other
+    * failure still throws. No-op when the live table already exists. */
+  def resumeSwap(spark: SparkSession, table: String): Unit = {
+    val tmpTable = table + "__compact"
+    val oldTable = table + "__old"
+    def exists(t: String) = spark.catalog.tableExists(t)
+    if (exists(table)) return
+    if (exists(tmpTable)) {
+      try spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+      catch { case _: Exception if exists(table) => () }
+      if (exists(table) && exists(oldTable)) spark.sql(s"DROP TABLE $oldTable")
+    } else if (exists(oldTable)) {
+      try spark.sql(s"ALTER TABLE $oldTable RENAME TO $table")
+      catch { case _: Exception if exists(table) => () }
+    }
+    // the recovery renames move managed directories exactly like the
+    // normal swap — a session holding a pre-crash cached relation would
+    // otherwise keep listing moved files
+    if (exists(table)) spark.catalog.refreshTable(table)
+  }
+
+  /** Read-path resolution of a bucketed index table that is SAFE across
+    * [[foldBucketedTable]]'s swap window: returns the live table, or
+    * None only when the index was genuinely never created (no swap
+    * sibling either — the first-batch case). A mid-swap or crashed-swap
+    * absence is NEVER reported as "no index": the resume runs right here
+    * (the rebuild is durable before the first rename, so finishing the
+    * rename pair is always safe — worst case a racing maintenance
+    * session's second rename fails loudly), and if the live name still
+    * cannot be produced this THROWS rather than letting the caller
+    * silently compute against an empty index and emit incomplete
+    * output. Always refreshes the relation cache before handing the
+    * table out: foreachBatch readers run in a cloned session whose
+    * cache a maintenance session's post-swap refresh cannot reach. */
+  def liveIndexTable(spark: SparkSession, table: String): Option[DataFrame] = {
+    def exists(t: String) = spark.catalog.tableExists(t)
+    if (!exists(table)) {
+      if (!swapInFlight(spark, table)) return None
+      resumeSwap(spark, table)
+      if (!exists(table))
+        throw new IllegalStateException(
+          s"bucketed index '$table' is mid-compaction-swap (sibling " +
+            s"${table}__compact/${table}__old present) and could not be " +
+            "resumed — refusing to treat it as an empty index")
+    }
+    spark.catalog.refreshTable(table)
+    Some(spark.table(table))
+  }
+
+  /** Append one batch's rows to a bucketed index table, creating it on
+    * first use — the ingest families' shared index write. Buckets AND
+    * sorts on `bucketCols` (the join keys). The create leg refuses
+    * LOUDLY when a swap sibling exists: the table vanishing mid-batch
+    * means a compaction swap raced this batch, and re-creating the live
+    * name would orphan the complete rebuild (the next fold drops
+    * `__compact` as stale) — the whole accumulated index silently lost.
+    */
+  def appendToBucketedIndex(
+      spark: SparkSession,
+      table: String,
+      rows: DataFrame,
+      buckets: Int,
+      bucketCols: Seq[String]): Unit = {
+    val w = rows.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+    if (spark.catalog.tableExists(table)) w.mode("append").saveAsTable(table)
+    else if (swapInFlight(spark, table))
+      throw new IllegalStateException(
+        s"bucketed index '$table' disappeared mid-batch with a compaction " +
+          "swap in flight — refusing to re-create it over the rebuild")
+    else w.mode("overwrite").saveAsTable(table)
+  }
+
   /** Latest-batch-wins per `keyCol`, dropping keys whose winning batch
     * sits below `evictBelow` — the standard fold for stores where a
     * re-delivered key supersedes its earlier rows. */
@@ -89,10 +176,12 @@ object StoreCompact {
     * batch; later batches' own-batch exclusion sees the folded rows
     * under id `upToBatch`). Crash safety: the rebuild is durable before
     * the first rename; a crash inside the swap window leaves the live
-    * name absent with the rebuild intact and the next call finishes the
-    * rename pair — callers observe the old table or the new, never a
-    * partial fold. Run quiesced (between micro-batches): a read DURING
-    * the swap window sees an absent table as an empty index. */
+    * name absent with the rebuild intact, and BOTH the next fold call
+    * and any [[liveIndexTable]] read finish the rename pair — callers
+    * observe the old table or the new, never a partial fold and never
+    * a silently-empty index. Run quiesced (between micro-batches) all
+    * the same: a violated quiesce costs a loud rename race, not wrong
+    * output. */
   def foldBucketedTable(
       spark: SparkSession,
       table: String,
@@ -106,14 +195,10 @@ object StoreCompact {
     val oldTable = table + "__old"
     def exists(t: String) = spark.catalog.tableExists(t)
     if (!exists(table)) {
-      // finish an interrupted swap: the rebuild is complete on disk
-      if (exists(tmpTable)) {
-        spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
-        if (exists(oldTable)) spark.sql(s"DROP TABLE $oldTable")
-      } else if (exists(oldTable)) {
-        // crashed before the rebuild finished: restore the live table
-        spark.sql(s"ALTER TABLE $oldTable RENAME TO $table")
-      }
+      // finish an interrupted swap ([[resumeSwap]] — the read path runs
+      // the same recovery, so batches between a crash and this call
+      // never see the absent table as an empty index)
+      resumeSwap(spark, table)
       return
     }
     if (exists(oldTable)) spark.sql(s"DROP TABLE $oldTable") // stale leftover

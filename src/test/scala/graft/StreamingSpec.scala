@@ -629,8 +629,10 @@ class StreamingSpec extends SparkSpec {
         "fold kept the replayed duplicate rows")
 
       // fold EVERYTHING → one partition with ONE file per bucket, and
-      // the declared sortBy becomes exploitable
-      DocIngest.compactBucketed(s2, tbl, upToBatch = 2L, buckets = 8)
+      // the declared sortBy becomes exploitable (through the Maintenance
+      // facade: parquet folds first, bucketed rebuild last)
+      graft.streaming.Maintenance.compactDocStore(
+        s2, bkt, upToBatch = 2L, sigsTable = Some(tbl), buckets = 8)
       val loc = s2.sql(s"DESCRIBE FORMATTED $tbl").collect()
         .find(_.getString(0).trim == "Location").get.getString(1)
       val dataFiles = {
@@ -710,6 +712,80 @@ class StreamingSpec extends SparkSpec {
       Seq(tbl, ctlTbl, s"${tbl}__compact", s"${tbl}__old")
         .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
       s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("swap-window reads RESUME or fail LOUD — never an empty index " +
+      "(red path: live table absent with a swap sibling present)") {
+    import graft.streaming.{DocIngest, StoreCompact}
+
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("swapred").toString
+    val tbl = "graft_test_swapred_sigs"
+    val ghost = "graft_test_swapred_nosuch"
+    Seq(tbl, ghost).flatMap(t => Seq(t, s"${t}__compact", s"${t}__old"))
+      .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val chunks = (0 until 3).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      (0 until 2).foreach(i => DocIngest.ingestBatchBucketed(
+        chunks(i), s"$tmp/bkt", tbl, tau = 0.8, batchId = i.toLong,
+        buckets = 8))
+      val newKeys = graft.ext.Dedup.signatures(chunks(2), "doc_id", "text")
+        .select("doc_id", "band", "key").localCheckpoint(eager = true)
+      def candSet = DocIngest
+        .bucketedCandidates(s2, tbl, newKeys, batchId = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = candSet
+      // what the pre-r14 behavior would silently emit mid-swap: the
+      // new × new candidates only (computed against a never-created
+      // name — the ONE state where an absent table legitimately means
+      // an empty index)
+      val reduced = DocIngest
+        .bucketedCandidates(s2, ghost, newKeys, batchId = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reduced != full,
+        "fixture must make the empty-index read observable " +
+          "(no cross-batch candidates?)")
+
+      // (1) mid-swap window: live name absent, complete rebuild present
+      // — the read RESUMES (finishes the rename pair) and returns the
+      // full candidate set, never the reduced one
+      s2.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      assert(candSet == full, "mid-swap read did not resume the full index")
+      assert(s2.catalog.tableExists(tbl) &&
+        !s2.catalog.tableExists(s"${tbl}__compact"),
+        "mid-swap read did not finish the rename pair")
+
+      // (2) crashed before the rebuild finished: only __old present —
+      // the read restores the pre-fold table
+      s2.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__old")
+      assert(candSet == full, "crashed-swap read did not restore the index")
+      assert(s2.catalog.tableExists(tbl) &&
+        !s2.catalog.tableExists(s"${tbl}__old"),
+        "crashed-swap read did not restore the live name")
+
+      // (3) the WRITE guard: a swap racing the batch between the read
+      // and the append must not re-create the live name over the
+      // rebuild (which the next fold would drop as stale — the whole
+      // index silently lost); it throws instead
+      s2.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      val ex = intercept[IllegalStateException] {
+        StoreCompact.appendToBucketedIndex(s2, tbl,
+          newKeys.withColumn("batch_id", lit(9L)), buckets = 8,
+          bucketCols = Seq("band", "key"))
+      }
+      assert(ex.getMessage.contains("refusing to re-create"))
+      StoreCompact.resumeSwap(s2, tbl)
+      assert(s2.catalog.tableExists(tbl), "explicit resume failed")
+
+      // (4) None ONLY when genuinely never created (first-batch case)
+      assert(StoreCompact.liveIndexTable(s2, ghost).isEmpty)
+    } finally {
+      Seq(tbl, ghost).flatMap(t => Seq(t, s"${t}__compact", s"${t}__old"))
+        .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
@@ -887,6 +963,21 @@ class StreamingSpec extends SparkSpec {
       assert(scanSides.forall(c =>
         !nodes(c).exists(_.isInstanceOf[SortExec])),
         "the post-fold item-index side re-sorts — bucket sort not exploited")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+      // red path: the semantic read is swap-aware too — a mid-swap
+      // absent table resumes to the full prior counts, never an
+      // empty-index undercount
+      def countMap = EmbIngest
+        .bucketedPriorCounts(s2, tbl, assigned, tau, batchId = 99L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullCounts = countMap
+      s2.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      assert(countMap == fullCounts,
+        "mid-swap semantic read did not resume the full index")
+      assert(s2.catalog.tableExists(tbl) &&
+        !s2.catalog.tableExists(s"${tbl}__compact"),
+        "mid-swap semantic read did not finish the rename pair")
     } finally {
       Seq(tbl, s"${tbl}__compact", s"${tbl}__old")
         .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
