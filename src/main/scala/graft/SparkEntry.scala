@@ -1240,6 +1240,21 @@ r2o AS (
     // floored mean; see ext.Selection.lmScore
     "q75_lm_quality" -> ((s, dir) =>
       graft.ext.Selection.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // token-budget greedy admission (ext.Selection.budgetSelect): rank
+    // by exact-integer type–token ratio, admit top-down until the token
+    // budget is spent. The cumulative sum is computed WITHOUT the
+    // single-partition global window: score-range buckets give exact
+    // driver-side prefix offsets (O(buckets) rows) + a bucket-
+    // partitioned window — bit-equal to the global order
+    "q145_token_budget" -> ((s, dir) =>
+      graft.ext.Selection.budgetSelect(
+        t(s, dir, "documents"), "doc_id", "text", budgetTokens = 15000L)),
+    // Gopher table-A1 composite quality GATE (ext.Filters.gopherGate):
+    // word count, mean word length, alphabetic share, distinct stop
+    // words — per-rule flags + the conjunction verdict, all row-local
+    // over one pruned scan (zero exchanges)
+    "q146_gopher_gate" -> ((s, dir) =>
+      graft.ext.Filters.gopherGate(t(s, dir, "documents"), "doc_id", "text")),
     // triangle counts + local clustering coefficient (scaled-integer)
     // over the part co-purchase graph (parts sharing an order) — degree
     // orientation bounds wedge fan-out by O(√|E|) (arboricity), so the
@@ -3806,6 +3821,42 @@ r2o AS (
         |    CAST(SUM(tf.tf * st.p) AS BIGINT) AS s
         |  FROM tf JOIN st ON st.w1 = tf.w1 AND st.w2 = tf.w2 GROUP BY 1)
         |SELECT doc_id, n_bigrams, s // n_bigrams AS lm_fp FROM sc""".stripMargin,
+    // the oracle runs the textbook GLOBAL window — the engine's bucketed
+    // offsets + per-bucket windows must equal it bit-for-bit
+    "q145_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(ts) = 0 THEN 0
+        |    ELSE len(list_distinct(ts)) * 1000000 // len(ts) END AS BIGINT) AS ttr_fp
+        |  FROM t),
+        |c AS (SELECT doc_id, n_tok, ttr_fp,
+        |  SUM(n_tok) OVER (ORDER BY ttr_fp DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT doc_id, n_tok, ttr_fp, CAST(cum AS BIGINT) AS cum_tok,
+        |  CAST(CASE WHEN cum <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        |FROM c""".stripMargin,
+    "q146_gopher_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(ts) = 0 THEN 0
+        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
+        |  CAST(CASE WHEN length(lt) = 0 THEN 0
+        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
+        |  CAST(len(list_filter(list_distinct(ts),
+        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tok, mtl_ppm, alpha_ppm, n_stop,
+        |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_ntok,
+        |  CAST(CASE WHEN mtl_ppm BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS BIGINT) AS f_mtl,
+        |  CAST(CASE WHEN alpha_ppm >= 600000 THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+        |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 AND mtl_ppm BETWEEN 3000000 AND 10000000
+        |    AND alpha_ppm >= 600000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s""".stripMargin,
     // the same degree orientation (low-(deg,id) → high): wedges from
     // each shared tail, closed against the oriented edge list
     "q74_triangles" ->

@@ -132,4 +132,40 @@ class SelectionSpec extends SparkSpec {
       .map(t => t._1 -> t._3).toMap
     assert(got === Map("a" -> (k - 1), "b" -> k, "c" -> k))
   }
+
+  test("budgetSelect: equals the global-window cumulative sum, " +
+      "bucket-count independent, partition independent") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    // naive: the textbook single global running sum
+    val rows = fixture.select($"doc_id", Dedup.tokens($"text").as("ts"))
+      .collect().map { r =>
+        val ts = r.getSeq[String](1)
+        val n = ts.length.toLong
+        val ttr = if (n == 0) 0L else ts.distinct.length.toLong * 1000000L / n
+        (r.getLong(0), n, ttr)
+      }
+    // half the corpus: the boundary lands mid-ranking at every SF
+    val budget = rows.map(_._2).sum / 2
+    val run = (df: org.apache.spark.sql.DataFrame, b: Int) =>
+      Selection.budgetSelect(df, "doc_id", "text", budget, buckets = b)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val got = run(fixture, 64)
+    var cum = 0L
+    val naive = rows.sortBy { case (id, _, ttr) => (-ttr, id) }.map {
+      case (id, n, ttr) =>
+        cum += n
+        id -> (n, ttr, cum, if (cum <= budget) 1L else 0L)
+    }.toMap
+    assert(got === naive)
+    assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L),
+      "budget must split the fixture (degenerate test otherwise)")
+    // the offsets must compose exactly across ANY bucketing of the
+    // score domain (3 forces many cross-bucket boundaries), and the
+    // result must not depend on the input partitioning
+    assert(run(fixture, 3) === got)
+    assert(run(fixture.repartition(7), 64) === got)
+  }
 }
