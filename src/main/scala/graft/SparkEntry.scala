@@ -1997,6 +1997,70 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // q142's lifecycle with the EVICTION HORIZON live — q144's
+    // retention story on the SEMANTIC ingest family: the mid-stream
+    // fold runs with `evictBelow = 1`, so batch-0 items leave the
+    // bucketed index while their already-written verdicts persist
+    // (the parquet items store is the verdict LOG — output, never
+    // evicted). Batch 2's prior counts then see only batch-1 and
+    // same-batch items. Ids ascend across the range-staged batches,
+    // so the oracle is q68 minus exactly the {first-third × last-
+    // third} prior pairs (semanticEvictSql).
+    "q147_stream_semantic_evict" -> ((s, dir) => {
+      import graft.streaming.EmbIngest
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cents = graft.ext.Similarity.kmeansFixedCentroids(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+      val bounds = emb.agg(min("vec_id"), max("vec_id")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi0 - lo0 + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q147").toString
+      val tbl = "graft_q147_items_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val lo = lo0 + b * span / 3
+          val hi = if (b == 2) hi0 + 1 else lo0 + (b + 1) * span / 3
+          val staging = s"$tmp/stage$b"
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q147 startup")(EmbIngest.startBucketed(s, inDir,
+          store, tbl, ckpt, cents, simThresholdFixed = 300000000000L))
+        try {
+          phase("q147 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          // fold with the retention horizon ON: batch-0 items leave
+          // the index; verdicts persist (output, not state)
+          phase("q147 fold+evict")(
+            graft.streaming.Maintenance.compactEmbStore(
+              s, store, upToBatch = 1L, evictBelow = 1L,
+              itemsTable = Some(tbl)))
+          phase("q147 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q147 result")(EmbIngest.result(s, store)
+          .orderBy("vec_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before tmp cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // q137's lifecycle WITH the maintenance pass a long-running stream
     // actually takes: after batch 1 commits, the parquet stores fold
     // (DocIngest.compact) and the bucketed signature table rebuilds to
@@ -2347,20 +2411,39 @@ r2o AS (
     * corpus whose near-dups sit above the LSH S-curve). */
   /** SemDeDup oracle (q68 and its streaming-lifecycle twin q140):
     * replays the fixed-point Lloyd's fit ([[kmeansFixedCtes]]), then the
-    * within-cluster min-id-wins drop over the exact shift-removed dot. */
-  private def semanticDedupSql: String =
-    s"""WITH $kmeansFixedCtes,
+    * within-cluster min-id-wins drop over the exact shift-removed dot.
+    * `extraCtes`/`extraPred` parameterize the q147 eviction variant:
+    * the pair join gains a predicate excluding pairs whose smaller side
+    * was evicted from the index before the larger side ingested. */
+  private def semanticDedupSql: String = semanticDedupSqlVariant("", "")
+  private def semanticDedupSqlVariant(
+      extraCtes: String, extraPred: String): String =
+    s"""WITH $kmeansFixedCtes,$extraCtes
       |ws AS (SELECT id, list_transform(vi, x -> CAST(x - 1000000 AS DOUBLE)) AS w FROM si),
       |pr AS (
       |  SELECT b.id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_neardup_prior
       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
       |  JOIN ws wa ON wa.id = a.id JOIN ws wb ON wb.id = b.id
-      |  WHERE list_dot_product(wa.w, wb.w) > 300000000000
+      |  WHERE list_dot_product(wa.w, wb.w) > 300000000000$extraPred
       |  GROUP BY b.id)
       |SELECT asg.id AS vec_id, asg.cid,
       |  CAST(COALESCE(pr.n_neardup_prior, 0) AS BIGINT) AS n_neardup_prior,
       |  CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM asg LEFT JOIN pr ON pr.vec_id = asg.id""".stripMargin
+
+  /** q147's oracle: q68's SemDeDup verdicts, minus the prior pairs the
+    * eviction horizon removes — the staging splits vec_id into three
+    * ascending RANGE batches (floor thirds of the id span), batch-0
+    * items leave the index before batch 2 ingests, and since ids only
+    * ascend the excluded pairs are exactly {a in first third, b in last
+    * third}. Bounds derive in SQL from the same min/max the entry uses. */
+  private def semanticEvictSql: String = semanticDedupSqlVariant(
+    """
+      |bnd AS (SELECT MIN(vec_id) AS lo,
+      |  MAX(vec_id) - MIN(vec_id) + 1 AS span FROM embeddings),""".stripMargin,
+    """
+      |    AND NOT (a.id < (SELECT lo + span // 3 FROM bnd)
+      |         AND b.id >= (SELECT lo + (2 * span) // 3 FROM bnd))""".stripMargin)
 
   private val jaccardPairsSql =
     """WITH t AS (
@@ -4042,6 +4125,10 @@ r2o AS (
     // the bucketed index + mid-stream fold change the exchange shape
     // and the file layout, never the verdicts
     "q142_stream_semantic_bucketed" -> semanticDedupSql,
+    // eviction horizon live on the semantic family: batch-0 items left
+    // the index before batch 2 ingested — q68 minus the {first-third ×
+    // last-third} prior pairs, verdicts otherwise identical
+    "q147_stream_semantic_evict" -> semanticEvictSql,
     "q37_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
