@@ -1243,9 +1243,9 @@ r2o AS (
     // token-budget greedy admission (ext.Selection.budgetSelect): rank
     // by exact-integer type–token ratio, admit top-down until the token
     // budget is spent. The cumulative sum is computed WITHOUT the
-    // single-partition global window: score-range buckets give exact
-    // driver-side prefix offsets (O(buckets) rows) + a bucket-
-    // partitioned window — bit-equal to the global order
+    // single-partition global window — Sampling.runningSum's range-
+    // partition + broadcast-offsets kernel (q65's), bit-equal to the
+    // global order
     "q145_token_budget" -> ((s, dir) =>
       graft.ext.Selection.budgetSelect(
         t(s, dir, "documents"), "doc_id", "text", budgetTokens = 15000L)),
@@ -1255,6 +1255,20 @@ r2o AS (
     // over one pruned scan (zero exchanges)
     "q146_gopher_gate" -> ((s, dir) =>
       graft.ext.Filters.gopherGate(t(s, dir, "documents"), "doc_id", "text")),
+    // deterministic training-shard layout (ext.Packing.shardLayout):
+    // seeded shard draw + within-shard deterministic shuffle + token
+    // offset ledger; per-shard running sums ride the runningSum kernel
+    // (range partition + broadcast offsets), never one window task per
+    // shard
+    "q148_shard_layout" -> ((s, dir) =>
+      graft.ext.Packing.shardLayout(
+        t(s, dir, "documents"), "doc_id", "text", shards = 8, seed = 42L)),
+    // fill-in-the-middle transform (ext.Packing.fimSplit): two seeded
+    // cuts over [0, n] per document → (prefix, middle, suffix) token
+    // strings; row-local, zero exchanges
+    "q149_fim_split" -> ((s, dir) =>
+      graft.ext.Packing.fimSplit(
+        t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
     // triangle counts + local clustering coefficient (scaled-integer)
     // over the part co-purchase graph (parts sharing an order) — degree
     // orientation bounds wedge fan-out by O(√|E|) (arboricity), so the
@@ -3919,6 +3933,37 @@ r2o AS (
         |SELECT doc_id, n_tok, ttr_fp, CAST(cum AS BIGINT) AS cum_tok,
         |  CAST(CASE WHEN cum <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
         |FROM c""".stripMargin,
+    "q148_shard_layout" -> {
+      val shardMix = graft.learn.DetRandom.mixSql("doc_id", "doc_id", 42L)
+      val orderMix = graft.learn.DetRandom.mixSql("doc_id", "doc_id", 43L)
+      s"""WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |  CAST(($shardMix) % 8 AS BIGINT) AS shard,
+        |  ($orderMix) AS h FROM t)
+        |SELECT doc_id, n_tok, shard,
+        |  CAST(SUM(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+        |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok
+        |FROM s
+        |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
+    },
+    "q149_fim_split" -> {
+      val c1 = graft.learn.DetRandom.mixSql("doc_id", "1", 42L)
+      val c2 = graft.learn.DetRandom.mixSql("doc_id", "2", 42L)
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok,
+        |  ($c1) % (len(ts) + 1) AS c1, ($c2) % (len(ts) + 1) AS c2 FROM t),
+        |s AS (SELECT doc_id, ts, n_tok,
+        |  CAST(LEAST(c1, c2) AS BIGINT) AS cut_lo,
+        |  CAST(GREATEST(c1, c2) AS BIGINT) AS cut_hi FROM c)
+        |SELECT doc_id, n_tok, cut_lo, cut_hi,
+        |  COALESCE(array_to_string(list_slice(ts, 1, cut_lo), ' '), '') AS prefix,
+        |  COALESCE(array_to_string(list_slice(ts, cut_lo + 1, cut_hi), ' '), '') AS middle,
+        |  COALESCE(array_to_string(list_slice(ts, cut_hi + 1, n_tok), ' '), '') AS suffix
+        |FROM s""".stripMargin
+    },
     "q146_gopher_gate" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS lt,

@@ -88,4 +88,76 @@ object Packing {
       .withColumn("chunk_len",
         least(lit(windowTokens), col("n_tokens") - col("start_tok")))
   }
+
+  /** Deterministic SHARD layout for distributed-training data ordering:
+    * every document lands in one of `shards` training shards
+    * (`mix(id) mod shards` — the seeded, partition-independent draw),
+    * is ordered WITHIN its shard by an independent second hash (the
+    * deterministic shuffle every epoch-reproducible dataloader wants),
+    * and carries its token offsets in that order — `start_off`/`cum_tok`
+    * are the byte-offset ledger a trainer worker seeks by. A pure
+    * function of (data, seed): re-running on re-arrived data yields the
+    * identical layout.
+    *
+    * Scale shape: the per-shard running totals ride
+    * [[Sampling.runningSum]] with `shard` as the group column — range
+    * partition over (shard, order-hash), exact per-partition offsets
+    * broadcast back — so a shard's sequence parallelises across the
+    * cluster instead of funnelling |corpus|/shards rows through one
+    * window task. One tokenise pass, one range exchange. */
+  def shardLayout(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shards: Int,
+      seed: Long): DataFrame = {
+    require(shards > 0, s"shards must be > 0: $shards")
+    val s = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("n_tok"))
+      .withColumn("shard",
+        DetRandom.mix(col("doc_id"), col("doc_id"), seed) % shards)
+      .withColumn("__h", DetRandom.mix(col("doc_id"), col("doc_id"), seed + 1))
+    Sampling.runningSum(s, Seq("shard"),
+        Seq(col("__h").asc, col("doc_id").asc), "n_tok", "cum_tok")
+      .select(col("doc_id"), col("n_tok"), col("shard"),
+        (col("cum_tok") - col("n_tok")).as("start_off"), col("cum_tok"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * training of language models to fill in the middle"): split each
+    * document's token stream at two seeded cut points into
+    * (prefix, middle, suffix) — the trainer reassembles PSM/SPM order
+    * with sentinel tokens downstream. Cuts are the partition-independent
+    * [[DetRandom]] draws over `[0, n]` (both cuts may coincide — an
+    * empty middle is the paper's degenerate case and stays in-band), so
+    * the transform is a pure function of (data, seed) and replays
+    * bit-for-bit in the DuckDB oracle, empty docs included.
+    *
+    * Scale shape: ZERO exchanges — one tokenise + three row-local
+    * slices over one pruned scan. */
+  def fimSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: Long): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("__ts"))
+      .withColumn("n_tok", size(col("__ts")).cast("long"))
+      .withColumn("__c1",
+        DetRandom.mix(col("doc_id"), lit(1), seed) % (col("n_tok") + 1))
+      .withColumn("__c2",
+        DetRandom.mix(col("doc_id"), lit(2), seed) % (col("n_tok") + 1))
+      .withColumn("cut_lo", least(col("__c1"), col("__c2")))
+      .withColumn("cut_hi", greatest(col("__c1"), col("__c2")))
+      .select(col("doc_id"), col("n_tok"), col("cut_lo"), col("cut_hi"),
+        array_join(slice(col("__ts"), lit(1), col("cut_lo").cast("int")), " ")
+          .as("prefix"),
+        array_join(slice(col("__ts"), (col("cut_lo") + 1).cast("int"),
+          (col("cut_hi") - col("cut_lo")).cast("int")), " ").as("middle"),
+        array_join(slice(col("__ts"), (col("cut_hi") + 1).cast("int"),
+          (col("n_tok") - col("cut_hi")).cast("int")), " ").as("suffix"))
 }

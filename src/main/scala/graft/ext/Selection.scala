@@ -220,28 +220,18 @@ object Selection {
     * Scale shape — the point of this implementation: the textbook
     * global-window cumulative sum (`SUM OVER (ORDER BY score)`) plans
     * as a SINGLE-partition sort at any scale, the one shape that
-    * cannot survive 100 TB. Instead the score domain (ppm, 0..10⁶) is
-    * range-bucketed: per-bucket token masses (one ≤`buckets`-row
-    * aggregate) become exact prefix OFFSETS on the driver —
-    * model-state-scale, O(buckets) rows — broadcast back, and the
-    * running sum is computed per bucket (`partitionBy(bucket)`, the
-    * exchange hashed on bucket, `buckets`-way parallel) plus the
-    * bucket's offset. Monotone bucketing on the ranking key makes the
-    * result EQUAL to the global window bit-for-bit (ties share a score,
-    * hence a bucket, where `doc_id` finishes the order). Skewed score
-    * distributions concentrate buckets — raise `buckets` (it only
-    * widens the tiny offset table) or re-bucket on observed quantiles;
-    * the fixture's ppm scores spread fine at 64. */
+    * cannot survive 100 TB. The running total therefore rides
+    * [[Sampling.runningSum]]'s kernel (q65's concat-and-chunk layout
+    * uses the same one): range-partition on the ranking key, exact
+    * per-partition offsets via an O(partitions)-row window broadcast
+    * back, local windows per partition — bit-equal to the global
+    * window at every partitioning. One tokenise pass, one range
+    * exchange, nothing single-partition. */
   def budgetSelect(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      budgetTokens: Long,
-      buckets: Int = 64): DataFrame = {
-    require(buckets > 0, s"buckets must be > 0: $buckets")
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
+      budgetTokens: Long): DataFrame = {
     val s = docs
       .select(col(idCol).cast("long").as("doc_id"),
         regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
@@ -251,21 +241,8 @@ object Selection {
         expr("""CASE WHEN size(__ts) = 0 THEN CAST(0 AS BIGINT)
           |ELSE CAST(size(array_distinct(__ts)) AS BIGINT) * 1000000
           |  div CAST(size(__ts) AS BIGINT) END""".stripMargin).as("ttr_fp"))
-      .withColumn("__b",
-        expr(s"CAST(ttr_fp * $buckets div 1000001 AS INT)"))
-      .localCheckpoint(eager = true) // one tokenise pass, read twice
-    // per-bucket token masses → exact prefix offsets; O(buckets) rows
-    // on the driver (model-state scale, the accepted collect class)
-    val masses = s.groupBy("__b").agg(sum("n_tok").as("__m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until buckets).map(b =>
-      b -> (b + 1 until buckets).map(masses.getOrElse(_, 0L)).sum)
-    val offDf = offsets.toDF("__b", "__off")
-    val inBucket = Window.partitionBy("__b")
-      .orderBy(desc("ttr_fp"), asc("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s.join(broadcast(offDf), Seq("__b"))
-      .withColumn("cum_tok", col("__off") + sum("n_tok").over(inBucket))
+    Sampling.runningSum(s, Nil, Seq(col("ttr_fp").desc, col("doc_id").asc),
+        "n_tok", "cum_tok")
       .select(col("doc_id"), col("n_tok"), col("ttr_fp"), col("cum_tok"),
         (col("cum_tok") <= budgetTokens).cast("long").as("admitted"))
   }

@@ -105,4 +105,64 @@ class PackingSpec extends SparkSpec {
     assert(got === Seq((1L, 65L, 0L, 0L, 32L), (1L, 65L, 1L, 32L, 32L),
       (1L, 65L, 2L, 64L, 1L)))
   }
+
+  test("shardLayout: equals the naive per-shard window, partition " +
+      "independent, shards cover and partition the corpus") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Packing.shardLayout(df, "doc_id", "text", shards = 8, seed = 42L)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val got = run(fixture)
+
+    val rows = fixture
+      .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).length.toLong))
+    val naive = rows
+      .map { case (id, n) =>
+        (id, n, DetRandom.mixLong(id, id, 42L) % 8,
+          DetRandom.mixLong(id, id, 43L))
+      }
+      .groupBy(_._3).toSeq.flatMap { case (shard, g) =>
+        var cum = 0L
+        g.sortBy(t => (t._4, t._1)).map { case (id, n, _, _) =>
+          cum += n
+          id -> (n, shard, cum - n, cum)
+        }.toSeq
+      }.toMap
+    assert(got === naive)
+    assert(got.values.map(_._2).toSet.size == 8,
+      "fixture should populate every shard")
+    assert(run(fixture.repartition(7)) === got)
+  }
+
+  test("fimSplit: prefix+middle+suffix reassemble the document exactly") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    val got = Packing.fimSplit(fixture, "doc_id", "text", seed = 42L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5), r.getString(6)))
+      .toMap
+    val toks = fixture
+      .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet == toks.keySet)
+    got.foreach { case (id, (n, lo, hi, p, m, s)) =>
+      val ts = toks(id)
+      assert(n == ts.length)
+      // cuts replay the seeded draw exactly
+      val c1 = DetRandom.mixLong(id, 1L, 42L) % (n + 1)
+      val c2 = DetRandom.mixLong(id, 2L, 42L) % (n + 1)
+      assert((lo, hi) == (math.min(c1, c2), math.max(c1, c2)))
+      // the three segments are the document, losslessly
+      assert(p == ts.take(lo.toInt).mkString(" "))
+      assert(m == ts.slice(lo.toInt, hi.toInt).mkString(" "))
+      assert(s == ts.drop(hi.toInt).mkString(" "))
+    }
+    // the transform must produce nonempty middles somewhere (nonvacuous)
+    assert(got.values.exists(_._5.nonEmpty))
+  }
 }

@@ -134,7 +134,7 @@ class SelectionSpec extends SparkSpec {
   }
 
   test("budgetSelect: equals the global-window cumulative sum, " +
-      "bucket-count independent, partition independent") {
+      "partition independent") {
     val fixture = Tables.load(spark, sf(), "documents")
     // naive: the textbook single global running sum
     val rows = fixture.select($"doc_id", Dedup.tokens($"text").as("ts"))
@@ -146,13 +146,13 @@ class SelectionSpec extends SparkSpec {
       }
     // half the corpus: the boundary lands mid-ranking at every SF
     val budget = rows.map(_._2).sum / 2
-    val run = (df: org.apache.spark.sql.DataFrame, b: Int) =>
-      Selection.budgetSelect(df, "doc_id", "text", budget, buckets = b)
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Selection.budgetSelect(df, "doc_id", "text", budget)
         .collect()
         .map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toMap
-    val got = run(fixture, 64)
+    val got = run(fixture)
     var cum = 0L
     val naive = rows.sortBy { case (id, _, ttr) => (-ttr, id) }.map {
       case (id, n, ttr) =>
@@ -162,10 +162,8 @@ class SelectionSpec extends SparkSpec {
     assert(got === naive)
     assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L),
       "budget must split the fixture (degenerate test otherwise)")
-    // the offsets must compose exactly across ANY bucketing of the
-    // score domain (3 forces many cross-bucket boundaries), and the
-    // result must not depend on the input partitioning
-    assert(run(fixture, 3) === got)
-    assert(run(fixture.repartition(7), 64) === got)
+    // the range-partitioned offsets must compose exactly no matter how
+    // the input arrives
+    assert(run(fixture.repartition(7)) === got)
   }
 }
