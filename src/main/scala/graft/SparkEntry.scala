@@ -1623,6 +1623,57 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // q106's real StreamingQuery with the MAINTENANCE pass live — the
+    // q141/q142 treatment for the THIRD ingest family: after batches
+    // 0–1 commit, the codes store folds to one partition
+    // (Maintenance.compactPqStore) while the query idles, then batch 2
+    // ingests against the folded store. Serving from the accumulated
+    // codes must still match q100 bit-for-bit — compaction changes
+    // layout, never the answer.
+    "q150_pq_ingest_folded" -> ((s, dir) => {
+      import graft.streaming.PqIngest
+      val emb = t(s, dir, "embeddings")
+      val books = graft.ext.Similarity.pqCodebooksFixed(
+        emb, "vec_id", "embedding")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q150").toString
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          emb.filter(pmod(col("vec_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q150 startup")(
+          PqIngest.start(s, inDir, store, ckpt, books))
+        try {
+          phase("q150 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          phase("q150 fold")(graft.streaming.Maintenance.compactPqStore(
+            s, store, upToBatch = 1L))
+          phase("q150 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q150 result") {
+          val codes = PqIngest.result(s, store).localCheckpoint(eager = true)
+          graft.ext.Similarity.adcTopKFromCodes(
+            codes, books, emb, "vec_id", "embedding", queryId = 0L, k = 10)
+        }
+      } finally {
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // the AUDIO modality end-to-end under the oracle (r10): each doc_id
     // deterministically synthesises a REAL RIFF/WAVE clip (MediaSynth),
     // then the shipped JDK kernels run the full quartet — decode
@@ -4397,6 +4448,12 @@ r2o AS (
     // makes the served answer q100's bit-for-bit, so the oracle is the
     // same full replay of fit + coding + ADC ranking
     "q106_ann_pq_restart" ->
+      s"""WITH $pqCtes
+        |SELECT id FROM pqtop""".stripMargin,
+    // q150 folds the codes store mid-stream (Maintenance.compactPqStore
+    // between committed micro-batches) — layout changes, the served
+    // answer stays q100's bit-for-bit
+    "q150_pq_ingest_folded" ->
       s"""WITH $pqCtes
         |SELECT id FROM pqtop""".stripMargin,
     "q102_ann_ivfpq" ->
