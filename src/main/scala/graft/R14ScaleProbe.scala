@@ -155,6 +155,76 @@ object R14ScaleProbe {
       }
     }
 
+    if (only.forall(_ == "cumsum")) {
+      println("== budgetSelect cumsum: runningSum kernel vs global window ==")
+      // the q145/q148 claim: a budgeted admission needs a GLOBAL
+      // ordered running total, and the textbook window funnels every
+      // row through ONE task; the runningSum kernel (range partition +
+      // broadcast offsets) spreads it. At fixture scale both walls are
+      // small — the transferable number is the MAX-TASK share (the
+      // naive window's single task does all the work) alongside wall.
+      import org.apache.spark.sql.expressions.Window
+      // fixture-scale regime flip (the q125/SCALE_r13 trap class): the
+      // kernel's range exchange carries ~KB-scale partitions here, so
+      // AQE COALESCES them toward one — max-task parity with the global
+      // window is the coalescer working as designed at tiny bytes, not
+      // the plan shape. Disable coalescing so the probe measures the
+      // shape that holds when partitions carry real data.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val maxTask = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskInfo != null)
+              maxTask.getAndUpdate(m => math.max(m, t.taskInfo.duration))
+        })
+      val docsBase = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      def replica(i: Int): DataFrame = docsBase.select(
+        (col("doc_id") + i * off).as("doc_id"), col("text"))
+      for (k <- Seq(1, 10, 50)) {
+        val docs = (0 until k).map(replica).reduce(_ unionByName _)
+          .coalesce(parts).localCheckpoint(eager = true)
+        val s = docs
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+              .as("__ts"))
+          .select(col("doc_id"),
+            size(col("__ts")).cast("long").as("n_tok"),
+            expr("""CASE WHEN size(__ts) = 0 THEN CAST(0 AS BIGINT)
+              |ELSE CAST(size(array_distinct(__ts)) AS BIGINT) * 1000000
+              |  div CAST(size(__ts) AS BIGINT) END""".stripMargin)
+              .as("ttr_fp"))
+          .localCheckpoint(eager = true)
+        // both paths get the SAME pre-tokenised checkpointed input, so
+        // the measurement isolates the cumulative-sum plan alone: the
+        // naive variant is budgetSelect with its kernel swapped for the
+        // textbook global window over identical columns
+        def naive(): Long = {
+          maxTask.set(0L)
+          s.withColumn("cum_tok", sum("n_tok").over(
+              Window.orderBy(col("ttr_fp").desc, col("doc_id").asc)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .agg(max("cum_tok")).head().getLong(0)
+        }
+        def kernel(): Long = {
+          maxTask.set(0L)
+          graft.ext.Selection.runningSumForProbe(s, "n_tok", "cum_tok")
+            .agg(max("cum_tok")).head().getLong(0)
+        }
+        val nRows = docs.count()
+        for (rep <- 1 to 3) {
+          val (nN, tN) = timed(naive()); val mN = maxTask.get()
+          val (nK, tK) = timed(kernel()); val mK = maxTask.get()
+          println(f"R14SCALE cumsum K=$k rep=$rep rows=$nRows%,d " +
+            f"window=$tN%.2f s (max task $mN ms) " +
+            f"kernel=$tK%.2f s (max task $mK ms) " +
+            f"(totals agree: ${nN == nK})")
+        }
+      }
+    }
+
     if (only.forall(_ == "foldcost")) {
       println("== foldBucketedTable cost: table grows K×, two exchanges ==")
       val docsBase = Tables.load(spark, sfDir, "documents")

@@ -246,4 +246,13 @@ object Selection {
       .select(col("doc_id"), col("n_tok"), col("ttr_fp"), col("cum_tok"),
         (col("cum_tok") <= budgetTokens).cast("long").as("admitted"))
   }
+
+  /** Probe seam (R14ScaleProbe `cumsum`): [[budgetSelect]]'s running-sum
+    * kernel over an already-scored `(doc_id, n_tok, ttr_fp)` frame, so
+    * the A/B against the global window isolates the cumulative-sum plan
+    * from the shared tokenise pass. Not part of the query surface. */
+  private[graft] def runningSumForProbe(
+      scored: DataFrame, weightCol: String, out: String): DataFrame =
+    Sampling.runningSum(scored, Nil,
+      Seq(col("ttr_fp").desc, col("doc_id").asc), weightCol, out)
 }

@@ -783,6 +783,17 @@ class StreamingSpec extends SparkSpec {
 
       // (4) None ONLY when genuinely never created (first-batch case)
       assert(StoreCompact.liveIndexTable(s2, ghost).isEmpty)
+
+      // (5) the Maintenance facade resumes BEFORE folding: an
+      // interrupted swap left on disk, then one facade call both
+      // finishes the swap and folds everything — same full candidates
+      s2.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      graft.streaming.Maintenance.compactDocStore(
+        s2, s"$tmp/bkt", upToBatch = 1L, sigsTable = Some(tbl), buckets = 8)
+      assert(s2.catalog.tableExists(tbl) &&
+        !s2.catalog.tableExists(s"${tbl}__compact"),
+        "facade did not resume the interrupted swap before folding")
+      assert(candSet == full, "facade maintenance changed the candidates")
     } finally {
       Seq(tbl, ghost).flatMap(t => Seq(t, s"${t}__compact", s"${t}__old"))
         .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
