@@ -79,12 +79,26 @@ object R14ScaleProbe {
       (a, t, shuffleBytes.get() / 1e6)
     }
 
-    if (only.forall(_ == "semstore")) {
-      println("== q142 in-cluster join: item store grows K×, batch constant ==")
+    // per-case session confs are snapshot/restored around each block: a
+    // full (no-CASE) run must measure every section under the SAME
+    // planner settings as a standalone run (r14 ADVICE — semstore's
+    // broadcast kill and cumsum's AQE-coalesce kill leaked forward)
+    def withConf[A](kvs: (String, String)*)(body: => A): A = {
+      val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    if (only.forall(_ == "semstore")) withConf(
       // same framing as SCALE_r13 §1: micro-batches at 100 TB/day rates
       // are not broadcastable; with auto-broadcast on, Catalyst
       // broadcasts the fixture batch and every variant degenerates
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      println("== q142 in-cluster join: item store grows K×, batch constant ==")
       val emb = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
       val cents = graft.ext.Similarity.kmeansFixedCentroids(
@@ -155,7 +169,14 @@ object R14ScaleProbe {
       }
     }
 
-    if (only.forall(_ == "cumsum")) {
+    if (only.forall(_ == "cumsum")) withConf(
+      // fixture-scale regime flip (the q125/SCALE_r13 trap class): the
+      // kernel's range exchange carries ~KB-scale partitions here, so
+      // AQE COALESCES them toward one — max-task parity with the global
+      // window is the coalescer working as designed at tiny bytes, not
+      // the plan shape. Disable coalescing so the probe measures the
+      // shape that holds when partitions carry real data.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
       println("== budgetSelect cumsum: runningSum kernel vs global window ==")
       // the q145/q148 claim: a budgeted admission needs a GLOBAL
       // ordered running total, and the textbook window funnels every
@@ -164,13 +185,6 @@ object R14ScaleProbe {
       // small — the transferable number is the MAX-TASK share (the
       // naive window's single task does all the work) alongside wall.
       import org.apache.spark.sql.expressions.Window
-      // fixture-scale regime flip (the q125/SCALE_r13 trap class): the
-      // kernel's range exchange carries ~KB-scale partitions here, so
-      // AQE COALESCES them toward one — max-task parity with the global
-      // window is the coalescer working as designed at tiny bytes, not
-      // the plan shape. Disable coalescing so the probe measures the
-      // shape that holds when partitions carry real data.
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       val maxTask = new java.util.concurrent.atomic.AtomicLong
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -201,22 +215,27 @@ object R14ScaleProbe {
         // the measurement isolates the cumulative-sum plan alone: the
         // naive variant is budgetSelect with its kernel swapped for the
         // textbook global window over identical columns
-        def naive(): Long = {
-          maxTask.set(0L)
+        def naive(): Long =
           s.withColumn("cum_tok", sum("n_tok").over(
               Window.orderBy(col("ttr_fp").desc, col("doc_id").asc)
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .agg(max("cum_tok")).head().getLong(0)
-        }
-        def kernel(): Long = {
-          maxTask.set(0L)
+        def kernel(): Long =
           graft.ext.Selection.runningSumForProbe(s, "n_tok", "cum_tok")
             .agg(max("cum_tok")).head().getLong(0)
+        // onTaskEnd delivery is async on the listener bus (r14 ADVICE):
+        // drain before reading maxTask — the headline number of this
+        // case — exactly as timedSh does for shuffleBytes
+        def timedMax(f: => Long): (Long, Double, Long) = {
+          maxTask.set(0L)
+          val (a, t) = timed(f)
+          Thread.sleep(300)
+          (a, t, maxTask.get())
         }
         val nRows = docs.count()
         for (rep <- 1 to 3) {
-          val (nN, tN) = timed(naive()); val mN = maxTask.get()
-          val (nK, tK) = timed(kernel()); val mK = maxTask.get()
+          val (nN, tN, mN) = timedMax(naive())
+          val (nK, tK, mK) = timedMax(kernel())
           println(f"R14SCALE cumsum K=$k rep=$rep rows=$nRows%,d " +
             f"window=$tN%.2f s (max task $mN ms) " +
             f"kernel=$tK%.2f s (max task $mK ms) " +

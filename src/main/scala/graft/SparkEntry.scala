@@ -1255,6 +1255,19 @@ r2o AS (
     // over one pruned scan (zero exchanges)
     "q146_gopher_gate" -> ((s, dir) =>
       graft.ext.Filters.gopherGate(t(s, dir, "documents"), "doc_id", "text")),
+    // the FULL Gopher table-A1 gate (ext.Filters.gopherFull — r14
+    // verdict Missing #3): q146's structural rules composed with q143's
+    // repetition coverages under cuts recalibrated for the
+    // positional-union variant (Filters.RepetitionCuts documents the
+    // calibration: ~p95 of the STRUCTURAL-PASSER subpopulation for
+    // top-2/3/4 — whole-corpus transfer lands every rejection inside
+    // docs the structural rules already drop, measured rep-only-fail=0
+    // — published fractions carried over for the fixture-silent
+    // dup-5..10). Emits
+    // every signal, all 13 per-rule flags, and the composite keep; one
+    // doc_id join between two doc-partitioned frames
+    "q153_gopher_full" -> ((s, dir) =>
+      graft.ext.Filters.gopherFull(t(s, dir, "documents"), "doc_id", "text")),
     // deterministic training-shard layout (ext.Packing.shardLayout):
     // seeded shard draw + within-shard deterministic shuffle + token
     // offset ledger; per-shard running sums ride the runningSum kernel
@@ -1263,6 +1276,30 @@ r2o AS (
     "q148_shard_layout" -> ((s, dir) =>
       graft.ext.Packing.shardLayout(
         t(s, dir, "documents"), "doc_id", "text", shards = 8, seed = 42L)),
+    // the materialised training-shard SINK (ext.Packing.writeShards):
+    // q148's shard ordering composed with q65's concat-and-chunk
+    // packing, evaluated to REAL token sequences, WRITTEN one parquet
+    // file per shard and read back — the q55 graph-sink treatment for
+    // the pipeline's terminal artifact. The oracle recomputes the
+    // sequences from `documents` directly, so the hash match certifies
+    // write + re-read ≡ the pure layout function
+    "q151_shard_write" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q151").toString
+      try
+        graft.ext.Packing.writeShards(
+          t(s, dir, "documents"), "doc_id", "text",
+          shards = 8, seqTokens = 256L, seed = 42L,
+          outDir = s"$tmp/shards")
+          .localCheckpoint(eager = true) // materialise before cleanup
+      finally {
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // fill-in-the-middle transform (ext.Packing.fimSplit): two seeded
     // cuts over [0, n] per document → (prefix, middle, suffix) token
     // strings; row-local, zero exchanges
@@ -1738,6 +1775,23 @@ r2o AS (
       feat.select(col("doc_id"), col("frame_idx"), col("width"),
         col("height"), col("n_channels"), col("mean_px"))
     }),
+    // IMAGE perceptual near-dup (multimodal.ImageDedup — r14 verdict
+    // Missing #4, the image twin of q36's SimHash machinery): each
+    // doc_id synthesises a REAL grayscale PGM with group structure
+    // (MediaSynth.pgmFixture — same-group ids share a cell pattern at
+    // group-dependent resolutions, a sparse per-id bump perturbs a few
+    // gradient bits), the shipped kernels run resize (ImageResizer 9×8
+    // nearest-neighbor) + dHash, and pairs come from 16-bit
+    // Hamming-banded block candidates + exact Hamming ≤ 3 verify —
+    // bucketed, never all-pairs. The oracle replays the integer
+    // pixel → gradient-bit → block → Hamming pipeline from doc_id alone.
+    "q154_image_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.ImageDedup.nearDupDHash(
+        graft.multimodal.MediaSynth.withPgmPayload(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "payload")
+    }),
     // deterministic random-walk corpus (learn.Walks): 2 DeepWalk-style
     // uniform walks of 4 steps from every co-purchase node — the
     // "sentences" a skip-gram node-embedding trainer consumes, the other
@@ -1937,6 +1991,74 @@ r2o AS (
           .orderBy("doc_a", "doc_b")
           .coalesce(1)
           .localCheckpoint(eager = true) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q137's lifecycle KILLED AND RESUMED from its checkpoint (r14
+    // verdict Missing #2 — the q106 treatment for the richest ingest
+    // path, the bucketed DocIngest): run batches 0–1 through a real
+    // StreamingQuery, stop it, DELETE batch 1's commit marker (the
+    // crash-between-output-and-commit window), stage batch 2 and start
+    // a NEW query from the same checkpoint. Structured Streaming
+    // replays batch 1 from its recorded offsets before batch 2 — the
+    // replay reads the PRE-batch store (own-batch exclusion) and its
+    // second index append leaves only duplicate rows that collapse in
+    // the candidate distinct (the documented contract, now certified
+    // end-to-end; StreamingSpec's kill/resume leg additionally folds
+    // the table and asserts zero duplicate signature rows remain).
+    // Same pairs contract, same oracle as q137.
+    "q152_stream_dedup_restart" -> ((s, dir) => {
+      import graft.streaming.DocIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q152").toString
+      val tbl = "graft_q152_sigs_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q1 = phase("q152 startup")(
+          DocIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q152 batches 0-1") {
+            stage(0L); q1.processAllAvailable()
+            stage(1L); q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        // crash window: batch 1's store/index output exists but its
+        // commit marker doesn't — the restart must re-run batch 1 (the
+        // local ChecksumFs .crc sidecar must go too or the replayed
+        // commit's rename collides with it)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/1"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+        stage(2L)
+        val q2 = phase("q152 restart")(
+          DocIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try phase("q152 replay+batch 2")(q2.processAllAvailable())
+        finally q2.stop()
+        phase("q152 result")(DocIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         val p = java.nio.file.Paths.get(tmp)
@@ -3246,6 +3368,9 @@ r2o AS (
     // the streaming store must accumulate exactly the batch answer
     "q126_stream_dedup" -> jaccardPairsSql,
     "q137_stream_dedup_bucketed" -> jaccardPairsSql,
+    // kill → delete batch-1 commit → resume from checkpoint → replay +
+    // batch 2: at-least-once replay never changes the accumulated pairs
+    "q152_stream_dedup_restart" -> jaccardPairsSql,
     // compaction (parquet fold + bucketed-table rebuild) mid-stream
     // changes layout, never the accumulated pairs
     "q141_stream_dedup_folded" -> jaccardPairsSql,
@@ -3999,6 +4124,27 @@ r2o AS (
         |FROM s
         |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
     },
+    "q151_shard_write" -> {
+      val shardMix = graft.learn.DetRandom.mixSql("doc_id", "doc_id", 42L)
+      val orderMix = graft.learn.DetRandom.mixSql("doc_id", "doc_id", 43L)
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |s AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(($shardMix) % 8 AS BIGINT) AS shard,
+        |  ($orderMix) AS h FROM t),
+        |l AS (SELECT doc_id, ts, n_tok, shard,
+        |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM s),
+        |tok AS (SELECT shard, doc_id, start_off, ts,
+        |  unnest(generate_series(1, len(ts))) AS i FROM l),
+        |tox AS (SELECT shard, doc_id, start_off + i - 1 AS idx, ts[i] AS tok FROM tok)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(idx // 256 AS BIGINT) AS seq_id,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS seq_tok,
+        |  string_agg(tok, ' ' ORDER BY idx) AS text_seq
+        |FROM tox GROUP BY 1, 2""".stripMargin
+    },
     "q149_fim_split" -> {
       val c1 = graft.learn.DetRandom.mixSql("doc_id", "1", 42L)
       val c2 = graft.learn.DetRandom.mixSql("doc_id", "2", 42L)
@@ -4036,6 +4182,73 @@ r2o AS (
         |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 AND mtl_ppm BETWEEN 3000000 AND 10000000
         |    AND alpha_ppm >= 600000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM s""".stripMargin,
+    // q146's structural CTEs + q143's coverage chain + the recalibrated
+    // cuts (Filters.RepetitionCuts), keep = product of all 13 flags
+    "q153_gopher_full" -> {
+      val covCols = (2 to 10).map { n =>
+        val alias = if (n <= 4) s"top${n}_ppm" else s"dup${n}_ppm"
+        s"CAST(COALESCE(MAX(CASE WHEN cc.n = $n THEN cc.ppm END), 0) AS BIGINT) AS $alias"
+      }.mkString(",\n  ")
+      val repFlags = graft.ext.Filters.RepetitionCuts.map { case (c, cut) =>
+        s"CAST(CASE WHEN rep.$c <= $cut THEN 1 ELSE 0 END AS BIGINT) AS f_${c.stripSuffix("_ppm")}"
+      }.mkString(",\n  ")
+      val allFlags = (Seq("f_ntok", "f_mtl", "f_alpha", "f_stop") ++
+        graft.ext.Filters.RepetitionCuts.map(c => "f_" + c._1.stripSuffix("_ppm")))
+        .mkString(" * ")
+      s"""WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |st AS (SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(ts) = 0 THEN 0
+        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
+        |  CAST(CASE WHEN length(lt) = 0 THEN 0
+        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
+        |  CAST(len(list_filter(list_distinct(ts),
+        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+        |base AS (SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_chars FROM w),
+        |pos AS (SELECT doc_id, i AS p, CAST(length(toks[i]) AS BIGINT) AS tl
+        |  FROM w, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+        |occ AS (SELECT doc_id, n, i,
+        |    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
+        |  FROM w, UNNEST(range(2, 11)) AS tn(n),
+        |       UNNEST(range(1, len(toks) - n + 2)) AS ti(i)
+        |  WHERE len(toks) >= n),
+        |cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+        |sel AS (
+        |  SELECT doc_id, n, g FROM (
+        |    SELECT doc_id, n, g,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rk
+        |    FROM cnt WHERE n <= 4) WHERE rk = 1
+        |  UNION ALL
+        |  SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c >= 2),
+        |cov AS (SELECT DISTINCT o.doc_id, o.n, tp.p
+        |  FROM occ o JOIN sel s ON s.doc_id = o.doc_id AND s.n = o.n AND s.g = o.g,
+        |       UNNEST(range(o.i, o.i + o.n)) AS tp(p)),
+        |cc AS (SELECT cov.doc_id, cov.n,
+        |    CAST((SUM(tl) * 1000000) // MAX(b.n_chars) AS BIGINT) AS ppm
+        |  FROM cov
+        |  JOIN pos ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  JOIN base b ON b.doc_id = cov.doc_id
+        |  GROUP BY 1, 2),
+        |rep AS (SELECT b.doc_id,
+        |  $covCols
+        |FROM base b LEFT JOIN cc ON cc.doc_id = b.doc_id
+        |GROUP BY b.doc_id, b.n_chars),
+        |flags AS (SELECT st.doc_id, st.n_tok, st.mtl_ppm, st.alpha_ppm, st.n_stop,
+        |  CAST(CASE WHEN st.n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_ntok,
+        |  CAST(CASE WHEN st.mtl_ppm BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS BIGINT) AS f_mtl,
+        |  CAST(CASE WHEN st.alpha_ppm >= 600000 THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+        |  CAST(CASE WHEN st.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+        |  rep.top2_ppm, rep.top3_ppm, rep.top4_ppm, rep.dup5_ppm, rep.dup6_ppm,
+        |  rep.dup7_ppm, rep.dup8_ppm, rep.dup9_ppm, rep.dup10_ppm,
+        |  $repFlags
+        |FROM st JOIN rep ON rep.doc_id = st.doc_id)
+        |SELECT *, CAST($allFlags AS BIGINT) AS keep FROM flags""".stripMargin
+    },
     // the same degree orientation (low-(deg,id) → high): wedges from
     // each shared tail, closed against the oriented edge list
     "q74_triangles" ->
@@ -4281,6 +4494,40 @@ r2o AS (
         |  CAST(h AS INT) AS height, CAST(3 AS INT) AS n_channels,
         |  CAST((r + g + b) / 3 AS DOUBLE) AS mean_px
         |FROM c2""".stripMargin,
+    // replay of the dHash pipeline from doc_id alone: the fixture's
+    // 9×8-resized pixel values in closed form (cell + bump at the
+    // nearest-neighbor source coordinate), gradient bits, 16-bit block
+    // keys (offset by q·2³² like the Spark side), block-collision
+    // candidates, exact Hamming ≤ 3
+    "q154_image_neardup" ->
+      """WITH dim AS (SELECT doc_id, doc_id // 3 AS g,
+        |    1 + (doc_id // 3) % 3 AS cw, 1 + (doc_id // 3) % 2 AS ch
+        |  FROM documents),
+        |px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+        |    ((g*31 + gx.x*gx.x + gx.x*(7 + g % 11) + gy.y*(13 + g % 13)) % 14) * 16 + 8 +
+        |      CASE WHEN (doc_id*131 + (gx.x*cw)*17 + (gy.y*ch)*23) % 19 = 0
+        |           THEN 7 ELSE 0 END AS v
+        |  FROM dim, generate_series(0, 8) AS gx(x),
+        |    generate_series(0, 7) AS gy(y)),
+        |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS pos,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |blk AS (SELECT doc_id, pos // 16 AS q,
+        |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
+        |      + (pos // 16) * 4294967296 AS key
+        |  FROM bits GROUP BY doc_id, pos // 16),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM blk x JOIN blk y ON x.key = y.key AND x.doc_id < y.doc_id),
+        |ham AS (SELECT c.a, c.b,
+        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a
+        |  JOIN bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
+        |  GROUP BY c.a, c.b)
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham WHERE hm <= 3""".stripMargin,
     "q40_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |kb AS (SELECT vec_id, v, unnest([${lshKeySqls.mkString(", ")}]) AS key FROM s),

@@ -67,4 +67,64 @@ object Filters {
       .withColumn("keep",
         col("f_ntok") * col("f_mtl") * col("f_alpha") * col("f_stop"))
   }
+
+  /** Repetition-coverage cuts (ppm; keep iff coverage ≤ cut) for
+    * [[gopherFull]] — the published Gopher table-A1 thresholds
+    * RECALIBRATED for [[Repetition.ngramCoverage]]'s positional-union /
+    * token-char variant (its scaladoc mandates exactly this: the
+    * published fractions assume count×len coverage over whole-document
+    * characters).
+    *
+    * top-2/3/4: the published cuts (0.20/0.18/0.16) do not transfer —
+    * measured on the fixture (DuckDB, all three SFs), a direct or
+    * quantile-matched transfer against the WHOLE corpus places every
+    * repetition rejection inside documents the structural rules already
+    * reject (rep-only-fail = 0 at every SF: short/symbol-heavy docs
+    * carry the raw-corpus coverage tail, exactly what f_ntok/f_alpha
+    * police). The population these cuts actually adjudicate is the
+    * STRUCTURAL PASSERS, so the calibration measures the passer
+    * subpopulation's quantiles: p95(top2) ≈ 82–91 k,
+    * p95(top3) ≈ 61–74 k, p95(top4) ≈ 65–66 k ppm (stable across
+    * sf0.001/sf0.01/sf0.1). Cuts sit at that ~p95 working point —
+    * 80 k / 60 k / 65 k — so the composite verdict genuinely fires on
+    * admitted-but-repetitive documents at every SF (FiltersSpec pins
+    * this non-vacuity).
+    *
+    * dup-5..10: the fixture corpus contains NO duplicated 5..10-gram
+    * anywhere (measured: dup{5..10}_ppm ≡ 0 at all three SFs), so no
+    * fixture quantile exists to calibrate against; the published
+    * fractions (0.15 down to 0.10) carry over as direct ppm cuts —
+    * dup coverage barely double-counts (duplicate long grams rarely
+    * overlap themselves), so the variant correction is second-order
+    * there. On this corpus they are structural pass-throughs; on a
+    * boilerplate-bearing corpus they are the live signals. */
+  val RepetitionCuts: Seq[(String, Long)] = Seq(
+    "top2_ppm" -> 80000L, "top3_ppm" -> 60000L, "top4_ppm" -> 65000L,
+    "dup5_ppm" -> 150000L, "dup6_ppm" -> 140000L, "dup7_ppm" -> 130000L,
+    "dup8_ppm" -> 120000L, "dup9_ppm" -> 110000L, "dup10_ppm" -> 100000L)
+
+  /** The FULL Gopher table-A1 gate — [[gopherGate]]'s structural rules
+    * composed with [[Repetition.ngramCoverage]]'s repetition metrics
+    * under [[RepetitionCuts]], the way the published pipelines
+    * (Gopher → Dolma/FineWeb/DataTrove) actually apply table A1: one
+    * verdict over BOTH rule families. Emits every signal, every
+    * per-rule flag (`f_*`), and the composite `keep` = the product of
+    * all 13 flags (FiltersSpec asserts the decomposition).
+    *
+    * Scale shape: the structural side stays zero-exchange row-local;
+    * the repetition side is ngramCoverage's doc-keyed pipeline; the
+    * composition adds ONE doc_id equi-join between two doc-partitioned
+    * frames — nothing new shuffles at corpus scale. */
+  def gopherFull(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val structural = gopherGate(docs, idCol, textCol).drop("keep")
+    val rep = Repetition.ngramCoverage(docs, idCol, textCol).drop("n_chars")
+    val joined = structural.join(rep, Seq("doc_id"))
+    val flagged = RepetitionCuts.foldLeft(joined) { case (df, (c, cut)) =>
+      df.withColumn("f_" + c.stripSuffix("_ppm"), (col(c) <= cut).cast("long"))
+    }
+    val allFlags = Seq("f_ntok", "f_mtl", "f_alpha", "f_stop") ++
+      RepetitionCuts.map { case (c, _) => "f_" + c.stripSuffix("_ppm") }
+    flagged.withColumn("keep", allFlags.map(col).reduce(_ * _))
+  }
 }

@@ -125,6 +125,109 @@ object Packing {
         (col("cum_tok") - col("n_tok")).as("start_off"), col("cum_tok"))
   }
 
+  /** The MATERIALISED training shards — [[shardLayout]]'s ordering
+    * composed with [[concatChunk]]'s packing, evaluated to actual token
+    * sequences: within each shard, documents are laid out in the seeded
+    * deterministic order, their token streams concatenated, and the
+    * stream cut every `seqTokens` tokens into one row per training
+    * sequence `(shard, seq_id, n_docs, seq_tok, text_seq)` — documents
+    * straddle sequence boundaries, nothing is padded or dropped (the
+    * final ragged sequence of each shard is kept). A pure function of
+    * (data, shards, seqTokens, seed): the layout arithmetic is exactly
+    * [[shardLayout]]'s ledger (same seeds, same running-sum kernel), so
+    * the ledger row `(doc_id, shard, start_off)` IS the seek index into
+    * these sequences (PackingSpec asserts the composition).
+    *
+    * Scale shape: THREE corpus-sized exchanges, each one the job
+    * genuinely needs — (1) the runningSum range partition over
+    * (shard, order-hash), the tokens riding once instead of a re-join;
+    * (2) the (shard, seq_id) hash exchange assembling boundary
+    * straddlers (rows ≈ documents + straddlers, never per-token —
+    * each document contributes ONE pre-sliced span per sequence it
+    * touches); (3) the shard-layout hash exchange of the OUTPUT
+    * sequences. No window funnels a shard through one task; no
+    * per-token row ever crosses the wire. */
+  def shardSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shards: Int,
+      seqTokens: Long,
+      seed: Long): DataFrame = {
+    require(shards > 0, s"shards must be > 0: $shards")
+    require(seqTokens > 0, s"seqTokens must be positive: $seqTokens")
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("__ts"))
+      .withColumn("n_tok", size(col("__ts")).cast("long"))
+      .withColumn("shard",
+        DetRandom.mix(col("doc_id"), col("doc_id"), seed) % shards)
+      .withColumn("__h", DetRandom.mix(col("doc_id"), col("doc_id"), seed + 1))
+    val laid = Sampling.runningSum(base, Seq("shard"),
+        Seq(col("__h").asc, col("doc_id").asc), "n_tok", "__cum")
+      .withColumn("start_off", col("__cum") - col("n_tok"))
+    // one row per (document, sequence it touches): the document's span
+    // inside that sequence, sliced row-locally before any shuffle
+    val contrib = laid.filter(col("n_tok") > 0)
+      .select(col("shard"), col("start_off"), col("n_tok"), col("__ts"),
+        explode(expr(s"sequence(start_off div $seqTokens, " +
+          s"(start_off + n_tok - 1) div $seqTokens)")).as("seq_id"))
+      .withColumn("__lo", greatest(col("seq_id") * seqTokens, col("start_off")))
+      .withColumn("__hi",
+        least((col("seq_id") + 1) * seqTokens, col("start_off") + col("n_tok")))
+      .select(col("shard"), col("seq_id"), col("__lo"),
+        (col("__hi") - col("__lo")).as("__len"),
+        array_join(slice(col("__ts"),
+          (col("__lo") - col("start_off") + 1).cast("int"),
+          (col("__hi") - col("__lo")).cast("int")), " ").as("__part"))
+    contrib.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("seq_tok"),
+        array_join(expr("transform(array_sort(" +
+          "collect_list(struct(__lo, __part))), x -> x.__part)"), " ")
+          .as("text_seq"))
+  }
+
+  /** Persist [[shardSequences]] as the terminal TRAINING-SHARD SINK —
+    * the pipeline's real deliverable (the reference pins its own
+    * terminal artifact the same way: `torch.save` at
+    * convert_to_graph.py:271, md5-locked in dvc.lock:40-43): one
+    * parquet directory per shard (`outDir/shard=N/`), exactly one file
+    * per shard, rows in (shard, seq_id) order. Deterministic bytes: the
+    * row→file assignment hashes only the `shard` VALUE and the in-file
+    * order is sorted, so re-running on re-arrived data re-writes each
+    * shard file byte-identically (PackingSpec asserts it against a
+    * differently-partitioned re-read). Returns the READ-BACK of the
+    * written artifact — what a trainer actually consumes — with `shard`
+    * restored to long (partition-column type inference reads the dir
+    * name as int).
+    *
+    * At real scale the single-file-per-shard layout becomes
+    * one-directory-per-shard with size-bounded files: swap the hash
+    * `repartition(shard)` for `repartitionByRange(N, shard, seq_id)` to
+    * split a shard into seq-contiguous files — same determinism story
+    * except range boundaries, which a trainer pins by recording the
+    * ledger ([[shardLayout]]) alongside. */
+  def writeShards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shards: Int,
+      seqTokens: Long,
+      seed: Long,
+      outDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    shardSequences(docs, idCol, textCol, shards, seqTokens, seed)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "seq_id")
+      .write.partitionBy("shard")
+      .mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        col("n_docs"), col("seq_tok"), col("text_seq"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * training of language models to fill in the middle"): split each
     * document's token stream at two seeded cut points into

@@ -50,6 +50,12 @@ object MediaSynth {
       outCol: String = "payload")(implicit spark: SparkSession): DataFrame =
     withSynth(df, idCol, outCol, gifFixture)
 
+  /** Append a synthetic grayscale-PGM `payload` column derived from
+    * `idCol` — the IMAGE NEAR-DUP fixture (see [[pgmFixture]]). */
+  def withPgmPayload(df: DataFrame, idCol: String,
+      outCol: String = "payload")(implicit spark: SparkSession): DataFrame =
+    withSynth(df, idCol, outCol, pgmFixture)
+
   private def withSynth(df: DataFrame, idCol: String, outCol: String,
       synth: Long => Array[Byte])(implicit spark: SparkSession): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -59,6 +65,59 @@ object MediaSynth {
       it.map(row => Row.fromSeq(row.toSeq :+ synth(row.getLong(idIdx))))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** The grayscale-PGM fixture for one id — real P5 bytes with GROUP
+    * structure, so the image near-dup path has true positives to find:
+    * ids sharing `g = id div 3` render the SAME cell pattern at
+    * group-dependent resolutions (w = 9·(1 + g mod 3),
+    * h = 8·(1 + g mod 2) — multiples of the 9×8 dHash target, so
+    * nearest-neighbor resize picks cell corners exactly), plus a sparse
+    * per-ID bump that perturbs a few pixels:
+    *
+    *   cell(x, y) = ((g·31 + cx² + cx·(7 + g mod 11) + cy·(13 + g mod 13))
+    *                 mod 14)·16 + 8
+    *     with cx = x·9 div w, cy = y·8 div h    (values 8..216)
+    *   bump(x, y) = 7  iff (id·131 + x·17 + y·23) mod 19 = 0   else 0
+    *
+    * The (g mod 11) / (g mod 13) coefficients matter: a pattern built
+    * from g mod 14 alone aliases every 14th group into the SAME motif
+    * (measured: 85 distinct fingerprints over 500 docs — 7 % of ALL
+    * pairs came out "near-dup"), so the full pattern period is
+    * lcm(14, 11, 13) = 2002 groups — beyond any fixture SF, no aliased
+    * motifs anywhere. The horizontal cell shift is
+    * (2·cx + 8 + g mod 11) mod 14 — zero on at most one column (equal
+    * adjacent cells: the bump decides those gradient bits; groups whose
+    * shift never vanishes simply yield exact-duplicate fingerprints)
+    * and otherwise ≥ 1 (cells ≥ 16 apart: a 7-bump can never flip
+    * them) — so same-group ids land within a few bits of each other
+    * (near-dups) while different groups decorrelate far beyond any sane
+    * Hamming radius. Every number is exact integer arithmetic the
+    * DuckDB oracle replays from the id alone. */
+  private[graft] def pgmFixture(id: Long): Array[Byte] = {
+    val g = id / 3
+    val w = (9 * (1 + g % 3)).toInt
+    val h = (8 * (1 + g % 2)).toInt
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        val cy = y * 8 / h
+        val cell = ((g * 31 + cx * cx + cx * (7 + g % 11) +
+          cy * (13 + g % 13)) % 14).toInt * 16 + 8
+        val bump = if ((id * 131 + x * 17 + y * 23) % 19 == 0) 7 else 0
+        out(i) = (cell + bump).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** The WAV fixture for one id — real RIFF/WAVE bytes via

@@ -178,6 +178,20 @@ object Multimodal {
     featurePartitions(df, payloadCol, outCol, DoubleType, batchSize)(
       b => ImageIoDecoder.meanSample(b))
 
+  /** Partition-batched perceptual dHash over an IMAGE payload column:
+    * appends one nullable long column `outCol` carrying
+    * [[ImageDedup.dhash64]] (an undecodable or over-wide payload lands
+    * as SQL NULL — the standard quarantine rule). Run it on the OUTPUT
+    * of [[transformPartitions]] with [[ImageResizer]](9, 8) — the
+    * canonical dHash pipeline. Row-local, no shuffle. */
+  def dhashPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      outCol: String = "dhash",
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame =
+    featurePartitions(df, payloadCol, outCol, LongType, batchSize)(
+      b => ImageDedup.dhash64(b))
+
   private def featurePartitions(
       df: DataFrame, payloadCol: String, outCol: String,
       dt: DataType, batchSize: Int)(

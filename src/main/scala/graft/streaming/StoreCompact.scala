@@ -117,7 +117,22 @@ object StoreCompact {
     * means a compaction swap raced this batch, and re-creating the live
     * name would orphan the complete rebuild (the next fold drops
     * `__compact` as stale) — the whole accumulated index silently lost.
-    */
+    *
+    * The append leg re-checks AFTER its commit: the exists check and the
+    * append are not atomic, so a fold's rename pair landing in between
+    * commits this batch's rows into the renamed-aside `__old` directory
+    * (dropped at swap end) — rows silently lost under a violated
+    * quiesce. Observing a swap sibling (or the live name gone) right
+    * after a "successful" append is exactly that interleaving: throw so
+    * the stream fails the batch and replays it against the folded table,
+    * instead of acknowledging an append the store no longer holds.
+    * Deliberately conservative: a fold that crashed BEFORE its swap
+    * leaves the same signature (stale `__compact`, live table intact,
+    * appended rows actually safe) and trips this too — an active fold
+    * between rebuild and rename is indistinguishable from that debris,
+    * so appends pause loudly until the next fold/[[foldBucketedTable]]
+    * clears the stale sibling, rather than risk acknowledging rows a
+    * landing swap is about to drop. */
   def appendToBucketedIndex(
       spark: SparkSession,
       table: String,
@@ -127,8 +142,15 @@ object StoreCompact {
     val w = rows.write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-    if (spark.catalog.tableExists(table)) w.mode("append").saveAsTable(table)
-    else if (swapInFlight(spark, table))
+    if (spark.catalog.tableExists(table)) {
+      w.mode("append").saveAsTable(table)
+      if (swapInFlight(spark, table) || !spark.catalog.tableExists(table))
+        throw new IllegalStateException(
+          s"bucketed index '$table': a compaction swap raced this batch's " +
+            "index append — the appended rows may sit in a renamed-aside " +
+            "directory; failing the batch so the replay lands on the " +
+            "folded table")
+    } else if (swapInFlight(spark, table))
       throw new IllegalStateException(
         s"bucketed index '$table' disappeared mid-batch with a compaction " +
           "swap in flight — refusing to re-create it over the rebuild")

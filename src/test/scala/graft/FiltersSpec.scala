@@ -57,4 +57,64 @@ class FiltersSpec extends SparkSpec {
     assert(!nodes(plan).exists(_.isInstanceOf[ShuffleExchangeExec]),
       "gopherGate must be row-local (no exchange)")
   }
+
+  test("gopherFull: verdict decomposes into its 13 flags, agrees with " +
+      "the component operators, and the repetition side is live") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    val full = Filters.gopherFull(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+
+    // flags recompute from their own signal columns, keep is their product
+    val flagOf = Map(
+      "f_ntok" -> ((r: org.apache.spark.sql.Row) => {
+        val v = r.getLong(r.fieldIndex("n_tok")); v >= 50L && v <= 100000L }),
+      "f_mtl" -> ((r: org.apache.spark.sql.Row) => {
+        val v = r.getLong(r.fieldIndex("mtl_ppm"))
+        v >= 3000000L && v <= 10000000L }),
+      "f_alpha" -> ((r: org.apache.spark.sql.Row) =>
+        r.getLong(r.fieldIndex("alpha_ppm")) >= 600000L),
+      "f_stop" -> ((r: org.apache.spark.sql.Row) =>
+        r.getLong(r.fieldIndex("n_stop")) >= 2L)) ++
+      Filters.RepetitionCuts.map { case (c, cut) =>
+        ("f_" + c.stripSuffix("_ppm")) ->
+          ((r: org.apache.spark.sql.Row) => r.getLong(r.fieldIndex(c)) <= cut)
+      }
+    full.values.foreach { r =>
+      var prod = 1L
+      flagOf.foreach { case (f, pred) =>
+        val got = r.getLong(r.fieldIndex(f))
+        assert(got == (if (pred(r)) 1L else 0L), s"$f mismatch")
+        prod *= got
+      }
+      assert(r.getLong(r.fieldIndex("keep")) == prod, "keep != flag product")
+    }
+
+    // agreement with the component operators on shared columns
+    val gate = Filters.gopherGate(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Seq("n_tok", "mtl_ppm", "alpha_ppm", "n_stop", "f_ntok", "f_mtl",
+          "f_alpha", "f_stop").map(c => r.getLong(r.fieldIndex(c)))).toMap
+    val rep = graft.ext.Repetition.ngramCoverage(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Filters.RepetitionCuts.map(c => r.getLong(r.fieldIndex(c._1)))).toMap
+    assert(full.keySet == gate.keySet && full.keySet == rep.keySet)
+    full.foreach { case (id, r) =>
+      assert(gate(id) == Seq("n_tok", "mtl_ppm", "alpha_ppm", "n_stop",
+        "f_ntok", "f_mtl", "f_alpha", "f_stop")
+        .map(c => r.getLong(r.fieldIndex(c))))
+      assert(rep(id) ==
+        Filters.RepetitionCuts.map(c => r.getLong(r.fieldIndex(c._1))))
+    }
+
+    // the composite is not the structural gate in disguise: some doc
+    // must fail a repetition cut while passing all structural rules
+    // (the calibration places top-2/3/4 at ~p95 of this corpus)
+    val repOnly = full.values.count { r =>
+      Seq("f_ntok", "f_mtl", "f_alpha", "f_stop")
+        .forall(c => r.getLong(r.fieldIndex(c)) == 1L) &&
+      Filters.RepetitionCuts
+        .exists(c => r.getLong(r.fieldIndex("f_" + c._1.stripSuffix("_ppm"))) == 0L)
+    }
+    assert(repOnly > 0, "repetition cuts never fire on structural passers")
+  }
 }

@@ -488,4 +488,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.meanAbsPartitions(junk, "payload", "m")
       .filter($"m".isNull).count() == 1)
   }
+
+  /** The fixture's closed-form 9×8-resized pixel value — what the
+    * nearest-neighbor resize of [[MediaSynth.pgmFixture]] must pick. */
+  private def pgmResizedVal(id: Long, x: Int, y: Int): Int = {
+    val g = id / 3
+    val cw = (1 + g % 3).toInt; val ch = (1 + g % 2).toInt
+    val cell = (((g * 31 + x * x + x * (7 + g % 11) +
+      y * (13 + g % 13)) % 14) * 16 + 8).toInt
+    val bump = if ((id * 131 + (x * cw) * 17 + (y * ch) * 23) % 19 == 0) 7 else 0
+    cell + bump
+  }
+
+  /** Driver-side dHash replay of the closed form. */
+  private def pgmDhash(id: Long): Long = {
+    var fp = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (pgmResizedVal(id, x + 1, y) > pgmResizedVal(id, x, y))
+        fp |= 1L << (y * 8 + x)
+    fp
+  }
+
+  test("MediaSynth PGM fixture: resize + dhash64 replay the closed form") {
+    import graft.multimodal.{ImageDedup, ImageIoDecoder, ImageResizer, MediaSynth}
+    for (id <- Seq(0L, 1L, 2L, 7L, 123L, 499L)) {
+      val pgm = MediaSynth.pgmFixture(id)
+      val g = id / 3
+      val (w, h) = ((9 * (1 + g % 3)).toInt, (8 * (1 + g % 2)).toInt)
+      assert(ImageIoDecoder.decode(Seq(pgm)).head ==
+        DecodedMedia(w, h, 1, ok = true))
+      val rs = ImageResizer(9, 8).transform(Seq(pgm)).head.get
+      // every resized pixel matches the closed form the oracle replays
+      val header = s"P5\n9 8\n255\n".getBytes("US-ASCII").length
+      for (y <- 0 until 8; x <- 0 until 9)
+        assert((rs(header + y * 9 + x) & 0xff) == pgmResizedVal(id, x, y),
+          s"id=$id pixel ($x,$y)")
+      assert(ImageDedup.dhash64(rs).contains(pgmDhash(id)), s"id=$id dhash")
+    }
+    // quarantine: junk bytes and an over-wide raster both map to None
+    assert(ImageDedup.dhash64(Array.fill[Byte](16)(7)).isEmpty)
+    assert(ImageDedup.dhash64(MediaSynth.pgmFixture(3L)).isEmpty,
+      "un-resized fixture exceeds 64 gradient bits and must be refused")
+  }
+
+  test("nearDupDHash: same-group ids pair up, cross-group do not, " +
+      "hamming is the exact bit distance") {
+    import graft.multimodal.{ImageDedup, MediaSynth}
+    val df = spark.range(0, 30).toDF("doc_id")
+    val got = ImageDedup.nearDupDHash(
+        MediaSynth.withPgmPayload(df, "doc_id"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // naive: all pairs with hamming <= 3 over the driver-side closed form
+    val fps = (0L until 30L).map(id => id -> pgmDhash(id)).toMap
+    val expect = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      hm = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if hm <= 3
+    } yield (a, b) -> hm.toLong).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture must produce near-dup pairs")
+    // discriminating: pairs are (mostly) the same-group ids, and at
+    // least one pair differs in >0 bits (the bump is live)
+    assert(expect.keys.forall { case (a, b) => a / 3 == b / 3 })
+    assert(expect.values.exists(_ > 0L))
+  }
 }

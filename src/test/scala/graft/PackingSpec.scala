@@ -138,6 +138,108 @@ class PackingSpec extends SparkSpec {
     assert(run(fixture.repartition(7)) === got)
   }
 
+  /** Driver-side naive reconstruction of the shard sequences: tokenise,
+    * group by the seeded shard draw, order by (order-hash, id), concat,
+    * cut every `c` tokens — the sequential definition the distributed
+    * plan must match. */
+  private def naiveSequences(
+      fixture: org.apache.spark.sql.DataFrame, c: Int)
+      : Map[(Long, Long), (Long, Long, String)] = {
+    val toks = fixture
+      .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    toks
+      .map { case (id, ts) =>
+        (DetRandom.mixLong(id, id, 42L) % 8, DetRandom.mixLong(id, id, 43L),
+          id, ts)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (shard, g) =>
+        val stream = g.sortBy(t => (t._2, t._3))
+          .flatMap { case (_, _, id, ts) => ts.map(tok => (id, tok)) }
+        stream.zipWithIndex
+          .groupBy { case (_, idx) => idx.toLong / c }
+          .map { case (seqId, s) =>
+            (shard, seqId) -> (s.map(_._1._1).distinct.length.toLong,
+              s.length.toLong, s.map(_._1._2).mkString(" "))
+          }
+      }.toMap
+  }
+
+  test("shardSequences: equals the naive concat-and-cut per shard, and " +
+      "the shardLayout ledger is its seek index") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    val naive = naiveSequences(fixture, 64)
+    val got = Packing
+      .shardSequences(fixture, "doc_id", "text", shards = 8,
+        seqTokens = 64L, seed = 42L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got === naive)
+    // non-vacuous: boundary straddlers exist (some sequence holds >1 doc)
+    assert(got.values.exists(_._1 > 1L))
+    // composition with the ledger: slicing the shard stream at a doc's
+    // [start_off, start_off + n_tok) reproduces exactly that doc's tokens
+    val stream = got.toSeq.groupBy(_._1._1).map { case (shard, seqs) =>
+      shard -> seqs.sortBy(_._1._2).flatMap(_._2._3.split(" ")).toIndexedSeq
+    }
+    val ledger = Packing
+      .shardLayout(fixture, "doc_id", "text", shards = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = fixture
+      .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    ledger.filter(_._2 > 0).foreach { case (id, n, shard, off) =>
+      assert(stream(shard).slice(off.toInt, (off + n).toInt) === toks(id),
+        s"ledger seek for doc $id did not reproduce its tokens")
+    }
+  }
+
+  test("writeShards: one file per shard, read-back equals the pure " +
+      "layout, re-writes byte-identical on re-arrived data") {
+    val fixture = Tables.load(spark, sf(), "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("shardsink").toString
+    def fileOfShard(dir: String): Map[String, java.io.File] = {
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      shardDirs.map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1,
+          s"${d.getName}: expected exactly one file, got ${parts.length}")
+        d.getName -> parts.head
+      }.toMap
+    }
+    try {
+      val back = Packing.writeShards(fixture, "doc_id", "text",
+        shards = 8, seqTokens = 64L, seed = 42L, outDir = s"$tmp/a")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      assert(back === naiveSequences(fixture, 64),
+        "read-back of the written shards diverges from the pure layout")
+      // re-arrival: same rows, different input partitioning — the
+      // written artifact must be byte-identical file by file
+      Packing.writeShards(fixture.repartition(7), "doc_id", "text",
+        shards = 8, seqTokens = 64L, seed = 42L, outDir = s"$tmp/b")
+      val a = fileOfShard(s"$tmp/a"); val b = fileOfShard(s"$tmp/b")
+      assert(a.keySet === b.keySet && a.keySet ===
+        (0 until 8).map(i => s"shard=$i").toSet)
+      a.foreach { case (shard, fa) =>
+        val ba = java.nio.file.Files.readAllBytes(fa.toPath)
+        val bb = java.nio.file.Files.readAllBytes(b(shard).toPath)
+        assert(java.util.Arrays.equals(ba, bb),
+          s"$shard re-write is not byte-identical")
+      }
+    } finally {
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("fimSplit: prefix+middle+suffix reassemble the document exactly") {
     val fixture = Tables.load(spark, sf(), "documents")
     val got = Packing.fimSplit(fixture, "doc_id", "text", seed = 42L)

@@ -794,9 +794,165 @@ class StreamingSpec extends SparkSpec {
         !s2.catalog.tableExists(s"${tbl}__compact"),
         "facade did not resume the interrupted swap before folding")
       assert(candSet == full, "facade maintenance changed the candidates")
+
+      // (6) the APPEND-side race guard (r14 ADVICE): the exists check
+      // and the append commit are not atomic — a swap sibling observed
+      // right after a "successful" append means a fold raced the write
+      // (or crashed debris is indistinguishable from one), and the
+      // append must fail LOUDLY so the batch replays, never acknowledge
+      // rows a landing swap may drop
+      s2.sql(s"CREATE TABLE ${tbl}__old AS SELECT * FROM $tbl LIMIT 1")
+      val exA = intercept[IllegalStateException] {
+        StoreCompact.appendToBucketedIndex(s2, tbl,
+          newKeys.withColumn("batch_id", lit(10L)), buckets = 8,
+          bucketCols = Seq("band", "key"))
+      }
+      assert(exA.getMessage.contains("raced this batch's index append"))
+      s2.sql(s"DROP TABLE ${tbl}__old")
     } finally {
       Seq(tbl, ghost).flatMap(t => Seq(t, s"${t}__compact", s"${t}__old"))
         .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("bucketed DocIngest killed mid-crash-window and RESUMED from its " +
+      "checkpoint: batch 1 replays, pairs stay exact, the replay's " +
+      "duplicate index rows exist until the fold removes them") {
+    import graft.streaming.DocIngest
+
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("bktrestart").toString
+    val tbl = "graft_test_bktrst_sigs"
+    s2.sql(s"DROP TABLE IF EXISTS $tbl")
+    val inDir = s"$tmp/in"; val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(inDir).mkdirs()
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      def stage(b: Long): Unit = {
+        val staging = s"$tmp/stage$b"
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+      }
+      val q1 = DocIngest.startBucketed(s2, inDir, store, tbl, ckpt,
+        buckets = 8)
+      try {
+        stage(0L); q1.processAllAvailable()
+        stage(1L); q1.processAllAvailable()
+      } finally q1.stop()
+
+      // crash window: batch 1's output landed but its commit marker is
+      // gone — the resumed query MUST replay batch 1 before batch 2
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$ckpt/commits/1"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+      stage(2L)
+      val preRows = s2.table(tbl).count()
+      val q2 = DocIngest.startBucketed(s2, inDir, store, tbl, ckpt,
+        buckets = 8)
+      try q2.processAllAvailable() finally q2.stop()
+
+      // the replay leg actually fired: batch 1's second append left
+      // duplicate (doc_id, band, key, batch_id) rows in the index.
+      // (refresh first: the appends ran in the stream's CLONED session,
+      // and s2's cached relation still lists the pre-restart files)
+      s2.catalog.refreshTable(tbl)
+      val postRows = s2.table(tbl).count()
+      val postDistinct = s2.table(tbl).distinct().count()
+      assert(postRows > preRows, "restart did not process anything")
+      assert(postRows > postDistinct,
+        "no duplicate index rows — batch 1 never replayed, the " +
+          "at-least-once leg is vacuous")
+
+      // pairs are exactly the batch near-dup set despite the replay
+      val got = DocIngest.pairs(s2, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = graft.ext.Dedup.nearDupMinhash(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expect.nonEmpty, "fixture should contain planted near-dups")
+      assert(got == expect, "replay drifted the accumulated pairs")
+
+      // the fold removes the replay's duplicates: zero dup rows remain
+      graft.streaming.Maintenance.compactDocStore(
+        s2, store, upToBatch = 2L, sigsTable = Some(tbl), buckets = 8)
+      val folded = s2.table(tbl).count()
+      assert(folded == s2.table(tbl).distinct().count(),
+        "fold left duplicate signature rows in the index")
+      assert(DocIngest.pairs(s2, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect,
+        "fold after restart changed the pairs")
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("two-session maintenance race: resume from one session and the " +
+      "fold entry from another converge on the live table, no index " +
+      "rows lost, in either interleaving") {
+    import graft.streaming.{DocIngest, StoreCompact}
+
+    val sA = spark.newSession(); val sB = spark.newSession()
+    val tbl = "graft_test_race_sigs"
+    Seq(tbl, s"${tbl}__compact", s"${tbl}__old")
+      .foreach(t => sA.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = Tables.load(sA, sf(), "documents")
+        .select("doc_id", "text")
+      val sigs = graft.ext.Dedup.signatures(docs, "doc_id", "text")
+        .select("doc_id", "band", "key").distinct()
+        .localCheckpoint(eager = true)
+      // two identical appends under batch ids 0/1: the latest-wins fold
+      // must keep exactly one signature set per doc — `expectRows`
+      val expectRows = sigs.count()
+      def seed(): Unit =
+        (0 until 2).foreach { b =>
+          StoreCompact.appendToBucketedIndex(sA, tbl,
+            sigs.withColumn("batch_id", lit(b.toLong)), buckets = 8,
+            bucketCols = Seq("band", "key"))
+        }
+
+      // interleaving 1: crash mid-swap (rebuild durable, live absent),
+      // session A resumes, session B then runs the FOLD entry — B must
+      // see A's resumed table and fold it, not trip over siblings
+      seed()
+      sA.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      StoreCompact.resumeSwap(sA, tbl)
+      DocIngest.compactBucketed(sB, tbl, upToBatch = 1L, buckets = 8)
+      assert(sB.catalog.tableExists(tbl) &&
+        !sB.catalog.tableExists(s"${tbl}__compact") &&
+        !sB.catalog.tableExists(s"${tbl}__old"),
+        "interleaving 1 did not converge to the live table alone")
+      assert(sB.table(tbl).count() == expectRows,
+        "interleaving 1 lost index rows")
+
+      // interleaving 2: same crash, but the FOLD entry (B) arrives
+      // FIRST — it resumes and returns; A's explicit resume is then a
+      // no-op; a second fold from A completes normally
+      sA.sql(s"DROP TABLE $tbl")
+      seed()
+      sA.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact")
+      DocIngest.compactBucketed(sB, tbl, upToBatch = 1L, buckets = 8)
+      StoreCompact.resumeSwap(sA, tbl)
+      DocIngest.compactBucketed(sA, tbl, upToBatch = 1L, buckets = 8)
+      assert(sA.catalog.tableExists(tbl) &&
+        !sA.catalog.tableExists(s"${tbl}__compact") &&
+        !sA.catalog.tableExists(s"${tbl}__old"),
+        "interleaving 2 did not converge to the live table alone")
+      assert(sA.table(tbl).count() == expectRows,
+        "interleaving 2 lost index rows")
+    } finally {
+      Seq(tbl, s"${tbl}__compact", s"${tbl}__old")
+        .foreach(t => sA.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
