@@ -40,6 +40,12 @@ import org.apache.spark.sql.SparkSession
   * save / catalog load, q28's propagate / L-BFGS fit / val metrics),
   * drained from [[graft.functions.Phases]] per query, median across passes.
   *
+  * SINGLE-REP LIFECYCLE TIER: the full-StreamingQuery certification
+  * queries run once, in the first warm pass, instead of every pass — see
+  * the `lifecycleTier` comment in `main` for the rationale and the
+  * "single_rep" JSON field for the list; SPARK_GRAFT_FULL_LIFECYCLE=1
+  * restores full reps.
+  *
   * Failures are not swallowed: a failed query records its error class in the
   * "errors" map and forces a nonzero exit code, so a broken query can never
   * masquerade as a fast one.
@@ -124,9 +130,32 @@ object Bench {
     }
     var failures = Map.empty[String, String]
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // timesByQuery(name) = one wall-clock per pass; phases likewise
+    // CERTIFICATION-CLASS single-rep tier (r14 verdict Next #6): the
+    // full-StreamingQuery lifecycle queries are end-to-end machinery
+    // certifications — staging, checkpoints, micro-batch scheduling,
+    // mid-stream folds — whose walls are dominated by fixed lifecycle
+    // cost, not data-plane throughput (the per-phase splits prove it:
+    // data plane 1.8–4 s, folds 0.6–1.9 s, startup ~60 ms). At ~11
+    // lifecycles × ~5 s × 3 passes they were >2 min of every bench
+    // invocation while contributing certification, not sensitivity. They
+    // now run ONCE, in the first WARM pass (pass 2 — pass 1 is
+    // structurally cold), with phases kept; the single sample is the
+    // reported wall and is excluded from the noise figure (which needs
+    // ≥2 warm samples by construction). The JSON carries the tier as
+    // "single_rep" so a reader knows which numbers are 1-sample.
+    // SPARK_GRAFT_FULL_LIFECYCLE=1 restores full reps for A/B.
+    val lifecycleTier: Set[String] =
+      if (sys.env.contains("SPARK_GRAFT_FULL_LIFECYCLE")) Set.empty
+      else Set(
+        "q103_ann_pq_ingest", "q106_ann_pq_restart", "q126_stream_dedup",
+        "q137_stream_dedup_bucketed", "q140_stream_semantic",
+        "q141_stream_dedup_folded", "q142_stream_semantic_bucketed",
+        "q144_stream_dedup_evict", "q147_stream_semantic_evict",
+        "q150_pq_ingest_folded", "q152_stream_dedup_restart")
+    val lifecyclePass = math.min(2, reps)
+    // timesByQuery(name) = (pass, wall-clock) per executed pass
     val timesByQuery = scala.collection.mutable.Map
-      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+      .empty[String, Vector[(Int, Double)]].withDefaultValue(Vector.empty)
     val phasesByQuery = scala.collection.mutable.Map
       .empty[(String, String), Vector[Double]].withDefaultValue(Vector.empty)
     val calibCpuByPass = Vector.newBuilder[Double]
@@ -140,25 +169,28 @@ object Bench {
       calibCpuByPass += calibCpu()._1
       calibSparkByPass += calibSpark(spark)
       names.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch {
-          case e: Throwable =>
-            failures += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
-        timesByQuery(name) :+= (System.nanoTime() - t0) / 1e9
-        graft.functions.Phases.drain().foreach { case (label, sec) =>
-          phasesByQuery((name, label)) :+= sec
+        if (!lifecycleTier.contains(name) || pass == lifecyclePass) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch {
+            case e: Throwable =>
+              failures += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          }
+          timesByQuery(name) :+= (pass, (System.nanoTime() - t0) / 1e9)
+          graft.functions.Phases.drain().foreach { case (label, sec) =>
+            phasesByQuery((name, label)) :+= sec
+          }
         }
       }
     }
-    val medians = names.map(n => n -> median(timesByQuery(n)))
+    val medians = names.map(n => n -> median(timesByQuery(n).map(_._2)))
     // ambient-noise spread over passes 2+ only (pass 1 is structurally
-    // cold — see scaladoc); with reps < 3 there is no warm sample pair
+    // cold — see scaladoc); with < 2 warm samples (reps < 3, or the
+    // single-rep lifecycle tier) a query contributes no spread
     val spreads = names.flatMap { n =>
-      val xs = timesByQuery(n).drop(1)
+      val xs = timesByQuery(n).collect { case (p, t) if p >= 2 => t }
       val m = median(xs)
       if (xs.size < 2 || m <= 0) None else Some(100.0 * (xs.max - xs.min) / m)
     }
@@ -166,9 +198,13 @@ object Bench {
     // over queries) — the warm-up cost the noise figure now excludes
     val pass1Extra = names.flatMap { n =>
       val xs = timesByQuery(n)
-      val warm = median(xs.drop(1))
-      if (xs.size < 2 || warm <= 0) None
-      else Some(100.0 * (xs.head - warm) / warm)
+      val cold = xs.collectFirst { case (1, t) => t }
+      val warm = median(xs.collect { case (p, t) if p >= 2 => t })
+      cold match {
+        case Some(c) if xs.size >= 2 && warm > 0 =>
+          Some(100.0 * (c - warm) / warm)
+        case _ => None
+      }
     }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -190,14 +226,20 @@ object Bench {
     def arr(xs: Seq[Double]) =
       xs.map(x => String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
         .mkString("[", ",", "]")
-    // per-pass alignment holds even for failed queries: the wall-clock
-    // append above is OUTSIDE the try, so every (query, pass) records a
-    // time and vector index == pass − 1 unconditionally
-    val passTotals = (0 until reps).map(p =>
-      names.map(n => timesByQuery(n).lift(p).getOrElse(0.0)).sum)
+    // per-pass alignment holds even for failed queries (the wall-clock
+    // append above is OUTSIDE the try) and for the single-rep tier (each
+    // sample carries its pass tag); lifecycle walls appear only in their
+    // one executed pass, so pass totals are not comparable ACROSS passes
+    // on a board with a single-rep tier — compare pass 2 to pass 3 plus
+    // the "single_rep" queries' walls
+    val passTotals = (1 to reps).map(p =>
+      names.map(n => timesByQuery(n).collectFirst {
+        case (`p`, t) => t }.getOrElse(0.0)).sum)
     val calib = s"""{"cpu_sec":${arr(calibCpuByPass.result())},""" +
       s""""spark_sec":${arr(calibSparkByPass.result())}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"calib":$calib,"pass_totals":${arr(passTotals)},"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
+    val singleRep = lifecycleTier.toSeq.sorted.filter(names.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"single_rep":$singleRep,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"calib":$calib,"pass_totals":${arr(passTotals)},"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
     println(line)
     println(line)
     val commit = try {
@@ -243,11 +285,14 @@ object Bench {
         else None
       }
       val best = prevBest match {
-        // standing record on the same surface, not beaten by this run
+        // standing record on the same surface — (n_queries, sf) BOTH:
+        // a dev smoke at another scale factor is a different surface
+        // and must never displace the judged sf0.1 record
         case Some(pb) if num(pb, "n_queries").contains(names.size.toDouble) &&
+            pb.contains("\"sf\":\"" + sfDir + "\"") &&
             (!quiet || num(pb, "total_sec").exists(_ <= total)) => pb
-        case _ if quiet => stampedNow
-        case Some(pb) => pb // surface changed but this run isn't quiet
+        case _ if quiet && sfDir.endsWith("sf0.1") => stampedNow
+        case Some(pb) => pb // surface changed but this run can't bank
         case None => "null"
       }
       java.nio.file.Files.writeString(selfPath,
