@@ -138,14 +138,17 @@ object Packing {
     * the ledger row `(doc_id, shard, start_off)` IS the seek index into
     * these sequences (PackingSpec asserts the composition).
     *
-    * Scale shape: THREE corpus-sized exchanges, each one the job
-    * genuinely needs — (1) the runningSum range partition over
-    * (shard, order-hash), the tokens riding once instead of a re-join;
-    * (2) the (shard, seq_id) hash exchange assembling boundary
-    * straddlers (rows ≈ documents + straddlers, never per-token —
-    * each document contributes ONE pre-sliced span per sequence it
-    * touches); (3) the shard-layout hash exchange of the OUTPUT
-    * sequences. No window funnels a shard through one task; no
+    * Scale shape: the LEDGER goes through the runningSum kernel narrow
+    * (exactly [[shardLayout]] — the kernel pins its range exchange, see
+    * [[Sampling.runningSum]]'s correctness note, so the pinned frame
+    * must stay a slim (id, count, shard, hash) ledger, never the token
+    * arrays); the token payload crosses the wire where the job
+    * genuinely needs it — (1) the doc_id equi-join attaching tokens to
+    * their ledger row; (2) the (shard, seq_id) hash exchange assembling
+    * boundary straddlers (rows ≈ documents + straddlers, never
+    * per-token — each document contributes ONE pre-sliced span per
+    * sequence it touches); (3) the shard-layout hash exchange of the
+    * OUTPUT sequences. No window funnels a shard through one task; no
     * per-token row ever crosses the wire. */
   def shardSequences(
       docs: DataFrame,
@@ -156,20 +159,18 @@ object Packing {
       seed: Long): DataFrame = {
     require(shards > 0, s"shards must be > 0: $shards")
     require(seqTokens > 0, s"seqTokens must be positive: $seqTokens")
-    val base = docs
+    val toks = docs
       .select(col(idCol).cast("long").as("doc_id"),
         regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
           .as("__ts"))
-      .withColumn("n_tok", size(col("__ts")).cast("long"))
-      .withColumn("shard",
-        DetRandom.mix(col("doc_id"), col("doc_id"), seed) % shards)
-      .withColumn("__h", DetRandom.mix(col("doc_id"), col("doc_id"), seed + 1))
-    val laid = Sampling.runningSum(base, Seq("shard"),
-        Seq(col("__h").asc, col("doc_id").asc), "n_tok", "__cum")
-      .withColumn("start_off", col("__cum") - col("n_tok"))
+    // the ledger IS shardLayout — q148's seek index, verbatim (the spec
+    // asserts the composition); a second tokenise pass prices cheaper
+    // than pinning the token arrays inside the kernel
+    val laid = shardLayout(docs, idCol, textCol, shards, seed)
     // one row per (document, sequence it touches): the document's span
     // inside that sequence, sliced row-locally before any shuffle
     val contrib = laid.filter(col("n_tok") > 0)
+      .join(toks, Seq("doc_id"))
       .select(col("shard"), col("start_off"), col("n_tok"), col("__ts"),
         explode(expr(s"sequence(start_off div $seqTokens, " +
           s"(start_off + n_tok - 1) div $seqTokens)")).as("seq_id"))

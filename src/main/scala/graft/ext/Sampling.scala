@@ -125,7 +125,26 @@ object Sampling {
     * global window exactly; SamplingSpec and PackingSpec assert it.
     *
     * `order` must be a total order per group (pass a tiebreak column);
-    * `weightCol` must be integral (LONG running sums, engine-exact). */
+    * `weightCol` must be integral (LONG running sums, engine-exact).
+    *
+    * CORRECTNESS PIN (r15): `ranked` is consumed by two branches — the
+    * per-(partition, group) totals and the offset join — and both must
+    * observe the SAME physical range partitioning, because `__pid` is
+    * `spark_partition_id()`. Lazily un-pinned, that only holds while
+    * Catalyst plans ONE reused exchange under both branches; a wide
+    * input column used by just one branch lets column pruning push
+    * DIFFERENT projections below the exchange, the subtrees stop being
+    * identical, reuse is lost, and the two exchanges sample range
+    * boundaries independently (RangePartitioner seeds by rddId) — the
+    * offset join then drops rows SILENTLY wherever the two samplings
+    * disagree (observed: shardSequences lost half its corpus at sf0.1;
+    * small inputs are sampled exactly, so fixtures pass by luck). The
+    * lazy localCheckpoint pins one evaluated RDD for both branches —
+    * partition labels become facts, not plan coincidences. The price is
+    * one materialisation of the input; keep kernel inputs pruned to
+    * (group, order, weight, carried keys) so the pinned frame is a slim
+    * ledger, and join payloads back downstream ([[Packing
+    * .shardSequences]] does exactly this). */
   private[ext] def runningSum(
       df: DataFrame,
       groupCols: Seq[String],
@@ -136,6 +155,7 @@ object Sampling {
     val ranked = df
       .repartitionByRange((g ++ order): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // see CORRECTNESS PIN above
     val totals = ranked.groupBy(col("__pid") +: g: _*)
       .agg(sum(col(weightCol)).as("__w"))
       .withColumn("__off",

@@ -255,4 +255,14 @@ object Selection {
       scored: DataFrame, weightCol: String, out: String): DataFrame =
     Sampling.runningSum(scored, Nil,
       Seq(col("ttr_fp").desc, col("doc_id").asc), weightCol, out)
+
+  /** Probe seam (R15ScaleProbe `shardsink`): the grouped running-sum
+    * kernel as [[graft.ext.Packing.shardSequences]] calls it, exposed so
+    * the token-level twin shares the identical layout arithmetic. Not
+    * part of the query surface. */
+  private[graft] def runningSumForProbeGrouped(
+      df: DataFrame, groupCols: Seq[String],
+      order: Seq[org.apache.spark.sql.Column],
+      weightCol: String, out: String): DataFrame =
+    Sampling.runningSum(df, groupCols, order, weightCol, out)
 }
