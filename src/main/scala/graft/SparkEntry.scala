@@ -288,6 +288,20 @@ r2o AS (
       phase("q55 load")(graft.graph.HeteroGraph.loadBucketed(s, prefix))
     }
 
+  /** q143/q153's shared repetition-coverage table, memoised per
+    * (session, sf dir) and eagerly checkpointed: the 9-width n-gram
+    * chain is the expensive component of both queries, and the
+    * composite gate must flag EXACTLY the coverage table it publishes.
+    * Per the bench contract (alphabetical order, memos cleared per
+    * pass), q143 fills the memo and q153 rides it — per-query walls are
+    * marginal costs, the q55/q109 convention. */
+  private def gopherCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Memos.getOrElseUpdate(s, ("gopher-coverage", dir)) {
+      graft.ext.Repetition.ngramCoverage(
+        t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(eager = true)
+    }
+
   /** Spark-side dense-id edge list for orders→customer (G2/G5/J5). */
   private def edgesOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
     val spec = Topology.classify(Catalogs.tpch).edges
@@ -894,9 +908,7 @@ r2o AS (
     // integer ppm. One tokenise pass + one nested-HOF occurrence
     // explode; (doc, n, gram)-keyed count + selection join, (doc, pos)
     // distinct, per-doc pivot over the 9 fixed n values.
-    "q143_gopher_coverage" -> ((s, dir) =>
-      graft.ext.Repetition.ngramCoverage(
-        t(s, dir, "documents"), "doc_id", "text")),
+    "q143_gopher_coverage" -> ((s, dir) => gopherCoverage(s, dir)),
     // benchmark decontamination (the eval-leakage gate every serious LLM
     // data pipeline runs): count the n-gram overlaps between each corpus
     // document and a benchmark set (stand-in: doc_id < 10). Exact string
@@ -1267,7 +1279,9 @@ r2o AS (
     // every signal, all 13 per-rule flags, and the composite keep; one
     // doc_id join between two doc-partitioned frames
     "q153_gopher_full" -> ((s, dir) =>
-      graft.ext.Filters.gopherFull(t(s, dir, "documents"), "doc_id", "text")),
+      graft.ext.Filters.gopherFullFrom(
+        graft.ext.Filters.gopherGate(t(s, dir, "documents"), "doc_id", "text"),
+        gopherCoverage(s, dir))),
     // deterministic training-shard layout (ext.Packing.shardLayout):
     // seeded shard draw + within-shard deterministic shuffle + token
     // offset ledger; per-shard running sums ride the runningSum kernel

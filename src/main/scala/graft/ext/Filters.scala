@@ -116,10 +116,20 @@ object Filters {
     * composition adds ONE doc_id equi-join between two doc-partitioned
     * frames — nothing new shuffles at corpus scale. */
   def gopherFull(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val structural = gopherGate(docs, idCol, textCol).drop("keep")
-    val rep = Repetition.ngramCoverage(docs, idCol, textCol).drop("n_chars")
-    val joined = structural.join(rep, Seq("doc_id"))
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    gopherFullFrom(
+      gopherGate(docs, idCol, textCol),
+      Repetition.ngramCoverage(docs, idCol, textCol))
+
+  /** [[gopherFull]] from precomputed component frames — so a caller that
+    * already holds the (expensive) coverage table (e.g. a q143 memo)
+    * composes without recomputing it. `structural` must be a
+    * [[gopherGate]] result, `coverage` a [[Repetition.ngramCoverage]]
+    * result over the same corpus. */
+  def gopherFullFrom(
+      structural: DataFrame, coverage: DataFrame): DataFrame = {
+    val joined = structural.drop("keep")
+      .join(coverage.drop("n_chars"), Seq("doc_id"))
     val flagged = RepetitionCuts.foldLeft(joined) { case (df, (c, cut)) =>
       df.withColumn("f_" + c.stripSuffix("_ppm"), (col(c) <= cut).cast("long"))
     }
