@@ -2198,6 +2198,75 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // q142's lifecycle KILLED AND RESUMED from its checkpoint — q152's
+    // crash-window treatment for the SEMANTIC ingest family, completing
+    // the restart certs across all three families (q106 PQ, q152 Doc,
+    // this for Emb): stop after batches 0–1, delete batch 1's commit
+    // marker, stage batch 2, start a NEW query from the same
+    // checkpoint. The replay recomputes batch 1 against the pre-batch
+    // state (own-batch exclusion on the bucketed item index;
+    // dynamic-partition overwrite on the verdict store) and result()'s
+    // per-id latest-batch pick absorbs whatever the replay rewrote.
+    // Same verdict contract, same oracle as q140/q142.
+    "q155_stream_semantic_restart" -> ((s, dir) => {
+      import graft.streaming.EmbIngest
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val cents = graft.ext.Similarity.kmeansFixedCentroids(
+        emb, "vec_id", "embedding", nCentroids = 16, iters = 3, seed = 42L)
+      val bounds = emb.agg(min("vec_id"), max("vec_id")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi0 - lo0 + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q155").toString
+      val tbl = "graft_q155_items_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val lo = lo0 + b * span / 3
+          val hi = if (b == 2) hi0 + 1 else lo0 + (b + 1) * span / 3
+          val staging = s"$tmp/stage$b"
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q1 = phase("q155 startup")(EmbIngest.startBucketed(s, inDir,
+          store, tbl, ckpt, cents, simThresholdFixed = 300000000000L))
+        try {
+          phase("q155 batches 0-1") {
+            stage(0L); q1.processAllAvailable()
+            stage(1L); q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        // crash window: batch 1's output landed, its commit marker
+        // didn't (drop the local ChecksumFs sidecar too)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/1"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+        stage(2L)
+        val q2 = phase("q155 restart")(EmbIngest.startBucketed(s, inDir,
+          store, tbl, ckpt, cents, simThresholdFixed = 300000000000L))
+        try phase("q155 replay+batch 2")(q2.processAllAvailable())
+        finally q2.stop()
+        phase("q155 result")(EmbIngest.result(s, store)
+          .orderBy("vec_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before tmp cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // q142's lifecycle with the EVICTION HORIZON live — q144's
     // retention story on the SEMANTIC ingest family: the mid-stream
     // fold runs with `evictBelow = 1`, so batch-0 items leave the
@@ -4448,6 +4517,9 @@ r2o AS (
     // the bucketed index + mid-stream fold change the exchange shape
     // and the file layout, never the verdicts
     "q142_stream_semantic_bucketed" -> semanticDedupSql,
+    // kill → delete batch-1 commit → resume → replay + batch 2: the
+    // at-least-once replay never changes the accumulated verdicts
+    "q155_stream_semantic_restart" -> semanticDedupSql,
     // eviction horizon live on the semantic family: batch-0 items left
     // the index before batch 2 ingested — q68 minus the {first-third ×
     // last-third} prior pairs, verdicts otherwise identical
