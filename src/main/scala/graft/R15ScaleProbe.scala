@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *    verified counts at K = 1/4/8 replicas with the quadratic fit.
   *
   * Not part of the driver contract. Usage: `runMain graft.R15ScaleProbe`
-  * (env: SPARK_GRAFT_SF_DIR / _CPUS; CASE=shardsink|imagedup). */
+  * (env: SPARK_GRAFT_SF_DIR / _CPUS;
+  * CASE=shardsink|imagedup|cobucket|widedup|audiodup). */
 object R15ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,6 +160,93 @@ object R15ScaleProbe {
           // ~ |docs|²·4/2¹⁶/2
           val chance = nDocs.toDouble * nDocs * 4 / 65536 / 2
           println(f"R15SCALE imagedup K=$k rep=$rep docs=$nDocs%,d " +
+            f"pairs=$res%,d wall=$t%.2f s shuffle=$sh%.1f MB " +
+            f"max_task=$mx ms (chance-collision term ≈ $chance%,.0f)")
+        }
+      }
+    }
+
+    // q158's claim: at fixed 64-bit fingerprint width, moving from
+    // single 16-bit block keys to 2-of-4 pair keys divides the CHANCE
+    // candidate term by ~2¹⁶ (|docs|²·4/2¹⁷ → |docs|²·6/2³³) while the
+    // verified radius-2 output is identical — the candidate ledger is
+    // the measurement, bucket-sizes-choose-2 summed per scheme.
+    if (only.forall(_ == "cobucket")) {
+      println("== q158 co-bucket candidates vs single-block, same verify ==")
+      implicit val sp: SparkSession = spark
+      def blk(q: Int) =
+        shiftrightunsigned(col("fp"), q * 16).bitwiseAND(lit(0xffffL))
+      def candCount(keyed: DataFrame): Long =
+        keyed.groupBy("key").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).first().getLong(0)
+      for (k <- Seq(1, 4, 8)) {
+        val docs = (0 until k).map(replica).reduce(_ unionByName _)
+          .select("doc_id").coalesce(parts).localCheckpoint(eager = true)
+        val nDocs = docs.count()
+        val hashed = graft.multimodal.ImageDedup.dhashFrame(
+            graft.multimodal.MediaSynth.withPgmPayload(docs, "doc_id"),
+            "doc_id", "payload")
+          .localCheckpoint(eager = true)
+        val single = hashed.select(col("doc_id"), explode(array(
+          (0 until 4).map(q => blk(q) + lit(q.toLong * 4294967296L)): _*))
+          .as("key"))
+        val pairKeys = for { q1 <- 0 until 4; q2 <- (q1 + 1) until 4 }
+          yield blk(q1) * lit(65536L) + blk(q2) +
+            lit((q1 * 4 + q2).toLong * 68719476736L)
+        val co = hashed.select(col("doc_id"),
+          explode(array(pairKeys: _*)).as("key"))
+        for (rep <- 1 to 3) {
+          val (cs, _, _, _) = timedSh(candCount(single))
+          val (cc, tc, shc, mxc) = timedSh(candCount(co))
+          val (v2, _, _, _) = timedSh(
+            graft.multimodal.ImageDedup.coBucketFromHashes(hashed).count())
+          println(f"R15SCALE cobucket K=$k rep=$rep docs=$nDocs%,d " +
+            f"cand_single=$cs%,d cand_cobucket=$cc%,d verified_r2=$v2%,d " +
+            f"co wall=$tc%.2f s shuffle=$shc%.1f MB max_task=$mxc ms")
+        }
+      }
+    }
+
+    // q156/q157's curves: same ledger as imagedup on the other two
+    // fingerprint families — the wide 256-bit hash (16 independent
+    // 16-bit keys over the fine fixture) and the audio energy-delta
+    // fingerprint (4 keys, q154's machinery on decoded WAV energies).
+    if (only.forall(_ == "widedup")) {
+      println("== q156 wide-hash near-dup: candidate curve ==")
+      implicit val sp: SparkSession = spark
+      for (k <- Seq(1, 4, 8)) {
+        val docs = (0 until k).map(replica).reduce(_ unionByName _)
+          .select("doc_id").coalesce(parts).localCheckpoint(eager = true)
+        val nDocs = docs.count()
+        val payload = graft.multimodal.MediaSynth.withPgmFinePayload(
+          docs, "doc_id")
+        for (rep <- 1 to 3) {
+          val (res, t, sh, mx) = timedSh(
+            graft.multimodal.ImageDedup.nearDupBlockhash(
+              payload, "doc_id", "payload").count())
+          val chance = nDocs.toDouble * nDocs * 16 / 65536 / 2
+          println(f"R15SCALE widedup K=$k rep=$rep docs=$nDocs%,d " +
+            f"pairs=$res%,d wall=$t%.2f s shuffle=$sh%.1f MB " +
+            f"max_task=$mx ms (chance-collision term ≈ $chance%,.0f)")
+        }
+      }
+    }
+
+    if (only.forall(_ == "audiodup")) {
+      println("== q157 audio near-dup: candidate curve ==")
+      implicit val sp: SparkSession = spark
+      for (k <- Seq(1, 4, 8)) {
+        val docs = (0 until k).map(replica).reduce(_ unionByName _)
+          .select("doc_id").coalesce(parts).localCheckpoint(eager = true)
+        val nDocs = docs.count()
+        val payload = graft.multimodal.MediaSynth.withWavMotifPayload(
+          docs, "doc_id")
+        for (rep <- 1 to 3) {
+          val (res, t, sh, mx) = timedSh(
+            graft.multimodal.AudioDedup.nearDupAudio(
+              payload, "doc_id", "payload").count())
+          val chance = nDocs.toDouble * nDocs * 4 / 65536 / 2
+          println(f"R15SCALE audiodup K=$k rep=$rep docs=$nDocs%,d " +
             f"pairs=$res%,d wall=$t%.2f s shuffle=$sh%.1f MB " +
             f"max_task=$mx ms (chance-collision term ≈ $chance%,.0f)")
         }

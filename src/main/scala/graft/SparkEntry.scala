@@ -302,6 +302,23 @@ r2o AS (
         .localCheckpoint(eager = true)
     }
 
+  /** q154/q158's shared decode + resize + dHash pass over the PGM
+    * near-dup fixture, memoised per (session, sf dir) and eagerly
+    * checkpointed — the gopherCoverage convention: q154 fills the memo,
+    * q158 (the co-bucket candidate variant over the SAME fingerprints)
+    * rides it, so its bench wall is the marginal cost of the alternate
+    * candidate scheme, not a second decode of the corpus. */
+  private def pgmDHashed(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.functions.Memos.getOrElseUpdate(s, ("pgm-dhash", dir)) {
+      graft.multimodal.ImageDedup.dhashFrame(
+        graft.multimodal.MediaSynth.withPgmPayload(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "payload")
+        .localCheckpoint(eager = true)
+    }
+  }
+
   /** Spark-side dense-id edge list for orders→customer (G2/G5/J5). */
   private def edgesOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
     val spec = Topology.classify(Catalogs.tpch).edges
@@ -1801,8 +1818,76 @@ r2o AS (
     // pixel → gradient-bit → block → Hamming pipeline from doc_id alone.
     "q154_image_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      graft.multimodal.ImageDedup.nearDupDHash(
-        graft.multimodal.MediaSynth.withPgmPayload(
+      graft.multimodal.ImageDedup.nearDupFromHashes(pgmDHashed(s, dir))
+    }),
+    // co-bucket candidate variant over the SAME dHash fingerprints
+    // (multimodal.ImageDedup.coBucketFromHashes — the r15 SCALE §2
+    // auxiliary split): q154's single 16-bit block keys collide by
+    // chance at |corpus|²·4/2¹⁷ pairs — dominant around ~10⁶ images —
+    // so candidates here must share TWO of the four blocks (6 ordered
+    // 32-bit pair keys, pigeonhole-complete for Hamming ≤ 2), cutting
+    // the chance term to |corpus|²·6/2³³. Rides the memoised q154
+    // decode+hash pass; the oracle is q154's pipeline with the tighter
+    // radius (the completeness proofs agree on the final pair set, so
+    // the replay can keep the simpler single-block candidate CTE).
+    "q158_image_neardup_cobucket" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.ImageDedup.coBucketFromHashes(pgmDHashed(s, dir))
+    }),
+    // WIDE perceptual hash near-dup (multimodal.ImageDedup
+    // .nearDupBlockhash — the other r15 SCALE §2 scale path): a 256-bit
+    // block-mean hash (Yang et al.'s blockhash family: 16×16 resize,
+    // one bit per pixel vs the lower-median gray) gives 16 independent
+    // 16-bit block keys — the pigeonhole guarantee stretches to
+    // Hamming ≤ 15 and the per-key chance term stays |corpus|²/2¹⁷
+    // per block while the fingerprint carries 4× the bits. The fixture
+    // is the FINE-grained PGM corpus (MediaSynth.pgmFineFixture —
+    // full-entropy 16×16 cell motifs via the double-squared DetRandom
+    // mix; the q154 fixture's coarse 9×8 cells would collide 16-bit
+    // block keys structurally). Exact 256-bit Hamming verify via
+    // zip_with XOR+popcount over the 4 packed words.
+    "q156_image_neardup_wide" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.ImageDedup.nearDupBlockhash(
+        graft.multimodal.MediaSynth.withPgmFinePayload(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "payload")
+    }),
+    // AUDIO near-dup (multimodal.AudioDedup.nearDupAudio — closes the
+    // multimodal dedup triangle next to text q34/q36 and image
+    // q154/q156): each doc_id synthesises a REAL 65-frame WAV clip with
+    // group structure (MediaSynth.wavMotifFixture — same-group ids share
+    // a per-frame amplitude envelope, a sparse per-id bump perturbs a
+    // few frames), the shipped kernel decodes the PCM and fingerprints
+    // the energy-delta signs (Haitsma–Kalker family: bit f = E(f+1) >
+    // E(f) over 65 windowed mean-|sample| energies), and pairs come from
+    // the SAME 16-bit Hamming-banded machinery as the image path. The
+    // oracle replays the integer envelope → delta-bit → block → Hamming
+    // pipeline from doc_id alone.
+    "q157_audio_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.AudioDedup.nearDupAudio(
+        graft.multimodal.MediaSynth.withWavMotifPayload(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "payload")
+    }),
+    // VIDEO near-dup (multimodal.VideoDedup.nearDupVideo — the fourth
+    // modality, completing the text/image/audio/video dedup quartet):
+    // each doc_id synthesises a REAL animated GIF with group structure
+    // (MediaSynth.gifMotifFixture — same-group ids share a patterned
+    // 9×8 frame sequence through an exact 8-bit grayscale palette, a
+    // sparse per-id bump perturbs a few pixels), the shipped kernels
+    // run frame sampling (GifFrameSampler stride 2 — the q105 seam) +
+    // per-frame dHash (the q154 kernel), and clip pairs need the SAME
+    // sampled frame count with total aligned-frame Hamming ≤ 3 —
+    // candidates from (frame, 16-bit block) keys, complete at the clip
+    // radius by pigeonhole on the best frame. The oracle replays
+    // pixel → gradient bit → per-frame block → aligned total from
+    // doc_id alone.
+    "q159_video_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.VideoDedup.nearDupVideo(
+        graft.multimodal.MediaSynth.withGifMotifPayload(
           t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "payload")
     }),
@@ -3073,6 +3158,41 @@ r2o AS (
       |  ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
       |tr AS (SELECT wg.u, wg.v, wg.c FROM wg
       |  JOIN o o3 ON o3.u = wg.v AND o3.v = wg.c)""".stripMargin
+
+  /** The q154 dHash replay parameterised by the verify radius — q158
+    * (co-bucket candidates) shares the whole pipeline and differs only
+    * in the final `hm <=` cut, because both candidate schemes are
+    * pigeonhole-complete at their radius (the oracle needs the RESULT
+    * set, not the candidate mechanics). */
+  private def imageDHashOracle(maxHamming: Int): String =
+    s"""WITH dim AS (SELECT doc_id, doc_id // 3 AS g,
+      |    1 + (doc_id // 3) % 3 AS cw, 1 + (doc_id // 3) % 2 AS ch
+      |  FROM documents),
+      |px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+      |    ((g*31 + gx.x*gx.x + gx.x*(7 + g % 11) + gy.y*(13 + g % 13)) % 14) * 16 + 8 +
+      |      CASE WHEN (doc_id*131 + (gx.x*cw)*17 + (gy.y*ch)*23) % 19 = 0
+      |           THEN 7 ELSE 0 END AS v
+      |  FROM dim, generate_series(0, 8) AS gx(x),
+      |    generate_series(0, 7) AS gy(y)),
+      |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS pos,
+      |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |blk AS (SELECT doc_id, pos // 16 AS q,
+      |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
+      |      + (pos // 16) * 4294967296 AS key
+      |  FROM bits GROUP BY doc_id, pos // 16),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM blk x JOIN blk y ON x.key = y.key AND x.doc_id < y.doc_id),
+      |ham AS (SELECT c.a, c.b,
+      |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
+      |  FROM cand c
+      |  JOIN bits ba ON ba.doc_id = c.a
+      |  JOIN bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
+      |  GROUP BY c.a, c.b)
+      |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+      |FROM ham WHERE hm <= $maxHamming""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -4585,21 +4705,68 @@ r2o AS (
     // nearest-neighbor source coordinate), gradient bits, 16-bit block
     // keys (offset by q·2³² like the Spark side), block-collision
     // candidates, exact Hamming ≤ 3
-    "q154_image_neardup" ->
-      """WITH dim AS (SELECT doc_id, doc_id // 3 AS g,
-        |    1 + (doc_id // 3) % 3 AS cw, 1 + (doc_id // 3) % 2 AS ch
+    "q154_image_neardup" -> imageDHashOracle(3),
+    // q158 = the SAME fingerprint pipeline at radius 2: the co-bucket
+    // candidate scheme and q154's single-block scheme are both
+    // pigeonhole-complete at Hamming ≤ 2, so the final pair sets agree
+    // and the replay keeps the simpler single-block candidate CTE
+    "q158_image_neardup_cobucket" -> imageDHashOracle(2),
+    // replay of the WIDE blockhash pipeline from doc_id alone: the fine
+    // fixture's 16×16-resized pixels in closed form (double-squared
+    // DetRandom mix cell + bump at the nearest-neighbor source
+    // coordinate), the lower-median threshold as a rank (rn = 128),
+    // 16× 16-bit block keys, block-collision candidates, exact
+    // Hamming ≤ 6 over all 256 bits
+    "q156_image_neardup_wide" ->
+      s"""WITH dim AS (SELECT doc_id, doc_id // 3 AS g,
+        |    16*(1 + (doc_id // 3) % 3) AS w, 16*(1 + (doc_id // 3) % 2) AS h
         |  FROM documents),
-        |px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
-        |    ((g*31 + gx.x*gx.x + gx.x*(7 + g % 11) + gy.y*(13 + g % 13)) % 14) * 16 + 8 +
-        |      CASE WHEN (doc_id*131 + (gx.x*cw)*17 + (gy.y*ch)*23) % 19 = 0
+        |u AS (SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+        |    ${graft.learn.DetRandom.mixSql("g", "gy.y*16 + gx.x", 42L)} AS u0
+        |  FROM dim, generate_series(0, 15) AS gx(x),
+        |    generate_series(0, 15) AS gy(y)),
+        |px AS (SELECT doc_id, x, y,
+        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 17) * 12 + 8 +
+        |      CASE WHEN (doc_id*131 + (x*(w//16))*17 + (y*(h//16))*23) % 19 = 0
         |           THEN 7 ELSE 0 END AS v
-        |  FROM dim, generate_series(0, 8) AS gx(x),
-        |    generate_series(0, 7) AS gy(y)),
-        |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS pos,
-        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
-        |    AND b.x = a.x + 1
-        |  WHERE a.x < 8),
+        |  FROM u),
+        |med AS (SELECT doc_id, v AS m FROM (
+        |    SELECT doc_id, v, row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+        |    FROM px) WHERE rn = 128),
+        |bits AS (SELECT p.doc_id, p.y * 16 + p.x AS pos,
+        |    CASE WHEN p.v > med.m THEN 1 ELSE 0 END AS bit
+        |  FROM px p JOIN med USING (doc_id)),
+        |blk AS (SELECT doc_id, pos // 16 AS q,
+        |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
+        |      + (pos // 16) * 4294967296 AS key
+        |  FROM bits GROUP BY doc_id, pos // 16),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM blk x JOIN blk y ON x.key = y.key AND x.doc_id < y.doc_id),
+        |ham AS (SELECT c.a, c.b,
+        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a
+        |  JOIN bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
+        |  GROUP BY c.a, c.b)
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham WHERE hm <= 6""".stripMargin,
+    // replay of the AUDIO energy-delta pipeline from doc_id alone: the
+    // wavMotifFixture's per-frame amplitude envelope in closed form
+    // (double-squared DetRandom mix + bump — the windowed mean |sample|
+    // is exactly the envelope), delta-sign bits, 16-bit block keys,
+    // block-collision candidates, exact Hamming ≤ 3
+    "q157_audio_neardup" ->
+      s"""WITH fr AS (SELECT doc_id, doc_id // 3 AS g, t.f AS f
+        |  FROM documents, generate_series(0, 64) AS t(f)),
+        |u AS (SELECT doc_id, f, ${graft.learn.DetRandom.mixSql("g", "f", 42L)} AS u0 FROM fr),
+        |e AS (SELECT doc_id, f,
+        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 14) * 1024 + 512 +
+        |      CASE WHEN (doc_id*131 + f*17) % 19 = 0 THEN 7 ELSE 0 END AS amp
+        |  FROM u),
+        |bits AS (SELECT a.doc_id, a.f AS pos,
+        |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64),
         |blk AS (SELECT doc_id, pos // 16 AS q,
         |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
         |      + (pos // 16) * 4294967296 AS key
@@ -4614,6 +4781,49 @@ r2o AS (
         |  GROUP BY c.a, c.b)
         |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
         |FROM ham WHERE hm <= 3""".stripMargin,
+    // replay of the VIDEO pipeline from doc_id alone: the GIF motif
+    // fixture's sampled-frame pixels in closed form (double-squared
+    // DetRandom mix + bump), per-frame gradient bits, (frame, block)
+    // keys offset (f·4 + q)·2³² like the Spark side, block-collision
+    // candidates, aligned-frame total Hamming ≤ 3 with the frame-count
+    // match on both sides
+    "q159_video_neardup" ->
+      s"""WITH dim AS (SELECT doc_id, doc_id // 3 AS g,
+        |    4 + 2*((doc_id // 3) % 2) AS nfr FROM documents),
+        |fr AS (SELECT doc_id, g, t.f AS f
+        |  FROM dim, (SELECT unnest([0, 2, 4]) AS f) AS t WHERE t.f < nfr),
+        |u AS (SELECT doc_id, f, gx.x AS x, gy.y AS y,
+        |    ${graft.learn.DetRandom.mixSql("g", "f*72 + gy.y*9 + gx.x", 42L)} AS u0
+        |  FROM fr, generate_series(0, 8) AS gx(x),
+        |    generate_series(0, 7) AS gy(y)),
+        |px AS (SELECT doc_id, f, x, y,
+        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 17) * 12 + 8 +
+        |      CASE WHEN (doc_id*131 + f*37 + x*17 + y*23) % 19 = 0
+        |           THEN 7 ELSE 0 END AS v
+        |  FROM u),
+        |bits AS (SELECT a.doc_id, a.f AS f, a.y * 8 + a.x AS pos,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |blk AS (SELECT doc_id, f, pos // 16 AS q,
+        |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
+        |      + (f * 4 + pos // 16) * 4294967296 AS key
+        |  FROM bits GROUP BY doc_id, f, pos // 16),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM blk x JOIN blk y ON x.key = y.key AND x.doc_id < y.doc_id),
+        |nf AS (SELECT doc_id, COUNT(DISTINCT f) AS n FROM bits GROUP BY doc_id),
+        |ham AS (SELECT c.a, c.b,
+        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm,
+        |    COUNT(DISTINCT ba.f) AS matched
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a
+        |  JOIN bits bb ON bb.doc_id = c.b AND bb.f = ba.f AND bb.pos = ba.pos
+        |  GROUP BY c.a, c.b)
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham JOIN nf na ON na.doc_id = ham.a
+        |JOIN nf nb ON nb.doc_id = ham.b
+        |WHERE hm <= 3 AND matched = na.n AND matched = nb.n""".stripMargin,
     "q40_embed_neardup" ->
       s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |kb AS (SELECT vec_id, v, unnest([${lshKeySqls.mkString(", ")}]) AS key FROM s),

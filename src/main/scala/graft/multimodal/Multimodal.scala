@@ -192,6 +192,34 @@ object Multimodal {
     featurePartitions(df, payloadCol, outCol, LongType, batchSize)(
       b => ImageDedup.dhash64(b))
 
+  /** Partition-batched 256-bit block-mean hash over an IMAGE payload
+    * column: appends one nullable `array<long>` column `outCol` carrying
+    * [[ImageDedup.blockhash256]]'s 4 packed words (an undecodable or
+    * non-16×16 payload lands as SQL NULL). Run it on the OUTPUT of
+    * [[transformPartitions]] with [[ImageResizer]](16, 16) — the
+    * canonical wide-hash pipeline. Row-local, no shuffle. */
+  def blockhashPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      outCol: String = "blockhash",
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame =
+    featurePartitions(df, payloadCol, outCol,
+      ArrayType(LongType, containsNull = false), batchSize)(
+      b => ImageDedup.blockhash256(b))
+
+  /** Partition-batched 64-bit energy-delta audio fingerprint over a WAV
+    * payload column ([[AudioDedup.energyDeltaFp64]]): appends one
+    * nullable long column `outCol` (non-PCM16 / too-short payloads land
+    * as SQL NULL). Row-local, no shuffle. */
+  def audioFpPartitions(
+      df: DataFrame,
+      payloadCol: String,
+      outCol: String = "audio_fp",
+      windowFrames: Int = 125,
+      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame =
+    featurePartitions(df, payloadCol, outCol, LongType, batchSize)(
+      b => AudioDedup.energyDeltaFp64(b, windowFrames))
+
   private def featurePartitions(
       df: DataFrame, payloadCol: String, outCol: String,
       dt: DataType, batchSize: Int)(

@@ -553,4 +553,220 @@ class MultimodalSpec extends SparkSpec {
     assert(expect.keys.forall { case (a, b) => a / 3 == b / 3 })
     assert(expect.values.exists(_ > 0L))
   }
+
+  /** Driver-side replay of the FINE fixture's 16×16-resized pixel:
+    * dims are exact multiples of 16, so cell coords are (x, y) and the
+    * source coords are (x·w/16, y·h/16). */
+  private def fineResizedVal(id: Long, x: Int, y: Int): Int = {
+    import graft.multimodal.MediaSynth
+    val g = id / 3
+    val w = (16 * (1 + g % 3)).toInt
+    val h = (16 * (1 + g % 2)).toInt
+    val sx = x * w / 16
+    val sy = y * h / 16
+    val cell = (MediaSynth.mixSq2(g, y * 16L + x) % 17).toInt * 12 + 8
+    val bump = if ((id * 131 + sx * 17 + sy * 23) % 19 == 0) 7 else 0
+    cell + bump
+  }
+
+  /** Driver-side blockhash256 replay (lower-median threshold). */
+  private def fineBlockhash(id: Long): Seq[Long] = {
+    val vals = for (y <- 0 until 16; x <- 0 until 16)
+      yield fineResizedVal(id, x, y)
+    val m = vals.sorted.apply(127)
+    val fp = new Array[Long](4)
+    for (p <- 0 until 256) if (vals(p) > m) fp(p >> 6) |= 1L << (p & 63)
+    fp.toSeq
+  }
+
+  private def hamming256(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+
+  test("MediaSynth fine PGM fixture: resize + blockhash256 replay the " +
+      "closed form; quarantine refuses junk and non-16x16 rasters") {
+    import graft.multimodal.{ImageDedup, ImageIoDecoder, ImageResizer, MediaSynth}
+    for (id <- Seq(0L, 1L, 2L, 7L, 123L, 499L)) {
+      val pgm = MediaSynth.pgmFineFixture(id)
+      val g = id / 3
+      val (w, h) = ((16 * (1 + g % 3)).toInt, (16 * (1 + g % 2)).toInt)
+      assert(ImageIoDecoder.decode(Seq(pgm)).head ==
+        DecodedMedia(w, h, 1, ok = true))
+      val rs = ImageResizer(16, 16).transform(Seq(pgm)).head.get
+      val header = s"P5\n16 16\n255\n".getBytes("US-ASCII").length
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((rs(header + y * 16 + x) & 0xff) == fineResizedVal(id, x, y),
+          s"id=$id pixel ($x,$y)")
+      assert(ImageDedup.blockhash256(rs).map(_.toSeq)
+        .contains(fineBlockhash(id)), s"id=$id blockhash")
+    }
+    assert(ImageDedup.blockhash256(Array.fill[Byte](16)(7)).isEmpty)
+    assert(ImageDedup.blockhash256(MediaSynth.pgmFineFixture(3L)).isEmpty,
+      "un-resized fixture is not 16x16 and must be refused")
+  }
+
+  test("nearDupBlockhash: exact 256-bit hamming, complete at radius <= 6 " +
+      "(naive all-pairs agreement), same-group only on the fine fixture") {
+    import graft.multimodal.{ImageDedup, MediaSynth}
+    val df = spark.range(0, 60).toDF("doc_id")
+    val got = ImageDedup.nearDupBlockhash(
+        MediaSynth.withPgmFinePayload(df, "doc_id"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val fps = (0L until 60L).map(id => id -> fineBlockhash(id)).toMap
+    val expect = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      hm = hamming256(fps(a), fps(b))
+      if hm <= 6L
+    } yield (a, b) -> hm).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture must produce near-dup pairs")
+    assert(expect.keys.forall { case (a, b) => a / 3 == b / 3 })
+    assert(expect.values.exists(_ > 0L), "the bump must flip some bit")
+  }
+
+  test("coBucketFromHashes: agrees with the naive radius-2 set and " +
+      "excludes the hamming-3 pair the single-block scheme admits") {
+    import graft.multimodal.{ImageDedup, MediaSynth}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = spark.range(0, 120).toDF("doc_id")
+    val hashed = ImageDedup.dhashFrame(
+      MediaSynth.withPgmPayload(df, "doc_id"), "doc_id", "payload")
+    val got = ImageDedup.coBucketFromHashes(hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val fps = (0L until 120L).map(id => id -> pgmDhash(id)).toMap
+    def hm(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    val expect = (for {
+      a <- 0L until 120L; b <- (a + 1) until 120L
+      if hm(a, b) <= 2
+    } yield (a, b) -> hm(a, b).toLong).toMap
+    assert(got === expect)
+    // the range is chosen to CONTAIN a hamming-3 pair (117, 118): the
+    // radius-2 scheme must drop exactly the pairs q154's radius admits
+    assert(hm(117L, 118L) == 3, "fixture drifted: (117,118) no longer h=3")
+    assert(!got.contains((117L, 118L)))
+    // guard-rail: the pair keys only certify radius <= 2
+    assertThrows[IllegalArgumentException] {
+      ImageDedup.coBucketFromHashes(hashed, maxHamming = 3)
+    }
+  }
+
+  /** Driver-side replay of the WAV motif envelope. */
+  private def motifAmp(id: Long, f: Int): Long =
+    (graft.multimodal.MediaSynth.mixSq2(id / 3, f.toLong) % 14) * 1024 + 512 +
+      (if ((id * 131 + f * 17) % 19 == 0) 7L else 0L)
+
+  private def motifFp(id: Long): Long = {
+    var fp = 0L
+    for (f <- 0 until 64)
+      if (motifAmp(id, f + 1) > motifAmp(id, f)) fp |= 1L << f
+    fp
+  }
+
+  test("MediaSynth WAV motif fixture: decoded energy-delta fingerprint " +
+      "replays the closed form; quarantine refuses junk and short clips") {
+    import graft.multimodal.{AudioDedup, MediaSynth, WavAudioDecoder}
+    for (id <- Seq(0L, 1L, 2L, 7L, 123L, 499L)) {
+      val wav = MediaSynth.wavMotifFixture(id)
+      val d = WavAudioDecoder.decode(Seq(wav)).head
+      assert(d.ok && d.sampleRate == 8000 && d.nChannels == 1 &&
+        d.nFrames == 65L * 125L, s"id=$id header")
+      assert(AudioDedup.energyDeltaFp64(wav).contains(motifFp(id)),
+        s"id=$id fingerprint")
+    }
+    assert(AudioDedup.energyDeltaFp64(Array.fill[Byte](16)(7)).isEmpty)
+    // the q104 fixture has 50-99 samples — far short of 65 windows
+    assert(AudioDedup.energyDeltaFp64(MediaSynth.wavFixture(3L)).isEmpty,
+      "a clip shorter than 65 windows must be refused, not zero-padded")
+  }
+
+  /** Driver-side replay of one GIF motif frame pixel / frame dHash. */
+  private def motifFramePx(id: Long, f: Int, x: Int, y: Int): Int =
+    (graft.multimodal.MediaSynth.mixSq2(id / 3, f * 72L + y * 9 + x) % 17)
+      .toInt * 12 + 8 +
+      (if ((id * 131 + f * 37 + x * 17 + y * 23) % 19 == 0) 7 else 0)
+
+  private def motifFrameFp(id: Long, f: Int): Long = {
+    var fp = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (motifFramePx(id, f, x + 1, y) > motifFramePx(id, f, x, y))
+        fp |= 1L << (y * 8 + x)
+    fp
+  }
+
+  private def motifSampledFrames(id: Long): Seq[Int] =
+    0 until (4 + 2 * ((id / 3) % 2)).toInt by 2
+
+  test("MediaSynth GIF motif fixture: frame sampling + per-frame dhash " +
+      "replay the closed form through the exact grayscale palette") {
+    import graft.multimodal.{GifFrameSampler, ImageDedup, MediaSynth}
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 123L)) {
+      val gif = MediaSynth.gifMotifFixture(id)
+      val frames = GifFrameSampler(2).sample(gif).get
+      assert(frames.map(_._1) == motifSampledFrames(id), s"id=$id frames")
+      frames.foreach { case (f, ppm) =>
+        // P6 header, 3 identical bands per pixel (gray through getRGB)
+        val header = s"P6\n9 8\n255\n".getBytes("US-ASCII").length
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val want = motifFramePx(id, f, x, y)
+          val base = header + (y * 9 + x) * 3
+          assert((ppm(base) & 0xff) == want &&
+            (ppm(base + 1) & 0xff) == want && (ppm(base + 2) & 0xff) == want,
+            s"id=$id frame=$f pixel ($x,$y)")
+        }
+        assert(ImageDedup.dhash64(ppm).contains(motifFrameFp(id, f)),
+          s"id=$id frame=$f dhash")
+      }
+    }
+  }
+
+  test("nearDupVideo: aligned-frame totals, frame-count match, naive " +
+      "all-pairs agreement on the closed form") {
+    import graft.multimodal.{MediaSynth, VideoDedup}
+    val df = spark.range(0, 60).toDF("doc_id")
+    val got = VideoDedup.nearDupVideo(
+        MediaSynth.withGifMotifPayload(df, "doc_id"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val clips = (0L until 60L).map(id =>
+      id -> motifSampledFrames(id).map(f => f -> motifFrameFp(id, f)).toMap)
+      .toMap
+    val expect = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      if clips(a).keySet == clips(b).keySet
+      hm = clips(a).map { case (f, fp) =>
+        java.lang.Long.bitCount(fp ^ clips(b)(f)).toLong }.sum
+      if hm <= 3L
+    } yield (a, b) -> hm).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture must produce near-dup pairs")
+    assert(expect.keys.forall { case (a, b) => a / 3 == b / 3 })
+    assert(expect.values.exists(_ > 0L), "the bump must flip some bit")
+    // guard-rail: clip-level completeness rides the per-frame pigeonhole
+    assertThrows[IllegalArgumentException] {
+      VideoDedup.nearDupVideo(
+        MediaSynth.withGifMotifPayload(df, "doc_id"), "doc_id", "payload",
+        maxTotalHamming = 4)
+    }
+  }
+
+  test("nearDupAudio: same-group clips pair up within hamming 3, " +
+      "naive all-pairs agreement on the closed form") {
+    import graft.multimodal.{AudioDedup, MediaSynth}
+    val df = spark.range(0, 60).toDF("doc_id")
+    val got = AudioDedup.nearDupAudio(
+        MediaSynth.withWavMotifPayload(df, "doc_id"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val fps = (0L until 60L).map(id => id -> motifFp(id)).toMap
+    val expect = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      hm = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if hm <= 3
+    } yield (a, b) -> hm.toLong).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture must produce near-dup pairs")
+    assert(expect.keys.forall { case (a, b) => a / 3 == b / 3 })
+    assert(expect.values.exists(_ > 0L), "the bump must flip some bit")
+  }
 }
