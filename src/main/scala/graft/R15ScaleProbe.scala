@@ -178,7 +178,8 @@ object R15ScaleProbe {
         shiftrightunsigned(col("fp"), q * 16).bitwiseAND(lit(0xffffL))
       def candCount(keyed: DataFrame): Long =
         keyed.groupBy("key").count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).first().getLong(0)
+          .agg(sum(col("count") * (col("count") - 1)))
+          .first().getLong(0) / 2
       for (k <- Seq(1, 4, 8)) {
         val docs = (0 until k).map(replica).reduce(_ unionByName _)
           .select("doc_id").coalesce(parts).localCheckpoint(eager = true)

@@ -41,6 +41,31 @@ object AudioDedup {
   def energyDeltaFp64(bytes: Array[Byte], windowFrames: Int = 125): Option[Long] = {
     require(windowFrames > 0, s"windowFrames must be positive: $windowFrames")
     if (bytes == null || bytes.length < 12) return None
+    // hot path: plain-byte RIFF parse — AudioSystem serializes under
+    // JVM-global provider state (see the WavAudioDecoder scaladoc)
+    RiffWav.parse(bytes) match {
+      case Some(p) =>
+        val windows = 65
+        if (p.nSamples < windows * windowFrames) return None
+        val energy = new Array[Long](windows)
+        var w = 0
+        while (w < windows) {
+          var sum = 0L
+          var i = w * windowFrames
+          val end = i + windowFrames
+          while (i < end) { sum += math.abs(p.sample(i).toLong); i += 1 }
+          energy(w) = sum / windowFrames
+          w += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b + 1) > energy(b)) fp |= 1L << b
+          b += 1
+        }
+        return Some(fp)
+      case None =>
+    }
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {

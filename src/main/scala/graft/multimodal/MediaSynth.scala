@@ -237,14 +237,9 @@ object MediaSynth {
       }
       f += 1
     }
-    val fmt = new AudioFormat(
-      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(
-      new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
-        (frames * spf).toLong),
-      AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // plain-byte writer: AudioSystem.write serializes under JVM-global
+    // provider state (see the WavAudioDecoder scaladoc)
+    RiffWav.write(pcm, channels = 1, sampleRate = 8000)
   }
 
   /** Append the group-structured animated-GIF payload (see
@@ -318,13 +313,7 @@ object MediaSynth {
       pcm(2 * i + 1) = (s >> 8).toByte
       i += 1
     }
-    val f = new AudioFormat(
-      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(
-      new AudioInputStream(new ByteArrayInputStream(pcm), f, nf.toLong),
-      AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    RiffWav.write(pcm, channels = 1, sampleRate = 8000)
   }
 
   /** The (r, g, b) of GIF frame `f` for one id — mod-3-adjusted so the

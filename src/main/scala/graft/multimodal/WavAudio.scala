@@ -26,7 +26,18 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   *    `idx · windowFrames / sample_rate` recovers the clip timestamp.
   *
   * Scale shape: identical to the image kernels — per-row CPU inside a
-  * partition batch, no shuffle, memory bounded by batch × payload.
+  * partition batch, no shuffle, memory bounded by batch × payload —
+  * EXCEPT that `javax.sound.sampled` must stay OFF the per-row hot
+  * path: `AudioSystem.getAudioInputStream`/`write` serialize under
+  * JVM-global provider state (measured: 5 000 decodes take 0.28 s on
+  * one thread and 0.61 s on SIXTEEN — negative scaling; in the r15
+  * probe the audio near-dup wall grew linearly with corpus, max-task ≈
+  * wall, a one-JVM funnel that would throttle every executor core at
+  * 100 TB). Canonical RIFF/WAVE PCM16 therefore parses and writes
+  * through [[RiffWav]] — plain byte arithmetic, embarrassingly parallel
+  * — and `AudioSystem` remains only the FALLBACK for other containers
+  * (AIFF/AU, compressed WAV), where a real codec dependency would take
+  * over anyway.
   */
 object WavAudioDecoder {
 
@@ -40,6 +51,11 @@ object WavAudioDecoder {
 
   private[multimodal] def decodeOne(bytes: Array[Byte]): DecodedAudio = {
     if (bytes == null || bytes.length < 12) return failed
+    RiffWav.parse(bytes) match {
+      case Some(p) => return DecodedAudio(p.sampleRate, p.channels,
+        p.nFrames, ok = true)
+      case None =>
+    }
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
@@ -57,6 +73,16 @@ object WavAudioDecoder {
     * (compressed or float encodings need a real codec's arithmetic). */
   def meanAbsAmplitude(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null || bytes.length < 12) return None
+    RiffWav.parse(bytes) match {
+      case Some(p) =>
+        val n = p.nSamples
+        if (n == 0) return None
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += math.abs(p.sample(i).toLong); i += 1 }
+        return Some(sum / n)
+      case None =>
+    }
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
@@ -103,6 +129,22 @@ final case class WavResampler(factor: Int) extends BatchTransformer {
 
   private def resampleOne(payload: Array[Byte]): Option[Array[Byte]] = {
     if (payload == null || payload.length < 12) return None
+    RiffWav.parse(payload) match {
+      case Some(p) =>
+        val frameBytes = p.channels * 2
+        val nFrames = p.nFrames.toInt
+        if (nFrames <= 0) return None
+        val kept = (0 until nFrames by factor).toArray
+        val out = new Array[Byte](kept.length * frameBytes)
+        var i = 0
+        while (i < kept.length) {
+          System.arraycopy(p.bytes, p.dataOff + kept(i) * frameBytes,
+            out, i * frameBytes, frameBytes)
+          i += 1
+        }
+        return Some(RiffWav.write(out, p.channels, p.sampleRate / factor))
+      case None =>
+    }
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
@@ -147,6 +189,22 @@ final case class WavWindowSampler(windowFrames: Int, stride: Int)
 
   def sample(payload: Array[Byte]): Option[Seq[(Int, Array[Byte])]] = {
     if (payload == null || payload.length < 12) return None
+    RiffWav.parse(payload) match {
+      case Some(p) =>
+        val frameBytes = p.channels * 2
+        val nFrames = p.nFrames.toInt
+        if (nFrames <= 0) return None
+        val nWindows = (nFrames + windowFrames - 1) / windowFrames
+        return Some((0 until nWindows by stride).map { w =>
+          val from = w * windowFrames * frameBytes
+          val until = math.min(from + windowFrames * frameBytes, p.dataLen)
+          w -> RiffWav.write(
+            java.util.Arrays.copyOfRange(p.bytes, p.dataOff + from,
+              p.dataOff + until),
+            p.channels, p.sampleRate)
+        })
+      case None =>
+    }
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
@@ -170,5 +228,97 @@ final case class WavWindowSampler(windowFrames: Int, stride: Int)
         })
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
+/** Canonical RIFF/WAVE PCM16 parse/write in plain byte arithmetic — the
+  * hot-path codec keeping `javax.sound.sampled` off per-row work (see
+  * the [[WavAudioDecoder]] scaladoc: `AudioSystem` entry points
+  * serialize under JVM-global provider state — measured NEGATIVE thread
+  * scaling — which turns a row-local kernel into a one-JVM funnel at
+  * corpus scale). `parse` returns None for anything that is not an
+  * uncompressed 16-bit RIFF/WAVE (callers fall back to `AudioSystem`,
+  * which still handles AIFF/AU and exotic WAV variants); `write` emits
+  * the canonical 44-byte-header layout `AudioSystem.write` also
+  * produces for this format family. */
+private[multimodal] object RiffWav {
+
+  /** A parsed PCM16 payload: samples live in `bytes[dataOff, dataOff +
+    * dataLen)` as little-endian shorts, frames are `channels` samples. */
+  final case class Pcm16(
+      channels: Int, sampleRate: Int,
+      bytes: Array[Byte], dataOff: Int, dataLen: Int) {
+    def nSamples: Int = dataLen / 2
+    def nFrames: Long = dataLen.toLong / (2L * channels)
+    /** Sample `i` (across channels, frame-major) as a signed int. */
+    def sample(i: Int): Int =
+      (((bytes(dataOff + 2 * i + 1) << 8) |
+        (bytes(dataOff + 2 * i) & 0xff)).toShort).toInt
+  }
+
+  def parse(bytes: Array[Byte]): Option[Pcm16] = {
+    if (bytes == null || bytes.length < 44) return None
+    def tag(o: Int, s: String): Boolean =
+      bytes(o) == s.charAt(0).toByte && bytes(o + 1) == s.charAt(1).toByte &&
+        bytes(o + 2) == s.charAt(2).toByte && bytes(o + 3) == s.charAt(3).toByte
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
+    var off = 12
+    var channels = 0
+    var rate = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (tag(off, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = le16(off + 8)
+        channels = le16(off + 10)
+        rate = le32(off + 12)
+        val bits = le16(off + 22)
+        // only uncompressed PCM16 takes the fast path; anything else
+        // (float, a-law, extensible, ...) falls back to AudioSystem
+        if (audioFormat != 1 || bits != 16 || channels <= 0 || rate <= 0)
+          return None
+        fmtOk = true
+      } else if (tag(off, "data") && dataOff < 0) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1) // odd chunks carry a pad byte
+    }
+    if (fmtOk && dataOff >= 0 && dataLen % 2 == 0)
+      Some(Pcm16(channels, rate, bytes, dataOff, dataLen))
+    else None
+  }
+
+  /** Canonical-layout writer (44-byte header + data). PCM16 data is
+    * always even-sized, so no pad byte is ever needed. */
+  def write(pcm: Array[Byte], channels: Int, sampleRate: Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && pcm.length % 2 == 0,
+      s"bad pcm16: channels=$channels rate=$sampleRate len=${pcm.length}")
+    val out = new Array[Byte](44 + pcm.length)
+    def put(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = {
+      p16(o, v & 0xffff); p16(o + 2, (v >>> 16) & 0xffff)
+    }
+    val block = channels * 2
+    put(0, "RIFF"); p32(4, 36 + pcm.length); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, channels)
+    p32(24, sampleRate); p32(28, sampleRate * block); p16(32, block)
+    p16(34, 16)
+    put(36, "data"); p32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
   }
 }
