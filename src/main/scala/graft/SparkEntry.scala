@@ -1891,6 +1891,27 @@ r2o AS (
           t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "payload")
     }),
+    // IMAGE dedup RETENTION (cross-family composition: the multimodal
+    // pair generator feeding the text path's entity-resolution +
+    // retention machinery): q154's dHash pairs → GraphX
+    // connectedComponents (Dedup.dedupGroups — Pregel min-label, the
+    // scalable CC) → Dedup.canonicalDocs keeps the highest-n_chars doc
+    // per duplicate group (ties to the smallest id), with the group's
+    // n_docs/sum_quality audit columns — what a multimodal curation run
+    // actually ships: one surviving image per near-dup cluster plus the
+    // mass it absorbed. Rides the memoised q154 decode+hash pass; the
+    // oracle replays the pair pipeline + 16 unrolled HashMin rounds
+    // (the q58 oracle treatment) + the same rank/aggregate tail.
+    "q160_image_dedup_retention" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val pairs = graft.multimodal.ImageDedup.nearDupFromHashes(
+        pgmDHashed(s, dir))
+      graft.ext.Dedup.canonicalDocs(
+        graft.ext.Dedup.dedupGroups(
+          t(s, dir, "documents").select(col("doc_id")), pairs),
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars")
+    }),
     // deterministic random-walk corpus (learn.Walks): 2 DeepWalk-style
     // uniform walks of 4 steps from every co-purchase node — the
     // "sentences" a skip-gram node-embedding trainer consumes, the other
@@ -2842,19 +2863,25 @@ r2o AS (
     * DISAGREE with the fully-converged engine and fail the hash — the
     * bound can only cause a loud false alarm, never a silent pass. */
   private val dedupGroupsOracleRounds = 16
-  private val dedupGroupsCtes: String = {
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
-    // reference, and each round references its predecessor twice — 16
-    // inlined rounds would expand to 2^16 copies of the documents scan
-    // (observed as an exponential open-file/plan blow-up, the very
-    // pathology the recursive CTE had)
-    val rounds = (1 to dedupGroupsOracleRounds).map { k =>
+  /** The HashMin round CTEs `l1..lN` over an edge CTE `e (a, b)` and a
+    * label CTE `l0 (id, lbl)` — shared by every dedup-groups oracle
+    * (q58's text chain, q160's image chain). MATERIALIZED is
+    * load-bearing: DuckDB inlines plain CTEs per reference, and each
+    * round references its predecessor twice — 16 inlined rounds would
+    * expand to 2^16 copies of the base scan (observed as an exponential
+    * open-file/plan blow-up, the very pathology the r7 recursive CTE
+    * had). */
+  private def hashMinRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
       s"""l$k AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
          |  SELECT id, lbl FROM l${k - 1}
          |  UNION ALL
          |  SELECT e.a AS id, l.lbl FROM e JOIN l${k - 1} l ON l.id = e.b)
          |  GROUP BY id)""".stripMargin
     }.mkString(",\n")
+
+  private val dedupGroupsCtes: String = {
+    val rounds = hashMinRoundCtes(dedupGroupsOracleRounds)
     s"""WITH t AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
@@ -3164,8 +3191,12 @@ r2o AS (
     * in the final `hm <=` cut, because both candidate schemes are
     * pigeonhole-complete at their radius (the oracle needs the RESULT
     * set, not the candidate mechanics). */
-  private def imageDHashOracle(maxHamming: Int): String =
-    s"""WITH dim AS (SELECT doc_id, doc_id // 3 AS g,
+  /** The q154 pipeline's CTE chain (fixture pixels → gradient bits →
+    * block keys → candidates → exact Hamming per pair) without the final
+    * SELECT — shared by q154/q158 (radius cut) and q160 (groups +
+    * retention on top of the radius-3 pairs). */
+  private val imageDHashCtes: String =
+    s"""dim AS (SELECT doc_id, doc_id // 3 AS g,
       |    1 + (doc_id // 3) % 3 AS cw, 1 + (doc_id // 3) % 2 AS ch
       |  FROM documents),
       |px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
@@ -3190,7 +3221,10 @@ r2o AS (
       |  FROM cand c
       |  JOIN bits ba ON ba.doc_id = c.a
       |  JOIN bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
-      |  GROUP BY c.a, c.b)
+      |  GROUP BY c.a, c.b)""".stripMargin
+
+  private def imageDHashOracle(maxHamming: Int): String =
+    s"""WITH $imageDHashCtes
       |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
       |FROM ham WHERE hm <= $maxHamming""".stripMargin
 
@@ -4706,6 +4740,35 @@ r2o AS (
     // keys (offset by q·2³² like the Spark side), block-collision
     // candidates, exact Hamming ≤ 3
     "q154_image_neardup" -> imageDHashOracle(3),
+    // the q154 pairs + 16 unrolled HashMin rounds (q58's oracle
+    // treatment — MATERIALIZED, linear in |E| per round) + the
+    // keep-best-quality rank and the group totals
+    "q160_image_dedup_retention" ->
+      s"""WITH $imageDHashCtes,
+        |p AS MATERIALIZED (SELECT a AS doc_a, b AS doc_b FROM ham
+        |  WHERE hm <= 3),
+        |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
+        |  FROM documents),
+        |${hashMinRoundCtes(dedupGroupsOracleRounds)},
+        |g AS (SELECT CAST(id AS BIGINT) AS doc_id,
+        |    CAST(lbl AS BIGINT) AS canon_id
+        |  FROM l$dedupGroupsOracleRounds),
+        |j AS (SELECT g.doc_id, g.canon_id, d.n_chars
+        |  FROM g JOIN documents d USING (doc_id)),
+        |best AS (SELECT canon_id, doc_id AS kept_doc,
+        |    n_chars AS kept_quality FROM (
+        |  SELECT canon_id, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY canon_id
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM j) WHERE rk = 1),
+        |tot AS (SELECT canon_id, COUNT(*) AS n_docs,
+        |    SUM(n_chars) AS sum_quality FROM j GROUP BY canon_id)
+        |SELECT b.canon_id, b.kept_doc,
+        |  CAST(b.kept_quality AS BIGINT) AS kept_quality,
+        |  CAST(t.n_docs AS BIGINT) AS n_docs,
+        |  CAST(t.sum_quality AS BIGINT) AS sum_quality
+        |FROM best b JOIN tot t USING (canon_id)""".stripMargin,
     // q158 = the SAME fingerprint pipeline at radius 2: the co-bucket
     // candidate scheme and q154's single-block scheme are both
     // pigeonhole-complete at Hamming ≤ 2, so the final pair sets agree

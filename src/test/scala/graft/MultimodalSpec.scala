@@ -651,6 +651,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image dedup retention: dHash pairs -> components -> keep the " +
+      "highest-quality doc per group (naive union-find agreement)") {
+    import graft.multimodal.{ImageDedup, MediaSynth}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val n = 60L
+    val ids = spark.range(0, n).toDF("doc_id")
+    def quality(id: Long): Long = (id * 7) % 13
+    val qualityDf = (0L until n).map(id => (id, quality(id)))
+      .toDF("doc_id", "q")
+    val pairs = ImageDedup.nearDupFromHashes(
+      ImageDedup.dhashFrame(
+        MediaSynth.withPgmPayload(ids, "doc_id"), "doc_id", "payload"))
+    val got = graft.ext.Dedup.canonicalDocs(
+        graft.ext.Dedup.dedupGroups(ids, pairs), qualityDf, "q")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // naive: union-find over the driver-side pair closure
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val fps = (0L until n).map(id => id -> pgmDhash(id)).toMap
+    for (a <- 0L until n; b <- (a + 1) until n
+         if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val groups = (0L until n).groupBy(id => find(id.toInt).toLong)
+    val expect = groups.map { case (canon, members) =>
+      val kept = members.maxBy(id => (quality(id), -id))
+      canon -> ((kept, quality(kept), members.size.toLong,
+        members.map(quality).sum))
+    }
+    assert(got === expect)
+    assert(groups.values.exists(_.size > 1), "fixture must merge groups")
+  }
+
   /** Driver-side replay of the WAV motif envelope. */
   private def motifAmp(id: Long, f: Int): Long =
     (graft.multimodal.MediaSynth.mixSq2(id / 3, f.toLong) % 14) * 1024 + 512 +
