@@ -152,7 +152,8 @@ object Bench {
         "q141_stream_dedup_folded", "q142_stream_semantic_bucketed",
         "q144_stream_dedup_evict", "q147_stream_semantic_evict",
         "q150_pq_ingest_folded", "q152_stream_dedup_restart",
-        "q155_stream_semantic_restart")
+        "q155_stream_semantic_restart", "q161_stream_image_dedup",
+        "q162_stream_image_evict", "q163_stream_image_restart")
     val lifecyclePass = math.min(2, reps)
     // timesByQuery(name) = (pass, wall-clock) per executed pass
     val timesByQuery = scala.collection.mutable.Map

@@ -85,7 +85,11 @@ object PlanDump {
     "q123_ppr",             // broadcast seed flag; sparse nonzero frontier
     "q125_containment",     // rare-prefix ⨝ posting list + packed verify
     "q135_quality_scored",  // frozen integer head: row-local, 0 exchanges
-    "q143_gopher_coverage") // 9-size nested-HOF gram explode + doc-keyed aggs
+    "q143_gopher_coverage", // 9-size nested-HOF gram explode + doc-keyed aggs
+    "q151_shard_write",     // span assembly: rows ≈ docs+straddlers, no tokens
+    "q156_image_neardup_wide", // 16-key banded join + zip_with 256-bit verify
+    "q159_video_neardup",   // (frame, block) keys + aligned-frame verify agg
+    "q160_image_dedup_retention") // GraphX CC + WindowGroupLimit keep-best
   // q111/q112/q113/q117 are shape-duplicates of audited sections (q58's
   // component chain + a row-local projection; q71's probed top-k with a
   // probe-rank filter; a plain equi-join + map-side-combined count; an
@@ -105,7 +109,13 @@ object PlanDump {
   // rename swap) between micro-batches, and q142 is the same bucketed-
   // index + fold treatment for the semantic path (store side bucketed
   // on cid; StreamingSpec pins its no-exchange-no-sort shape directly)
-  // — PlanLintSpec still sweeps them every `sbt test`
+  // — PlanLintSpec still sweeps them every `sbt test`; r15's
+  // q152/q155 are the q137/q142 lifecycles killed-and-resumed (same
+  // plans), q153 is one join over the memoised q143 table + row-local
+  // flags, q154/q157/q158 are q36's audited block-key self-join shape
+  // with a row-local fingerprint kernel in front (q158 swaps in pair
+  // keys; q156's wider twin IS audited for its array-fp verify), and
+  // q145/q148 ride the audited q64/q65 runningSum kernel shapes
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])

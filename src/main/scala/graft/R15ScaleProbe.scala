@@ -233,6 +233,50 @@ object R15ScaleProbe {
       }
     }
 
+    // q161's store≫batch claim (the SCALE_r13 §1 treatment for the
+    // image family): pre-populate the bucketed fingerprint index with
+    // K corpus replicas, then measure ONE fixed-size batch ingest —
+    // shuffle bytes must track the batch (plus the verified-pair
+    // output, which grows with the aliased-motif mass the fixture
+    // caps at its 2002-group period — reported alongside), never the
+    // store.
+    if (only.forall(_ == "imgstore")) {
+      println("== q161 image ingest: per-batch exchange vs store size ==")
+      val newBatch = replica(98).filter(col("doc_id") % 10 === 0)
+        .select("doc_id")
+        .coalesce(parts).localCheckpoint(eager = true)
+      val nNew = newBatch.count()
+      for (k <- Seq(1, 4, 8)) {
+        val tbl = s"graft_probe_imgstore_$k"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"imgstore$k").toString
+        (0 until k).foreach { r =>
+          graft.streaming.StoreCompact.appendToBucketedIndex(spark, tbl,
+            graft.streaming.ImageIngest.fingerprints(
+              replica(r).select("doc_id"))
+              .withColumn("batch_id", lit(r.toLong)),
+            buckets = parts, Seq("key"))
+        }
+        graft.streaming.ImageIngest.compact(spark, s"$tmp/store", tbl,
+          upToBatch = (k - 1).toLong, buckets = parts)
+        val storeRows = spark.table(tbl).count()
+        for (rep <- 1 to 3) {
+          val (_, t, sh, mx) = timedSh {
+            graft.streaming.ImageIngest.ingestBatchBucketed(newBatch,
+              s"$tmp/store", tbl, maxHamming = 3,
+              batchId = (k + rep).toLong, buckets = parts)
+          }
+          val pairsNow = graft.streaming.ImageIngest
+            .pairs(spark, s"$tmp/store").count()
+          println(f"R15SCALE imgstore K=$k rep=$rep store_rows=$storeRows%,d " +
+            f"batch=$nNew%,d pairs_out=$pairsNow%,d wall=$t%.2f s " +
+            f"shuffle=$sh%.1f MB max_task=$mx ms")
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
+    }
+
     if (only.forall(_ == "audiodup")) {
       println("== q157 audio near-dup: candidate curve ==")
       implicit val sp: SparkSession = spark

@@ -1891,6 +1891,188 @@ r2o AS (
           t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "payload")
     }),
+    // STREAMING incremental IMAGE near-dedup (streaming.ImageIngest —
+    // the FOURTH ingest family, extending the engine's incremental
+    // dedup to the multimodal tier): the corpus lands as three staged
+    // micro-batches, each decoded + dHash-fingerprinted (the q154
+    // kernels) for the NEW images only, candidates from the block-key
+    // join against the accumulated BUCKETED fingerprint index (new ×
+    // all, never all × all; the only per-batch exchange moves the
+    // |batch| new keys — O(|batch|), the q137 shape), Hamming verified
+    // INLINE on the joined fingerprints (the fp rides the index — no
+    // second verification store), pairs appended. Mid-stream, between
+    // committed batches 1 and 2, the full maintenance pass runs live
+    // (Maintenance.compactImageStore: pairs fold + one-file-per-bucket
+    // index rebuild with the rename swap — the q141 richness on day
+    // one of the family). The accumulated pairs must equal the batch
+    // q154 answer — the same oracle, across batch boundaries and the
+    // fold.
+    "q161_stream_image_dedup" -> ((s, dir) => {
+      import graft.streaming.{ImageIngest, Maintenance}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q161").toString
+      val tbl = "graft_q161_fps_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q161 startup")(
+          ImageIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q161 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          // live maintenance between committed batches (quiesce holds:
+          // processAllAvailable returned, batch 2 not yet staged)
+          phase("q161 mid-stream fold")(
+            Maintenance.compactImageStore(s, store, tbl, upToBatch = 1L))
+          phase("q161 batch 2") {
+            stage(2L); q.processAllAvailable()
+          }
+        } finally q.stop()
+        phase("q161 result")(ImageIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q161's lifecycle with the retention horizon ON (the q144
+    // treatment for the image family): the mid-stream fold runs at
+    // evictBelow = 1, so batch-0 fingerprints leave the bucketed index
+    // entirely — batch 2 can no longer pair against them — while
+    // batch-0's already-emitted pairs persist (output, not state).
+    // Oracle = the batch q154 pairs minus exactly the {batch-0 ×
+    // batch-2} cross pairs; every fixture group spans all three mod-3
+    // batches, so the subtraction is discriminating at every SF.
+    "q162_stream_image_evict" -> ((s, dir) => {
+      import graft.streaming.{ImageIngest, Maintenance}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q162").toString
+      val tbl = "graft_q162_fps_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q162 startup")(
+          ImageIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q162 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          phase("q162 fold+evict")(
+            Maintenance.compactImageStore(s, store, tbl,
+              upToBatch = 1L, evictBelow = 1L))
+          phase("q162 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q162 result")(ImageIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q161's lifecycle KILLED AND RESUMED from its checkpoint (the
+    // q152/q155 treatment, completing the crash cert across all four
+    // ingest families): batches 0-1 through a real StreamingQuery,
+    // stop, DELETE batch 1's commit marker (the crash-between-output-
+    // and-commit window), stage batch 2, start a NEW query from the
+    // same checkpoint — the replay reads the pre-batch index
+    // (own-batch exclusion) and its duplicate index append collapses
+    // in the candidate distinct. Same pairs contract, same oracle.
+    "q163_stream_image_restart" -> ((s, dir) => {
+      import graft.streaming.ImageIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q163").toString
+      val tbl = "graft_q163_fps_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q1 = phase("q163 startup")(
+          ImageIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q163 batches 0-1") {
+            stage(0L); q1.processAllAvailable()
+            stage(1L); q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        // crash window: batch 1's store/index output exists but its
+        // commit marker doesn't — the restart must re-run batch 1 (the
+        // local ChecksumFs .crc sidecar must go too or the replayed
+        // commit's rename collides with it)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/1"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+        stage(2L)
+        val q2 = phase("q163 restart")(
+          ImageIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try phase("q163 replay+batch 2")(q2.processAllAvailable())
+        finally q2.stop()
+        phase("q163 result")(ImageIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // IMAGE dedup RETENTION (cross-family composition: the multimodal
     // pair generator feeding the text path's entity-resolution +
     // retention machinery): q154's dHash pairs → GraphX
@@ -4740,6 +4922,21 @@ r2o AS (
     // keys (offset by q·2³² like the Spark side), block-collision
     // candidates, exact Hamming ≤ 3
     "q154_image_neardup" -> imageDHashOracle(3),
+    // the streaming image lifecycle accumulates exactly the batch
+    // answer (every pair involves >= 1 new image exactly once; the
+    // mid-stream fold changes layout, never the visible pair set)
+    "q161_stream_image_dedup" -> imageDHashOracle(3),
+    // restart-from-checkpoint replays to the same accumulated pairs
+    "q163_stream_image_restart" -> imageDHashOracle(3),
+    // eviction at the fold drops exactly the {batch-0 × batch-2} cross
+    // pairs (batch-0 fingerprints left the index before batch 2 ran);
+    // everything already emitted persists as output
+    "q162_stream_image_evict" ->
+      s"""WITH $imageDHashCtes
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham WHERE hm <= 3
+        |  AND NOT ((a % 3 = 0 AND b % 3 = 2)
+        |        OR (a % 3 = 2 AND b % 3 = 0))""".stripMargin,
     // the q154 pairs + 16 unrolled HashMin rounds (q58's oracle
     // treatment — MATERIALIZED, linear in |E| per round) + the
     // keep-best-quality rank and the group totals

@@ -71,6 +71,21 @@ object Maintenance {
       EmbIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets))
   }
 
+  /** Maintenance pass for an [[ImageIngest]] deployment: fold the
+    * parquet pairs log, then rebuild the bucketed fingerprint-index
+    * table (resume-first, like the other bucketed families). */
+  def compactImageStore(
+      spark: SparkSession,
+      storeDir: String,
+      fpTable: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      buckets: Int = 32): Unit = {
+    StoreCompact.resumeSwap(spark, fpTable)
+    ImageIngest.compact(spark, storeDir, fpTable, upToBatch, evictBelow,
+      buckets)
+  }
+
   /** Maintenance pass for a [[PqIngest]] deployment (one parquet codes
     * store; no bucketed index variant). */
   def compactPqStore(
