@@ -2073,6 +2073,43 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // the END-TO-END multimodal curation VERDICT (the capstone
+    // composition — what a curation run actually ships as its keep
+    // table): per document, the TEXT structural gate (q146's Gopher
+    // table-A1 rules), the IMAGE near-dup retention verdict (doc is
+    // its duplicate-group's kept canonical — q160's chain, riding the
+    // memoised q154 hash pass), and the AUDIO first-seen-wins verdict
+    // (drop the larger id of every fingerprint near-dup pair — q157's
+    // pipeline; transitive groups keep exactly their minimum), with
+    // keep = the conjunction. Every leg is an already-oracled pipeline;
+    // the composition is itself oracled end-to-end (the three chains
+    // composed in one DuckDB statement).
+    "q164_multimodal_curation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val gate = graft.ext.Filters.gopherGate(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("text_keep"))
+      val groups = graft.ext.Dedup.dedupGroups(ids,
+        graft.multimodal.ImageDedup.nearDupFromHashes(pgmDHashed(s, dir)))
+      val kept = graft.ext.Dedup.canonicalDocs(groups,
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars")
+        .select(col("kept_doc").as("doc_id"), lit(1L).as("image_keep"))
+      val audioDrop = graft.multimodal.AudioDedup.nearDupAudio(
+          graft.multimodal.MediaSynth.withWavMotifPayload(ids, "doc_id"),
+          "doc_id", "payload")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("audio_dup", lit(1L))
+      ids.join(gate, Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .join(audioDrop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text_keep"),
+          coalesce(col("image_keep"), lit(0L)).as("image_keep"),
+          when(col("audio_dup").isNull, 1L).otherwise(0L).as("audio_keep"))
+        .withColumn("keep",
+          col("text_keep") * col("image_keep") * col("audio_keep"))
+    }),
     // IMAGE dedup RETENTION (cross-family composition: the multimodal
     // pair generator feeding the text path's entity-resolution +
     // retention machinery): q154's dHash pairs → GraphX
@@ -4966,6 +5003,79 @@ r2o AS (
         |  CAST(t.n_docs AS BIGINT) AS n_docs,
         |  CAST(t.sum_quality AS BIGINT) AS sum_quality
         |FROM best b JOIN tot t USING (canon_id)""".stripMargin,
+    // the three already-oracled chains composed in one statement: the
+    // image pair CTEs + HashMin + keep-best (q160's), an a-prefixed
+    // copy of the audio pipeline (q157's) reduced to the drop set, and
+    // the q146 structural gate; keep = the product of the three flags
+    "q164_multimodal_curation" ->
+      s"""WITH $imageDHashCtes,
+        |p AS MATERIALIZED (SELECT a AS doc_a, b AS doc_b FROM ham
+        |  WHERE hm <= 3),
+        |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
+        |  FROM documents),
+        |${hashMinRoundCtes(dedupGroupsOracleRounds)},
+        |g2 AS (SELECT CAST(id AS BIGINT) AS doc_id,
+        |    CAST(lbl AS BIGINT) AS canon_id
+        |  FROM l$dedupGroupsOracleRounds),
+        |jq AS (SELECT g2.doc_id, g2.canon_id, d.n_chars
+        |  FROM g2 JOIN documents d USING (doc_id)),
+        |best AS (SELECT canon_id, doc_id AS kept_doc FROM (
+        |  SELECT canon_id, doc_id,
+        |    row_number() OVER (PARTITION BY canon_id
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM jq) WHERE rk = 1),
+        |afr AS (SELECT doc_id, doc_id // 3 AS gg, t.f AS f
+        |  FROM documents, generate_series(0, 64) AS t(f)),
+        |au AS (SELECT doc_id, f,
+        |    ${graft.learn.DetRandom.mixSql("gg", "f", 42L)} AS u0 FROM afr),
+        |ae AS (SELECT doc_id, f,
+        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 14) * 1024 + 512 +
+        |      CASE WHEN (doc_id*131 + f*17) % 19 = 0 THEN 7 ELSE 0 END AS amp
+        |  FROM au),
+        |abits AS (SELECT a.doc_id, a.f AS pos,
+        |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
+        |  FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64),
+        |ablk AS (SELECT doc_id, pos // 16 AS q,
+        |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
+        |      + (pos // 16) * 4294967296 AS key
+        |  FROM abits GROUP BY doc_id, pos // 16),
+        |acand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM ablk x JOIN ablk y ON x.key = y.key AND x.doc_id < y.doc_id),
+        |aham AS (SELECT c.a, c.b,
+        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
+        |  FROM acand c
+        |  JOIN abits ba ON ba.doc_id = c.a
+        |  JOIN abits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
+        |  GROUP BY c.a, c.b),
+        |adrop AS (SELECT DISTINCT b AS doc_id FROM aham WHERE hm <= 3),
+        |tt AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |ts AS (SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(ts) = 0 THEN 0
+        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
+        |  CAST(CASE WHEN length(lt) = 0 THEN 0
+        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
+        |  CAST(len(list_filter(list_distinct(ts),
+        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        |  FROM tt),
+        |tg AS (SELECT doc_id,
+        |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 AND mtl_ppm BETWEEN 3000000 AND 10000000
+        |    AND alpha_ppm >= 600000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS text_keep
+        |  FROM ts)
+        |SELECT d.doc_id, tg.text_keep,
+        |  CAST(CASE WHEN bk.kept_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_keep,
+        |  CAST(CASE WHEN ad.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS audio_keep,
+        |  tg.text_keep
+        |    * CAST(CASE WHEN bk.kept_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    * CAST(CASE WHEN ad.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d
+        |JOIN tg ON tg.doc_id = d.doc_id
+        |LEFT JOIN best bk ON bk.kept_doc = d.doc_id
+        |LEFT JOIN adrop ad ON ad.doc_id = d.doc_id""".stripMargin,
     // q158 = the SAME fingerprint pipeline at radius 2: the co-bucket
     // candidate scheme and q154's single-block scheme are both
     // pigeonhole-complete at Hamming ≤ 2, so the final pair sets agree
