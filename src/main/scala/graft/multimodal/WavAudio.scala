@@ -273,7 +273,11 @@ private[multimodal] object RiffWav {
     var dataLen = 0
     while (off + 8 <= bytes.length) {
       val size = le32(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // LONG arithmetic: a corrupt size near 2³¹ would wrap `off+8+size`
+      // negative and slip past an Int bounds check — the fast paths run
+      // OUTSIDE the kernels' try/catch (quarantine-by-None, not by
+      // exception), so parse must never hand back out-of-range offsets
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return None
       if (tag(off, "fmt ")) {
         if (size < 16) return None
         val audioFormat = le16(off + 8)

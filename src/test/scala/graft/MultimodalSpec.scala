@@ -788,6 +788,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("RiffWav corrupt chunk size: every kernel quarantines (None / " +
+      "not-ok), never throws — the fast path runs outside the try") {
+    import graft.multimodal.{AudioDedup, MediaSynth, WavAudioDecoder,
+      WavResampler, WavWindowSampler}
+    val wav = MediaSynth.wavMotifFixture(7L)
+    // canonical layout: the data-chunk size field lives at offset 40;
+    // 0x7fffffff wraps an Int bounds check (off + 8 + size < 0)
+    val corrupt = wav.clone()
+    corrupt(40) = 0xff.toByte; corrupt(41) = 0xff.toByte
+    corrupt(42) = 0xff.toByte; corrupt(43) = 0x7f.toByte
+    // the fast path must REFUSE the lying header (long-arith bounds
+    // guard) and hand off to AudioSystem, which decodes the intact
+    // samples under the truncated stream — so the values come back
+    // EQUAL to the clean payload's, and nothing throws
+    assert(AudioDedup.energyDeltaFp64(corrupt) ===
+      AudioDedup.energyDeltaFp64(wav))
+    assert(WavAudioDecoder.meanAbsAmplitude(corrupt) ===
+      WavAudioDecoder.meanAbsAmplitude(wav))
+    WavAudioDecoder.decode(Seq(corrupt))
+    WavResampler(2).transform(Seq(corrupt))
+    WavWindowSampler(125, 2).sample(corrupt)
+  }
+
   test("nearDupAudio: same-group clips pair up within hamming 3, " +
       "naive all-pairs agreement on the closed form") {
     import graft.multimodal.{AudioDedup, MediaSynth}
