@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *
   * Not part of the driver contract. Usage: `runMain graft.R15ScaleProbe`
   * (env: SPARK_GRAFT_SF_DIR / _CPUS;
-  * CASE=shardsink|imagedup|cobucket|widedup|audiodup). */
+  * CASE=shardsink|imagedup|cobucket|widedup|audiodup|imgstore). */
 object R15ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3405,11 +3405,6 @@ r2o AS (
       |tr AS (SELECT wg.u, wg.v, wg.c FROM wg
       |  JOIN o o3 ON o3.u = wg.v AND o3.v = wg.c)""".stripMargin
 
-  /** The q154 dHash replay parameterised by the verify radius — q158
-    * (co-bucket candidates) shares the whole pipeline and differs only
-    * in the final `hm <=` cut, because both candidate schemes are
-    * pigeonhole-complete at their radius (the oracle needs the RESULT
-    * set, not the candidate mechanics). */
   /** The q154 pipeline's CTE chain (fixture pixels → gradient bits →
     * block keys → candidates → exact Hamming per pair) without the final
     * SELECT — shared by q154/q158 (radius cut) and q160 (groups +
@@ -3442,6 +3437,43 @@ r2o AS (
       |  JOIN bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
       |  GROUP BY c.a, c.b)""".stripMargin
 
+  /** The q157 audio pipeline's CTE chain (fixture envelope → delta-sign
+    * bits → block keys → candidates → exact Hamming per pair), every
+    * CTE name prefixed so the chain composes into multi-modality
+    * statements without collisions (q157 uses the empty prefix; q164
+    * uses "a", which also keeps its HashMin `e` CTE distinct). */
+  private def audioFpCtes(p: String): String =
+    s"""${p}fr AS (SELECT doc_id, doc_id // 3 AS gg, t.f AS f
+      |  FROM documents, generate_series(0, 64) AS t(f)),
+      |${p}u AS (SELECT doc_id, f,
+      |    ${graft.learn.DetRandom.mixSql("gg", "f", 42L)} AS u0 FROM ${p}fr),
+      |${p}e AS (SELECT doc_id, f,
+      |    (${graft.multimodal.MediaSynth.sq2Sql("u0")} % 14) * 1024 + 512 +
+      |      CASE WHEN (doc_id*131 + f*17) % 19 = 0 THEN 7 ELSE 0 END AS amp
+      |  FROM ${p}u),
+      |${p}bits AS (SELECT a.doc_id, a.f AS pos,
+      |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
+      |  FROM ${p}e a JOIN ${p}e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |${p}blk AS (SELECT doc_id, pos // 16 AS q,
+      |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
+      |      + (pos // 16) * 4294967296 AS key
+      |  FROM ${p}bits GROUP BY doc_id, pos // 16),
+      |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM ${p}blk x JOIN ${p}blk y ON x.key = y.key
+      |    AND x.doc_id < y.doc_id),
+      |${p}ham AS (SELECT c.a, c.b,
+      |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
+      |  FROM ${p}cand c
+      |  JOIN ${p}bits ba ON ba.doc_id = c.a
+      |  JOIN ${p}bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
+      |  GROUP BY c.a, c.b)""".stripMargin
+
+  /** The q154 dHash replay parameterised by the verify radius — q158
+    * (co-bucket candidates) shares the whole pipeline and differs only
+    * in the final `hm <=` cut, because both candidate schemes are
+    * pigeonhole-complete at their radius (the oracle needs the RESULT
+    * set, not the candidate mechanics). */
   private def imageDHashOracle(maxHamming: Int): String =
     s"""WITH $imageDHashCtes
       |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
@@ -5025,30 +5057,7 @@ r2o AS (
         |  SELECT canon_id, doc_id,
         |    row_number() OVER (PARTITION BY canon_id
         |      ORDER BY n_chars DESC, doc_id) AS rk FROM jq) WHERE rk = 1),
-        |afr AS (SELECT doc_id, doc_id // 3 AS gg, t.f AS f
-        |  FROM documents, generate_series(0, 64) AS t(f)),
-        |au AS (SELECT doc_id, f,
-        |    ${graft.learn.DetRandom.mixSql("gg", "f", 42L)} AS u0 FROM afr),
-        |ae AS (SELECT doc_id, f,
-        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 14) * 1024 + 512 +
-        |      CASE WHEN (doc_id*131 + f*17) % 19 = 0 THEN 7 ELSE 0 END AS amp
-        |  FROM au),
-        |abits AS (SELECT a.doc_id, a.f AS pos,
-        |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
-        |  FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-        |  WHERE a.f < 64),
-        |ablk AS (SELECT doc_id, pos // 16 AS q,
-        |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
-        |      + (pos // 16) * 4294967296 AS key
-        |  FROM abits GROUP BY doc_id, pos // 16),
-        |acand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM ablk x JOIN ablk y ON x.key = y.key AND x.doc_id < y.doc_id),
-        |aham AS (SELECT c.a, c.b,
-        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
-        |  FROM acand c
-        |  JOIN abits ba ON ba.doc_id = c.a
-        |  JOIN abits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
-        |  GROUP BY c.a, c.b),
+        |${audioFpCtes("a")},
         |adrop AS (SELECT DISTINCT b AS doc_id FROM aham WHERE hm <= 3),
         |tt AS (
         |  SELECT doc_id, lower(text) AS lt,
@@ -5096,7 +5105,7 @@ r2o AS (
         |  FROM dim, generate_series(0, 15) AS gx(x),
         |    generate_series(0, 15) AS gy(y)),
         |px AS (SELECT doc_id, x, y,
-        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 17) * 12 + 8 +
+        |    (${graft.multimodal.MediaSynth.sq2Sql("u0")} % 17) * 12 + 8 +
         |      CASE WHEN (doc_id*131 + (x*(w//16))*17 + (y*(h//16))*23) % 19 = 0
         |           THEN 7 ELSE 0 END AS v
         |  FROM u),
@@ -5126,29 +5135,7 @@ r2o AS (
     // is exactly the envelope), delta-sign bits, 16-bit block keys,
     // block-collision candidates, exact Hamming ≤ 3
     "q157_audio_neardup" ->
-      s"""WITH fr AS (SELECT doc_id, doc_id // 3 AS g, t.f AS f
-        |  FROM documents, generate_series(0, 64) AS t(f)),
-        |u AS (SELECT doc_id, f, ${graft.learn.DetRandom.mixSql("g", "f", 42L)} AS u0 FROM fr),
-        |e AS (SELECT doc_id, f,
-        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 14) * 1024 + 512 +
-        |      CASE WHEN (doc_id*131 + f*17) % 19 = 0 THEN 7 ELSE 0 END AS amp
-        |  FROM u),
-        |bits AS (SELECT a.doc_id, a.f AS pos,
-        |    CASE WHEN b.amp > a.amp THEN 1 ELSE 0 END AS bit
-        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-        |  WHERE a.f < 64),
-        |blk AS (SELECT doc_id, pos // 16 AS q,
-        |    SUM(bit * (CAST(1 AS BIGINT) << (pos % 16)))
-        |      + (pos // 16) * 4294967296 AS key
-        |  FROM bits GROUP BY doc_id, pos // 16),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM blk x JOIN blk y ON x.key = y.key AND x.doc_id < y.doc_id),
-        |ham AS (SELECT c.a, c.b,
-        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hm
-        |  FROM cand c
-        |  JOIN bits ba ON ba.doc_id = c.a
-        |  JOIN bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
-        |  GROUP BY c.a, c.b)
+      s"""WITH ${audioFpCtes("")}
         |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
         |FROM ham WHERE hm <= 3""".stripMargin,
     // replay of the VIDEO pipeline from doc_id alone: the GIF motif
@@ -5167,7 +5154,7 @@ r2o AS (
         |  FROM fr, generate_series(0, 8) AS gx(x),
         |    generate_series(0, 7) AS gy(y)),
         |px AS (SELECT doc_id, f, x, y,
-        |    ((((u0*u0) % 1000000007) * ((u0*u0) % 1000000007)) % 1000000007 % 17) * 12 + 8 +
+        |    (${graft.multimodal.MediaSynth.sq2Sql("u0")} % 17) * 12 + 8 +
         |      CASE WHEN (doc_id*131 + f*37 + x*17 + y*23) % 19 = 0
         |           THEN 7 ELSE 0 END AS v
         |  FROM u),

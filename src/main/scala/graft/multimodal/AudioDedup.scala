@@ -116,17 +116,13 @@ object AudioDedup {
       windowFrames: Int = 125,
       maxHamming: Int = 3,
       blocks: Int = 4)(implicit spark: SparkSession): DataFrame = {
-    require(blocks > 0 && 64 % blocks == 0, s"blocks must divide 64: $blocks")
-    val w = 64 / blocks
     val hashed = Multimodal.audioFpPartitions(
       docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
       payloadCol, "fp", windowFrames)
       .filter(col("fp").isNotNull)
       .select(col("doc_id"), col("fp"))
-    ImageDedup.bandedPairs(hashed, maxHamming,
-      (0 until blocks).map(q =>
-        shiftrightunsigned(col("fp"), q * w)
-          .bitwiseAND(lit((1L << w) - 1)) +
-          lit(q.toLong * 4294967296L)))
+    // the candidate + verify tail is exactly the 64-bit image one —
+    // one shared implementation, never a diverging copy
+    ImageDedup.nearDupFromHashes(hashed, maxHamming, blocks)
   }
 }

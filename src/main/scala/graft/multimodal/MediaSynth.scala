@@ -139,6 +139,16 @@ object MediaSynth {
     v2 * v2 % m
   }
 
+  /** The double-squaring stage of [[mixSq2]] as ANSI SQL text over an
+    * already-computed mix column `u` (oracle parity — the
+    * [[graft.learn.DetRandom.mixSql]] convention; every fixture oracle
+    * computes `u = mixSql(...)` in a CTE and then applies this, so the
+    * modulus and the squaring shape live in ONE place). */
+  private[graft] def sq2Sql(u: String): String = {
+    val m = graft.learn.DetRandom.M
+    s"(((($u*$u) % $m) * (($u*$u) % $m)) % $m)"
+  }
+
   /** Append the FINE-grained PGM payload (see [[pgmFineFixture]]) — the
     * wide-perceptual-hash near-dup fixture. */
   def withPgmFinePayload(df: DataFrame, idCol: String,

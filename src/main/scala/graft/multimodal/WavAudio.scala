@@ -133,7 +133,10 @@ final case class WavResampler(factor: Int) extends BatchTransformer {
       case Some(p) =>
         val frameBytes = p.channels * 2
         val nFrames = p.nFrames.toInt
-        if (nFrames <= 0) return None
+        // a factor above the clip's rate floors the declared output
+        // rate to 0 — an undecodable result either way, so quarantine
+        // (the javax path failed the same case inside its catch)
+        if (nFrames <= 0 || p.sampleRate / factor <= 0) return None
         val kept = (0 until nFrames by factor).toArray
         val out = new Array[Byte](kept.length * frameBytes)
         var i = 0

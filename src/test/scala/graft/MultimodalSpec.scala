@@ -809,6 +809,9 @@ class MultimodalSpec extends SparkSpec {
     WavAudioDecoder.decode(Seq(corrupt))
     WavResampler(2).transform(Seq(corrupt))
     WavWindowSampler(125, 2).sample(corrupt)
+    // a decimation factor above the clip's sample rate floors the
+    // output rate to 0 — quarantine (None), never a thrown require
+    assert(WavResampler(16000).transform(Seq(wav)).head.isEmpty)
   }
 
   test("nearDupAudio: same-group clips pair up within hamming 3, " +
