@@ -24,6 +24,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The one part file of a `coalesce(1)` staging write. An empty
+    * staging dir (a filtered slice that optimised to zero partitions at
+    * a tiny SF) fails LOUDLY here instead of a bare
+    * NoSuchElementException deep inside a lifecycle query. */
+  private def stagedPart(staging: String): java.io.File = {
+    val files = Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    files.find(_.getName.endsWith(".parquet")).getOrElse(sys.error(
+      s"staging write produced no parquet part in $staging " +
+        s"(${files.length} files) — empty input slice at this SF?"))
+  }
+
   /** Triangle listing over [[partPairs]], memoised and checkpointed —
     * the enumeration (the expensive oriented wedge join) runs once per
     * session and pass; q74's per-node counts and q78's per-edge counts
@@ -1659,8 +1671,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           emb.filter(pmod(col("vec_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -1713,8 +1724,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           emb.filter(pmod(col("vec_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -1923,8 +1933,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -1980,8 +1989,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2034,8 +2042,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2270,8 +2277,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2315,8 +2321,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2368,8 +2373,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2436,8 +2440,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2493,8 +2496,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2555,8 +2557,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2623,8 +2624,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2679,8 +2679,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }
@@ -2738,8 +2737,7 @@ r2o AS (
           val staging = s"$tmp/stage$b"
           docs.filter(pmod(col("doc_id"), lit(3)) === b)
             .coalesce(1).write.parquet(staging)
-          val part = new java.io.File(staging).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val part = stagedPart(staging)
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
         }

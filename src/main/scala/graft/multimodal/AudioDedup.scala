@@ -31,13 +31,20 @@ import org.apache.spark.sql.functions._
 object AudioDedup {
 
   /** 64-bit energy-delta fingerprint of a 16-bit PCM payload: split the
-    * samples into windows of `windowFrames`, take each window's mean
-    * |sample| as an exact integer (long sum, floor division — the
+    * FRAMES into windows of `windowFrames` (a frame is one sample per
+    * channel, so a window spans `windowFrames × channels` interleaved
+    * samples), take each window's mean |sample| as an exact integer
+    * (long sum, floor division — the
     * [[WavAudioDecoder.meanAbsAmplitude]] arithmetic per window), and
     * set bit `f` iff E(f+1) > E(f) over the first 65 windows. None when
     * the payload is undecodable, not 16-bit signed PCM, or shorter than
     * 65 full windows (a fingerprint over a truncated tail would compare
-    * clips of different support — quarantine instead). */
+    * clips of different support — quarantine instead). For mono
+    * payloads (every committed fixture) the arithmetic is unchanged
+    * from the pre-r16 samples-as-frames version, so fingerprints stay
+    * hash-stable; multi-channel payloads now window by TIME as the
+    * doc always claimed, instead of windows silently spanning
+    * `windowFrames / channels` frames. */
   def energyDeltaFp64(bytes: Array[Byte], windowFrames: Int = 125): Option[Long] = {
     require(windowFrames > 0, s"windowFrames must be positive: $windowFrames")
     if (bytes == null || bytes.length < 12) return None
@@ -46,15 +53,16 @@ object AudioDedup {
     RiffWav.parse(bytes) match {
       case Some(p) =>
         val windows = 65
-        if (p.nSamples < windows * windowFrames) return None
+        val windowSamples = windowFrames * p.channels
+        if (p.nSamples < windows.toLong * windowSamples) return None
         val energy = new Array[Long](windows)
         var w = 0
         while (w < windows) {
           var sum = 0L
-          var i = w * windowFrames
-          val end = i + windowFrames
+          var i = w * windowSamples
+          val end = i + windowSamples
           while (i < end) { sum += math.abs(p.sample(i).toLong); i += 1 }
-          energy(w) = sum / windowFrames
+          energy(w) = sum / windowSamples
           w += 1
         }
         var fp = 0L
@@ -75,13 +83,16 @@ object AudioDedup {
         val data = ais.readAllBytes()
         val nSamples = data.length / 2
         val windows = 65
-        if (nSamples < windows * windowFrames) return None
+        // same frame-windowing as the fast path: a window spans
+        // windowFrames frames = windowFrames × channels samples
+        val windowSamples = windowFrames * f.getChannels
+        if (nSamples < windows.toLong * windowSamples) return None
         val energy = new Array[Long](windows)
         var w = 0
         while (w < windows) {
           var sum = 0L
-          var i = w * windowFrames
-          val end = i + windowFrames
+          var i = w * windowSamples
+          val end = i + windowSamples
           while (i < end) {
             val s =
               if (f.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
@@ -89,7 +100,7 @@ object AudioDedup {
             sum += math.abs(s.toLong)
             i += 1
           }
-          energy(w) = sum / windowFrames
+          energy(w) = sum / windowSamples
           w += 1
         }
         var fp = 0L

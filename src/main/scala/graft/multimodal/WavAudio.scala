@@ -274,14 +274,20 @@ private[multimodal] object RiffWav {
     var fmtOk = false
     var dataOff = -1
     var dataLen = 0
-    while (off + 8 <= bytes.length) {
+    var walking = true
+    while (walking && off + 8 <= bytes.length) {
       val size = le32(off + 4)
       // LONG arithmetic: a corrupt size near 2³¹ would wrap `off+8+size`
       // negative and slip past an Int bounds check — the fast paths run
       // OUTSIDE the kernels' try/catch (quarantine-by-None, not by
-      // exception), so parse must never hand back out-of-range offsets
-      if (size < 0 || off.toLong + 8L + size > bytes.length) return None
-      if (tag(off, "fmt ")) {
+      // exception), so parse must never hand back out-of-range offsets.
+      // A malformed/oversized chunk AFTER valid fmt+data only ends the
+      // walk: the PCM payload is already in hand, and rejecting it here
+      // would push a canonical fast-path payload back onto the
+      // serialized AudioSystem fallback this parser exists to avoid.
+      if (size < 0 || off.toLong + 8L + size > bytes.length) {
+        if (fmtOk && dataOff >= 0) walking = false else return None
+      } else if (tag(off, "fmt ")) {
         if (size < 16) return None
         val audioFormat = le16(off + 8)
         channels = le16(off + 10)

@@ -22,8 +22,14 @@ import org.apache.spark.sql.SparkSession
   * Shared contract (see [[StoreCompact]] for the mechanics):
   *
   *   - REPLAY SAFETY: `upToBatch` must be ≤ the last batch COMMITTED to
-  *     the stream checkpoint; later batches still see the pre-batch
-  *     state exactly.
+  *     the stream checkpoint (its `commits/` dir — NOT a batch merely
+  *     observed to have produced output); later batches still see the
+  *     pre-batch state exactly. The precondition is load-bearing on
+  *     the bucketed index tables: folded rows are re-stamped
+  *     `batch_id = upToBatch`, so an UNCOMMITTED `upToBatch` makes
+  *     that batch's replay exclude the whole folded index through its
+  *     own-batch exclusion — silent pair loss, not a crash
+  *     ([[StoreCompact.foldBucketedTable]] has the mechanics).
   *   - QUIESCE: run between micro-batches (the stream idle). The read
   *     paths are swap-aware ([[StoreCompact.liveIndexTable]]), so a
   *     violated quiesce costs a loud failure — a rename race or an
@@ -73,7 +79,10 @@ object Maintenance {
 
   /** Maintenance pass for an [[ImageIngest]] deployment: fold the
     * parquet pairs log, then rebuild the bucketed fingerprint-index
-    * table (resume-first, like the other bucketed families). */
+    * table (resume-first, like the other bucketed families).
+    * `upToBatch` MUST be a batch committed to the stream checkpoint —
+    * see REPLAY SAFETY above for why an uncommitted id silently drops
+    * the folded index from that batch's replay. */
   def compactImageStore(
       spark: SparkSession,
       storeDir: String,

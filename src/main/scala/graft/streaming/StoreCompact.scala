@@ -196,7 +196,15 @@ object StoreCompact {
     *
     * Replay safety is [[fold]]'s contract (`upToBatch` ≤ last committed
     * batch; later batches' own-batch exclusion sees the folded rows
-    * under id `upToBatch`). Crash safety: the rebuild is durable before
+    * under id `upToBatch`). This precondition is LOAD-BEARING, not
+    * advisory: every folded index row is re-stamped `batch_id =
+    * upToBatch`, so if `upToBatch` ever names a batch that has NOT yet
+    * committed, that batch's replay excludes the ENTIRE folded index
+    * via its own-batch exclusion (`batch_id =!= batchId`) and silently
+    * loses every old-vs-new pair — wrong output, not a crash. Callers
+    * must take `upToBatch` from the stream's committed offsets (the
+    * checkpoint's `commits/` dir), never from a batch merely observed
+    * to have produced output. Crash safety: the rebuild is durable before
     * the first rename; a crash inside the swap window leaves the live
     * name absent with the rebuild intact, and BOTH the next fold call
     * and any [[liveIndexTable]] read finish the rename pair — callers
