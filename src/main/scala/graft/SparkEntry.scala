@@ -331,6 +331,57 @@ r2o AS (
     }
   }
 
+  /** The q166 boilerplate block: 38 DISTINCT lowercase words (licence /
+    * terms-of-service shape — the natural boilerplate real corpora
+    * carry), leading space so it concatenates cleanly after any text.
+    * Appended twice, every 5..10-gram inside a copy occurs exactly
+    * twice (duplicated — the dup-flag population), while each single
+    * top-2/3/4 gram covers only `2 × n` positions (below the top cuts).
+    * Distinctness keeps the within-copy grams from inflating counts. */
+  private[graft] val Boilerplate: String =
+    " terms conditions apply please read carefully before using this" +
+      " website content provided without warranty liability limited" +
+      " governed under applicable law jurisdiction disputes resolved" +
+      " through binding arbitration contact support email address" +
+      " listed below copyright reserved trademark owned respective holders"
+
+  /** q164's end-to-end curation VERDICT frame (text gate × image
+    * retention × audio first-seen — the q164 scaladoc has the legs),
+    * memoised per (session, sf dir) and eagerly checkpointed — the
+    * gopherCoverage convention: q164 fills the memo and the curated
+    * shard sink (q165) rides it, so q165's bench wall is the marginal
+    * cost of packing + writing the curated corpus, not a second run of
+    * the three modality legs. */
+  private def curationVerdict(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.functions.Memos.getOrElseUpdate(s, ("curation-verdict", dir)) {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val gate = graft.ext.Filters.gopherGate(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("text_keep"))
+      val groups = graft.ext.Dedup.dedupGroups(ids,
+        graft.multimodal.ImageDedup.nearDupFromHashes(pgmDHashed(s, dir)))
+      val kept = graft.ext.Dedup.canonicalDocs(groups,
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars")
+        .select(col("kept_doc").as("doc_id"), lit(1L).as("image_keep"))
+      val audioDrop = graft.multimodal.AudioDedup.nearDupAudio(
+          graft.multimodal.MediaSynth.withWavMotifPayload(ids, "doc_id"),
+          "doc_id", "payload")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("audio_dup", lit(1L))
+      ids.join(gate, Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .join(audioDrop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text_keep"),
+          coalesce(col("image_keep"), lit(0L)).as("image_keep"),
+          when(col("audio_dup").isNull, 1L).otherwise(0L).as("audio_keep"))
+        .withColumn("keep",
+          col("text_keep") * col("image_keep") * col("audio_keep"))
+        .localCheckpoint(eager = true)
+    }
+  }
+
   /** Spark-side dense-id edge list for orders→customer (G2/G5/J5). */
   private def edgesOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
     val spec = Topology.classify(Catalogs.tpch).edges
@@ -1311,6 +1362,35 @@ r2o AS (
       graft.ext.Filters.gopherFullFrom(
         graft.ext.Filters.gopherGate(t(s, dir, "documents"), "doc_id", "text"),
         gopherCoverage(s, dir))),
+    // the full Gopher gate over a BOILERPLATE-BEARING corpus leg (r15
+    // verdict Next #4 — the fixture corpus contains no duplicated
+    // 5..10-gram anywhere, so q153's six dup flags had never fired
+    // under the oracle): the doc_id ≡ 0 (mod 5) slice, where every
+    // doc_id ≡ 0 (mod 10) doc carries the [[Boilerplate]] block
+    // appended TWICE — the header/footer shape real boilerplate takes —
+    // so every 5..10-gram of the block occurs exactly twice and the dup
+    // coverages land at the block's char share (far above the published
+    // cuts at fixture doc lengths), while the top-2/3/4 coverages (ONE
+    // gram × 2 occurrences) stay below their cuts; the doc_id ≡ 5
+    // (mod 10) half keeps its original text, so every dup flag takes
+    // BOTH values inside this one query. `rep_only_fail` makes the
+    // judged claim a column: structural + top flags all pass AND some
+    // dup flag fails — measured > 0 at every SF (the doc a real
+    // corpus' dup rules exist to reject).
+    "q166_gopher_boilerplate" -> ((s, dir) => {
+      val bp = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"), lit(Boilerplate), lit(Boilerplate)))
+            .otherwise(col("text")).as("text"))
+      val structTop = Seq("f_ntok", "f_mtl", "f_alpha", "f_stop",
+        "f_top2", "f_top3", "f_top4").map(col).reduce(_ * _)
+      val dupProd = Seq("f_dup5", "f_dup6", "f_dup7", "f_dup8",
+        "f_dup9", "f_dup10").map(col).reduce(_ * _)
+      graft.ext.Filters.gopherFull(bp, "doc_id", "text")
+        .withColumn("rep_only_fail", structTop * (lit(1L) - dupProd))
+    }),
     // deterministic training-shard layout (ext.Packing.shardLayout):
     // seeded shard draw + within-shard deterministic shuffle + token
     // offset ledger; per-shard running sums ride the runningSum kernel
@@ -2080,6 +2160,177 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // streaming AUDIO ingest — the FIFTH ingest family (r15 verdict
+    // Next #6): q161's lifecycle with streaming.AudioIngest in front —
+    // the q157 energy-delta fingerprint kernels feed the SAME
+    // FpIngest machinery (bucketed fp index, new × all candidates,
+    // inline Hamming verify, mid-stream fold under quiesce). Oracle =
+    // the batch q157 pipeline over the whole corpus — the accumulated
+    // stream pairs must equal the batch near-dup set across batch
+    // boundaries.
+    "q167_stream_audio_dedup" -> ((s, dir) => {
+      import graft.streaming.{AudioIngest, Maintenance}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q167").toString
+      val tbl = "graft_q167_fps_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = stagedPart(staging)
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q167 startup")(
+          AudioIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q167 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          // live maintenance between committed batches (quiesce holds:
+          // processAllAvailable returned, batch 2 not yet staged)
+          phase("q167 mid-stream fold")(
+            Maintenance.compactAudioStore(s, store, tbl, upToBatch = 1L))
+          phase("q167 batch 2") {
+            stage(2L); q.processAllAvailable()
+          }
+        } finally q.stop()
+        phase("q167 result")(AudioIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q167's lifecycle with the retention horizon ON (the q162
+    // treatment for the audio family): the mid-stream fold runs at
+    // evictBelow = 1, so batch-0 fingerprints leave the bucketed index
+    // entirely — batch 2 can no longer pair against them — while
+    // batch-0's already-emitted pairs persist (output, not state).
+    // Oracle = the batch q157 pairs minus exactly the {batch-0 ×
+    // batch-2} cross pairs; every fixture group spans all three mod-3
+    // batches, so the subtraction is discriminating at every SF.
+    "q168_stream_audio_evict" -> ((s, dir) => {
+      import graft.streaming.{AudioIngest, Maintenance}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q168").toString
+      val tbl = "graft_q168_fps_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = stagedPart(staging)
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q168 startup")(
+          AudioIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q168 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          phase("q168 fold+evict")(
+            Maintenance.compactAudioStore(s, store, tbl,
+              upToBatch = 1L, evictBelow = 1L))
+          phase("q168 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q168 result")(AudioIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q167's lifecycle KILLED AND RESUMED from its checkpoint (the
+    // q163 treatment — the crash cert now covers all FIVE ingest
+    // families): batches 0-1 through a real StreamingQuery, stop,
+    // DELETE batch 1's commit marker (the crash-between-output-and-
+    // commit window), stage batch 2, start a NEW query from the same
+    // checkpoint — the replay reads the pre-batch index (own-batch
+    // exclusion) and its duplicate index append collapses in the
+    // candidate distinct. Same pairs contract, same oracle.
+    "q169_stream_audio_restart" -> ((s, dir) => {
+      import graft.streaming.AudioIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q169").toString
+      val tbl = "graft_q169_fps_" + tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = stagedPart(staging)
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q1 = phase("q169 startup")(
+          AudioIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try {
+          phase("q169 batches 0-1") {
+            stage(0L); q1.processAllAvailable()
+            stage(1L); q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        // crash window: batch 1's store/index output exists but its
+        // commit marker doesn't — the restart must re-run batch 1 (the
+        // local ChecksumFs .crc sidecar must go too or the replayed
+        // commit's rename collides with it)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/1"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+        stage(2L)
+        val q2 = phase("q169 restart")(
+          AudioIngest.startBucketed(s, inDir, store, tbl, ckpt))
+        try phase("q169 replay+batch 2")(q2.processAllAvailable())
+        finally q2.stop()
+        phase("q169 result")(AudioIngest.pairs(s, store)
+          .orderBy("doc_a", "doc_b")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // the END-TO-END multimodal curation VERDICT (the capstone
     // composition — what a curation run actually ships as its keep
     // table): per document, the TEXT structural gate (q146's Gopher
@@ -2091,31 +2342,39 @@ r2o AS (
     // keep = the conjunction. Every leg is an already-oracled pipeline;
     // the composition is itself oracled end-to-end (the three chains
     // composed in one DuckDB statement).
-    "q164_multimodal_curation" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      val ids = t(s, dir, "documents").select(col("doc_id"))
-      val gate = graft.ext.Filters.gopherGate(
-          t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("text_keep"))
-      val groups = graft.ext.Dedup.dedupGroups(ids,
-        graft.multimodal.ImageDedup.nearDupFromHashes(pgmDHashed(s, dir)))
-      val kept = graft.ext.Dedup.canonicalDocs(groups,
-          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-          "n_chars")
-        .select(col("kept_doc").as("doc_id"), lit(1L).as("image_keep"))
-      val audioDrop = graft.multimodal.AudioDedup.nearDupAudio(
-          graft.multimodal.MediaSynth.withWavMotifPayload(ids, "doc_id"),
-          "doc_id", "payload")
-        .select(col("doc_b").as("doc_id")).distinct()
-        .withColumn("audio_dup", lit(1L))
-      ids.join(gate, Seq("doc_id"))
-        .join(kept, Seq("doc_id"), "left")
-        .join(audioDrop, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("text_keep"),
-          coalesce(col("image_keep"), lit(0L)).as("image_keep"),
-          when(col("audio_dup").isNull, 1L).otherwise(0L).as("audio_keep"))
-        .withColumn("keep",
-          col("text_keep") * col("image_keep") * col("audio_keep"))
+    "q164_multimodal_curation" -> ((s, dir) => curationVerdict(s, dir)),
+    // the CURATED corpus written as training shards (r15 verdict
+    // Missing #1 / Next #3 — the composition the 100 TB deliverable
+    // actually is: gate → dedup → pack → persist ONE artifact): q164's
+    // keep verdict semi-joins `documents` down to the curated corpus,
+    // and the existing shard sink (ext.Packing.writeShards — q151's
+    // kernel, runningSum ledger + spans-not-tokens assembly + one
+    // parquet file per shard) writes THAT corpus and reads it back.
+    // Rides the memoised q164 verdict (alphabetical order: q164 fills,
+    // q165 pays only pack + write + re-read); the oracle recomputes
+    // gate + both dedup verdicts + the layout from `documents` in one
+    // statement — every CTE already existed in the q164 and q151
+    // oracles.
+    "q165_curated_shards" -> ((s, dir) => {
+      val keep = curationVerdict(s, dir)
+        .filter(col("keep") === 1L).select(col("doc_id"))
+      val curated = t(s, dir, "documents").join(keep, Seq("doc_id"),
+        "left_semi")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q165").toString
+      try
+        graft.ext.Packing.writeShards(
+          curated, "doc_id", "text",
+          shards = 8, seqTokens = 256L, seed = 42L,
+          outDir = s"$tmp/shards")
+          .localCheckpoint(eager = true) // materialise before cleanup
+      finally {
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }),
     // IMAGE dedup RETENTION (cross-family composition: the multimodal
     // pair generator feeding the text path's entity-resolution +
@@ -3467,6 +3726,77 @@ r2o AS (
       |  JOIN ${p}bits bb ON bb.doc_id = c.b AND bb.pos = ba.pos
       |  GROUP BY c.a, c.b)""".stripMargin
 
+  /** The full-Gopher (q153) oracle chain parameterised by its corpus
+    * source — q153 replays `documents`, q166 the boilerplate-augmented
+    * slice — with an optional extra column appended to the final
+    * SELECT (q166's rep_only_fail verdict). */
+  private def gopherFullOracleSql(
+      docsSrc: String, extraSelect: String = ""): String = {
+    val covCols = (2 to 10).map { n =>
+      val alias = if (n <= 4) s"top${n}_ppm" else s"dup${n}_ppm"
+      s"CAST(COALESCE(MAX(CASE WHEN cc.n = $n THEN cc.ppm END), 0) AS BIGINT) AS $alias"
+    }.mkString(",\n  ")
+    val repFlags = graft.ext.Filters.RepetitionCuts.map { case (c, cut) =>
+      s"CAST(CASE WHEN rep.$c <= $cut THEN 1 ELSE 0 END AS BIGINT) AS f_${c.stripSuffix("_ppm")}"
+    }.mkString(",\n  ")
+    val allFlags = (Seq("f_ntok", "f_mtl", "f_alpha", "f_stop") ++
+      graft.ext.Filters.RepetitionCuts.map(c => "f_" + c._1.stripSuffix("_ppm")))
+      .mkString(" * ")
+    s"""WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM $docsSrc),
+        |st AS (SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(ts) = 0 THEN 0
+        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
+        |  CAST(CASE WHEN length(lt) = 0 THEN 0
+        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
+        |  CAST(len(list_filter(list_distinct(ts),
+        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM $docsSrc),
+        |base AS (SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_chars FROM w),
+        |pos AS (SELECT doc_id, i AS p, CAST(length(toks[i]) AS BIGINT) AS tl
+        |  FROM w, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+        |occ AS (SELECT doc_id, n, i,
+        |    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
+        |  FROM w, UNNEST(range(2, 11)) AS tn(n),
+        |       UNNEST(range(1, len(toks) - n + 2)) AS ti(i)
+        |  WHERE len(toks) >= n),
+        |cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+        |sel AS (
+        |  SELECT doc_id, n, g FROM (
+        |    SELECT doc_id, n, g,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rk
+        |    FROM cnt WHERE n <= 4) WHERE rk = 1
+        |  UNION ALL
+        |  SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c >= 2),
+        |cov AS (SELECT DISTINCT o.doc_id, o.n, tp.p
+        |  FROM occ o JOIN sel s ON s.doc_id = o.doc_id AND s.n = o.n AND s.g = o.g,
+        |       UNNEST(range(o.i, o.i + o.n)) AS tp(p)),
+        |cc AS (SELECT cov.doc_id, cov.n,
+        |    CAST((SUM(tl) * 1000000) // MAX(b.n_chars) AS BIGINT) AS ppm
+        |  FROM cov
+        |  JOIN pos ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  JOIN base b ON b.doc_id = cov.doc_id
+        |  GROUP BY 1, 2),
+        |rep AS (SELECT b.doc_id,
+        |  $covCols
+        |FROM base b LEFT JOIN cc ON cc.doc_id = b.doc_id
+        |GROUP BY b.doc_id, b.n_chars),
+        |flags AS (SELECT st.doc_id, st.n_tok, st.mtl_ppm, st.alpha_ppm, st.n_stop,
+        |  CAST(CASE WHEN st.n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_ntok,
+        |  CAST(CASE WHEN st.mtl_ppm BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS BIGINT) AS f_mtl,
+        |  CAST(CASE WHEN st.alpha_ppm >= 600000 THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+        |  CAST(CASE WHEN st.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+        |  rep.top2_ppm, rep.top3_ppm, rep.top4_ppm, rep.dup5_ppm, rep.dup6_ppm,
+        |  rep.dup7_ppm, rep.dup8_ppm, rep.dup9_ppm, rep.dup10_ppm,
+        |  $repFlags
+        |FROM st JOIN rep ON rep.doc_id = st.doc_id)
+        |SELECT *, CAST($allFlags AS BIGINT) AS keep$extraSelect FROM flags""".stripMargin
+  }
+
   /** The q154 dHash replay parameterised by the verify radius — q158
     * (co-bucket candidates) shares the whole pipeline and differs only
     * in the final `hm <=` cut, because both candidate schemes are
@@ -4670,71 +5000,17 @@ r2o AS (
         |FROM s""".stripMargin,
     // q146's structural CTEs + q143's coverage chain + the recalibrated
     // cuts (Filters.RepetitionCuts), keep = product of all 13 flags
-    "q153_gopher_full" -> {
-      val covCols = (2 to 10).map { n =>
-        val alias = if (n <= 4) s"top${n}_ppm" else s"dup${n}_ppm"
-        s"CAST(COALESCE(MAX(CASE WHEN cc.n = $n THEN cc.ppm END), 0) AS BIGINT) AS $alias"
-      }.mkString(",\n  ")
-      val repFlags = graft.ext.Filters.RepetitionCuts.map { case (c, cut) =>
-        s"CAST(CASE WHEN rep.$c <= $cut THEN 1 ELSE 0 END AS BIGINT) AS f_${c.stripSuffix("_ppm")}"
-      }.mkString(",\n  ")
-      val allFlags = (Seq("f_ntok", "f_mtl", "f_alpha", "f_stop") ++
-        graft.ext.Filters.RepetitionCuts.map(c => "f_" + c._1.stripSuffix("_ppm")))
-        .mkString(" * ")
-      s"""WITH t AS (
-        |  SELECT doc_id, lower(text) AS lt,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
-        |st AS (SELECT doc_id,
-        |  CAST(len(ts) AS BIGINT) AS n_tok,
-        |  CAST(CASE WHEN len(ts) = 0 THEN 0
-        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
-        |  CAST(CASE WHEN length(lt) = 0 THEN 0
-        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
-        |  CAST(len(list_filter(list_distinct(ts),
-        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
-        |  FROM t),
-        |w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
-        |base AS (SELECT doc_id,
-        |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_chars FROM w),
-        |pos AS (SELECT doc_id, i AS p, CAST(length(toks[i]) AS BIGINT) AS tl
-        |  FROM w, UNNEST(range(1, len(toks) + 1)) AS t(i)),
-        |occ AS (SELECT doc_id, n, i,
-        |    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
-        |  FROM w, UNNEST(range(2, 11)) AS tn(n),
-        |       UNNEST(range(1, len(toks) - n + 2)) AS ti(i)
-        |  WHERE len(toks) >= n),
-        |cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
-        |sel AS (
-        |  SELECT doc_id, n, g FROM (
-        |    SELECT doc_id, n, g,
-        |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rk
-        |    FROM cnt WHERE n <= 4) WHERE rk = 1
-        |  UNION ALL
-        |  SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c >= 2),
-        |cov AS (SELECT DISTINCT o.doc_id, o.n, tp.p
-        |  FROM occ o JOIN sel s ON s.doc_id = o.doc_id AND s.n = o.n AND s.g = o.g,
-        |       UNNEST(range(o.i, o.i + o.n)) AS tp(p)),
-        |cc AS (SELECT cov.doc_id, cov.n,
-        |    CAST((SUM(tl) * 1000000) // MAX(b.n_chars) AS BIGINT) AS ppm
-        |  FROM cov
-        |  JOIN pos ON pos.doc_id = cov.doc_id AND pos.p = cov.p
-        |  JOIN base b ON b.doc_id = cov.doc_id
-        |  GROUP BY 1, 2),
-        |rep AS (SELECT b.doc_id,
-        |  $covCols
-        |FROM base b LEFT JOIN cc ON cc.doc_id = b.doc_id
-        |GROUP BY b.doc_id, b.n_chars),
-        |flags AS (SELECT st.doc_id, st.n_tok, st.mtl_ppm, st.alpha_ppm, st.n_stop,
-        |  CAST(CASE WHEN st.n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_ntok,
-        |  CAST(CASE WHEN st.mtl_ppm BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS BIGINT) AS f_mtl,
-        |  CAST(CASE WHEN st.alpha_ppm >= 600000 THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
-        |  CAST(CASE WHEN st.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
-        |  rep.top2_ppm, rep.top3_ppm, rep.top4_ppm, rep.dup5_ppm, rep.dup6_ppm,
-        |  rep.dup7_ppm, rep.dup8_ppm, rep.dup9_ppm, rep.dup10_ppm,
-        |  $repFlags
-        |FROM st JOIN rep ON rep.doc_id = st.doc_id)
-        |SELECT *, CAST($allFlags AS BIGINT) AS keep FROM flags""".stripMargin
-    },
+    "q153_gopher_full" -> gopherFullOracleSql("documents"),
+    // q153's chain over the boilerplate-augmented slice, plus the
+    // rep-only-fail verdict column (structural+top pass, some dup
+    // flag fails — the claim the leg exists to certify)
+    "q166_gopher_boilerplate" -> gopherFullOracleSql(
+      s"(SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN" +
+        s" text || '$Boilerplate' || '$Boilerplate' ELSE text END AS text" +
+        " FROM documents WHERE doc_id % 5 = 0) bpd",
+      extraSelect = ",\n  CAST(f_ntok * f_mtl * f_alpha * f_stop" +
+        " * f_top2 * f_top3 * f_top4 * (1 - f_dup5 * f_dup6 * f_dup7" +
+        " * f_dup8 * f_dup9 * f_dup10) AS BIGINT) AS rep_only_fail"),
     // the same degree orientation (low-(deg,id) → high): wedges from
     // each shared tail, closed against the oriented edge list
     "q74_triangles" ->
@@ -4995,6 +5271,24 @@ r2o AS (
     "q161_stream_image_dedup" -> imageDHashOracle(3),
     // restart-from-checkpoint replays to the same accumulated pairs
     "q163_stream_image_restart" -> imageDHashOracle(3),
+    // the audio ingest family accumulates to the batch q157 pipeline
+    // (the image-family contract with the audio fingerprint in front)
+    "q167_stream_audio_dedup" ->
+      s"""WITH ${audioFpCtes("")}
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham WHERE hm <= 3""".stripMargin,
+    "q169_stream_audio_restart" ->
+      s"""WITH ${audioFpCtes("")}
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham WHERE hm <= 3""".stripMargin,
+    // eviction at the fold drops exactly the {batch-0 × batch-2} cross
+    // pairs (batch-0 fingerprints left the index before batch 2 ran)
+    "q168_stream_audio_evict" ->
+      s"""WITH ${audioFpCtes("")}
+        |SELECT a AS doc_a, b AS doc_b, CAST(hm AS BIGINT) AS hamming
+        |FROM ham WHERE hm <= 3
+        |  AND NOT ((a % 3 = 0 AND b % 3 = 2)
+        |        OR (a % 3 = 2 AND b % 3 = 0))""".stripMargin,
     // eviction at the fold drops exactly the {batch-0 × batch-2} cross
     // pairs (batch-0 fingerprints left the index before batch 2 ran);
     // everything already emitted persists as output
@@ -5083,6 +5377,74 @@ r2o AS (
         |JOIN tg ON tg.doc_id = d.doc_id
         |LEFT JOIN best bk ON bk.kept_doc = d.doc_id
         |LEFT JOIN adrop ad ON ad.doc_id = d.doc_id""".stripMargin,
+    // q165 = q164's keep chain (image HashMin retention + audio
+    // first-seen + text gate) reduced to a curated id set (`keepd`),
+    // feeding q151's shard-layout chain over the semi-joined corpus —
+    // the one-statement replay of gate → dedup → pack → persist.
+    // q164's per-doc stats CTE is renamed ts→tsx here because the
+    // q151 chain binds `ts` as a COLUMN name
+    "q165_curated_shards" -> {
+      val shardMix = graft.learn.DetRandom.mixSql("doc_id", "doc_id", 42L)
+      val orderMix = graft.learn.DetRandom.mixSql("doc_id", "doc_id", 43L)
+      s"""WITH $imageDHashCtes,
+        |p AS MATERIALIZED (SELECT a AS doc_a, b AS doc_b FROM ham
+        |  WHERE hm <= 3),
+        |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
+        |  FROM documents),
+        |${hashMinRoundCtes(dedupGroupsOracleRounds)},
+        |g2 AS (SELECT CAST(id AS BIGINT) AS doc_id,
+        |    CAST(lbl AS BIGINT) AS canon_id
+        |  FROM l$dedupGroupsOracleRounds),
+        |jq AS (SELECT g2.doc_id, g2.canon_id, d.n_chars
+        |  FROM g2 JOIN documents d USING (doc_id)),
+        |best AS (SELECT canon_id, doc_id AS kept_doc FROM (
+        |  SELECT canon_id, doc_id,
+        |    row_number() OVER (PARTITION BY canon_id
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM jq) WHERE rk = 1),
+        |${audioFpCtes("a")},
+        |adrop AS (SELECT DISTINCT b AS doc_id FROM aham WHERE hm <= 3),
+        |tt AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |tsx AS (SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(ts) = 0 THEN 0
+        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
+        |  CAST(CASE WHEN length(lt) = 0 THEN 0
+        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
+        |  CAST(len(list_filter(list_distinct(ts),
+        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        |  FROM tt),
+        |tg AS (SELECT doc_id,
+        |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 AND mtl_ppm BETWEEN 3000000 AND 10000000
+        |    AND alpha_ppm >= 600000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS text_keep
+        |  FROM tsx),
+        |keepd AS MATERIALIZED (SELECT d.doc_id FROM documents d
+        |  JOIN tg ON tg.doc_id = d.doc_id
+        |  LEFT JOIN best bk ON bk.kept_doc = d.doc_id
+        |  LEFT JOIN adrop ad ON ad.doc_id = d.doc_id
+        |  WHERE tg.text_keep = 1 AND bk.kept_doc IS NOT NULL
+        |    AND ad.doc_id IS NULL),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents JOIN keepd USING (doc_id)),
+        |s AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok,
+        |  CAST(($shardMix) % 8 AS BIGINT) AS shard,
+        |  ($orderMix) AS h FROM t),
+        |l AS (SELECT doc_id, ts, n_tok, shard,
+        |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM s),
+        |tok AS (SELECT shard, doc_id, start_off, ts,
+        |  unnest(generate_series(1, len(ts))) AS i FROM l),
+        |tox AS (SELECT shard, doc_id, start_off + i - 1 AS idx, ts[i] AS tok FROM tok)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(idx // 256 AS BIGINT) AS seq_id,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS seq_tok,
+        |  string_agg(tok, ' ' ORDER BY idx) AS text_seq
+        |FROM tox GROUP BY 1, 2""".stripMargin
+    },
     // q158 = the SAME fingerprint pipeline at radius 2: the co-bucket
     // candidate scheme and q154's single-block scheme are both
     // pigeonhole-complete at Hamming ≤ 2, so the final pair sets agree

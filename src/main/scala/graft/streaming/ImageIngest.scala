@@ -69,43 +69,30 @@ object ImageIngest {
   /** One decode + resize + dHash pass over the batch → `(doc_id, key,
     * fp)`, one exploded row per 16-bit block key (the
     * [[ImageDedup.nearDupDHash]] candidate convention: block value
-    * offset by q·2³² so key slots never collide). */
+    * offset by q·2³² so key slots never collide). The ONLY
+    * modality-specific step — everything downstream is [[FpIngest]],
+    * shared with the audio family. */
   private[graft] def fingerprints(batch: DataFrame): DataFrame = {
     implicit val spark: SparkSession = batch.sparkSession
-    val hashed = ImageDedup.dhashFrame(
+    FpIngest.keyed(ImageDedup.dhashFrame(
       MediaSynth.withPgmPayload(batch.select(col("doc_id")), "doc_id"),
       "doc_id", "payload")
-      .localCheckpoint(eager = true) // one decode pass, read twice
-    hashed.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("fp"), q * 16).bitwiseAND(lit(0xffffL)) +
-          lit(q.toLong * 4294967296L)): _*)).as("key"))
+      .localCheckpoint(eager = true)) // one decode pass, read twice
   }
 
   /** One micro-batch: fingerprints for the NEW images, candidates from
     * the key join against (bucketed index ∪ new), inline Hamming
     * verify, overwrite this batch's pairs partition, append the new
-    * keys to the index. */
+    * keys to the index ([[FpIngest.ingestBatch]]). */
   def ingestBatchBucketed(
       batch: DataFrame,
       storeDir: String,
       fpTable: String,
       maxHamming: Int,
       batchId: Long = 0L,
-      buckets: Int = 32): Unit = {
-    val spark = batch.sparkSession
-    val newKeys = fingerprints(batch)
-    if (newKeys.isEmpty) return
-    val pairs = bucketedCandidates(spark, fpTable, newKeys, maxHamming,
-      batchId)
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$storeDir/pairs")
-    StoreCompact.appendToBucketedIndex(spark, fpTable,
-      newKeys.withColumn("batch_id", lit(batchId)),
-      buckets, Seq("key"))
-  }
+      buckets: Int = 32): Unit =
+    FpIngest.ingestBatch(fingerprints(batch), storeDir, fpTable,
+      maxHamming, batchId, buckets)
 
   /** The per-batch verified pairs `(doc_a, doc_b, hamming)` — exposed
     * for the StreamingSpec plan assert (store-side scan carries NO
@@ -115,25 +102,8 @@ object ImageIngest {
       fpTable: String,
       newKeys: DataFrame,
       maxHamming: Int,
-      batchId: Long): DataFrame = {
-    def pairsOf(ys: DataFrame): DataFrame =
-      newKeys.as("x")
-        .join(ys.as("y"),
-          col("x.key") === col("y.key") && col("x.doc_id") =!= col("y.doc_id"))
-        .filter(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= maxHamming)
-        .select(
-          least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
-            .as("hamming"))
-    // swap-aware resolution: None only when the index was never created;
-    // a mid-swap absent table resumes or THROWS (StoreCompact.liveIndexTable)
-    val vsStore = StoreCompact.liveIndexTable(spark, fpTable).map(t =>
-      pairsOf(t.filter(col("batch_id") =!= batchId)
-        .select("doc_id", "key", "fp")))
-    vsStore.map(_.unionByName(pairsOf(newKeys))).getOrElse(pairsOf(newKeys))
-      .distinct()
-  }
+      batchId: Long): DataFrame =
+    FpIngest.candidates(spark, fpTable, newKeys, maxHamming, batchId)
 
   /** Rebuild the fingerprint-index table to one file per bucket —
     * latest-wins per `doc_id`, eviction horizon, rename swap; the
@@ -147,22 +117,11 @@ object ImageIngest {
       fpTable: String,
       upToBatch: Long,
       evictBelow: Long = Long.MinValue,
-      buckets: Int = 32): Unit = {
-    StoreCompact.fold(spark, s"$storeDir/pairs", upToBatch)(
-      df => df.drop("batch_id").distinct())
-    StoreCompact.foldBucketedTable(spark, fpTable, upToBatch,
-      keyCol = "doc_id", bucketCols = Seq("key"),
-      sortCols = Seq("key"), buckets = buckets,
-      evictBelow = evictBelow)
-  }
+      buckets: Int = 32): Unit =
+    FpIngest.compact(spark, storeDir, fpTable, upToBatch, evictBelow,
+      buckets)
 
   /** The accumulated verified pairs (empty frame if nothing ingested). */
   def pairs(spark: SparkSession, storeDir: String): DataFrame =
-    if (StoreCompact.storeExists(spark, s"$storeDir/pairs"))
-      spark.read.parquet(s"$storeDir/pairs")
-        .select("doc_a", "doc_b", "hamming")
-    else {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "hamming")
-    }
+    FpIngest.pairs(spark, storeDir)
 }

@@ -95,6 +95,22 @@ object Maintenance {
       buckets)
   }
 
+  /** Maintenance pass for an [[AudioIngest]] deployment — the image
+    * family's pass bound to the audio stores ([[FpIngest]] carries the
+    * shared mechanics). `upToBatch` MUST be a batch committed to the
+    * stream checkpoint — see REPLAY SAFETY above. */
+  def compactAudioStore(
+      spark: SparkSession,
+      storeDir: String,
+      fpTable: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      buckets: Int = 32): Unit = {
+    StoreCompact.resumeSwap(spark, fpTable)
+    AudioIngest.compact(spark, storeDir, fpTable, upToBatch, evictBelow,
+      buckets)
+  }
+
   /** Maintenance pass for a [[PqIngest]] deployment (one parquet codes
     * store; no bucketed index variant). */
   def compactPqStore(

@@ -117,4 +117,42 @@ class FiltersSpec extends SparkSpec {
     }
     assert(repOnly > 0, "repetition cuts never fire on structural passers")
   }
+
+  test("gopherFull on the boilerplate leg: every dup flag takes both " +
+      "values and some structural+top passer fails on dup alone — " +
+      "all 13 flags non-vacuous across the q153+q166 surface") {
+    // the q166 corpus: the doc_id % 5 = 0 slice, the % 10 = 0 half
+    // carrying SparkEntry.Boilerplate appended twice (every 5..10-gram
+    // of the block occurs exactly twice), the % 10 = 5 half original
+    val aug = Tables.load(spark, sf(), "documents")
+      .filter(pmod($"doc_id", lit(5)) === 0)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(10)) === 0,
+          concat($"text", lit(SparkEntry.Boilerplate),
+            lit(SparkEntry.Boilerplate))).otherwise($"text").as("text"))
+    val rows = Filters.gopherFull(aug, "doc_id", "text").collect()
+    val dupFlags = Filters.RepetitionCuts.map(_._1)
+      .filter(_.startsWith("dup")).map(c => "f_" + c.stripSuffix("_ppm"))
+    dupFlags.foreach { f =>
+      val vals = rows.map(r => r.getLong(r.fieldIndex(f))).toSet
+      assert(vals == Set(0L, 1L), s"$f must fire AND pass on this leg")
+    }
+    // rep-only-fail: the doc the dup rules exist to reject — admitted
+    // by every structural and top-gram rule, rejected by a dup rule
+    val structTop = Seq("f_ntok", "f_mtl", "f_alpha", "f_stop",
+      "f_top2", "f_top3", "f_top4")
+    val repOnlyFail = rows.count { r =>
+      structTop.forall(c => r.getLong(r.fieldIndex(c)) == 1L) &&
+        dupFlags.exists(c => r.getLong(r.fieldIndex(c)) == 0L)
+    }
+    assert(repOnlyFail > 0,
+      "no structural+top passer fails on a dup flag alone")
+    // the un-augmented half must be untouched by the leg: original
+    // docs carry no duplicated 5..10-gram, so every dup flag passes
+    rows.filter(r => r.getLong(r.fieldIndex("doc_id")) % 10L == 5L)
+      .foreach { r =>
+        dupFlags.foreach(f => assert(r.getLong(r.fieldIndex(f)) == 1L,
+          s"$f fired on an un-augmented doc"))
+      }
+  }
 }

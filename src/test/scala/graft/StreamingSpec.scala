@@ -1047,6 +1047,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("AudioIngest bucketed fingerprint index: pairs parity with the " +
+      "batch energy-delta answer, replay benign, fold preserves pairs " +
+      "and dedups the index, no store-side exchange") {
+    import graft.streaming.AudioIngest
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("audingest").toString
+    val tbl = "graft_test_aud_fps"
+    s2.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val chunks = (0 until 3).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      val store = s"$tmp/store"
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        AudioIngest.ingestBatchBucketed(c, store, tbl, maxHamming = 3,
+          batchId = i.toLong, buckets = 8)
+      }
+      def pairsNow = AudioIngest.pairs(s2, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batchPairs = graft.multimodal.AudioDedup.nearDupAudio(
+          graft.multimodal.MediaSynth.withWavMotifPayload(
+            docs.select(col("doc_id")), "doc_id")(s2),
+          "doc_id", "payload")(s2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(pairsNow == batchPairs,
+        "incremental pairs diverge from the batch fingerprint answer")
+      assert(batchPairs.nonEmpty, "fixture should contain planted near-dups")
+
+      // append-only replay: batch 2 re-runs against the pre-batch index
+      AudioIngest.ingestBatchBucketed(chunks(2), store, tbl, maxHamming = 3,
+        batchId = 2L, buckets = 8)
+      assert(pairsNow == batchPairs, "replay drifted the pairs")
+
+      // the replay left duplicate index rows; the maintenance fold
+      // removes them and preserves the pair log
+      val dupesBefore = s2.table(tbl).groupBy("doc_id", "key").count()
+        .filter(col("count") > 1).count()
+      assert(dupesBefore > 0, "replay should have left duplicate index rows")
+      graft.streaming.Maintenance.compactAudioStore(s2, store, tbl,
+        upToBatch = 2L, buckets = 8)
+      assert(pairsNow == batchPairs, "fold changed the pairs")
+      val dupesAfter = s2.table(tbl).groupBy("doc_id", "key").count()
+        .filter(col("count") > 1).count()
+      assert(dupesAfter == 0, "fold left duplicate fingerprint rows")
+
+      // the scale claim, shared FpIngest machinery (see the image leg
+      // for why subqueries stay out of the node walk)
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val self = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+          case _ => Seq(p) ++ p.children.flatMap(nodes)
+        }
+        self
+      }
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newKeys = AudioIngest.fingerprints(chunks(0))
+        .localCheckpoint(eager = true)
+      val cand = graft.streaming.FpIngest.candidates(s2, tbl, newKeys,
+        maxHamming = 3, batchId = 99L)
+      val joins = nodes(cand.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val scanSides = joins.flatMap(_.children).filter(c =>
+        nodes(c).exists(_.isInstanceOf[FileSourceScanExec]))
+      assert(scanSides.nonEmpty,
+        "expected the fps table scan under a shuffled candidate join")
+      val bad = scanSides.filter(c =>
+        nodes(c).exists(_.isInstanceOf[ShuffleExchangeExec]))
+      assert(bad.isEmpty,
+        "the bucketed index side pays an exchange — bucketing not engaged")
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
