@@ -89,7 +89,8 @@ object PlanDump {
     "q151_shard_write",     // span assembly: rows ≈ docs+straddlers, no tokens
     "q156_image_neardup_wide", // 16-key banded join + zip_with 256-bit verify
     "q159_video_neardup",   // (frame, block) keys + aligned-frame verify agg
-    "q160_image_dedup_retention") // GraphX CC + WindowGroupLimit keep-best
+    "q160_image_dedup_retention", // GraphX CC + WindowGroupLimit keep-best
+    "q165_curated_shards")  // keep-verdict semi-join + q151's span sink
   // q111/q112/q113/q117 are shape-duplicates of audited sections (q58's
   // component chain + a row-local projection; q71's probed top-k with a
   // probe-rank filter; a plain equi-join + map-side-combined count; an
@@ -115,7 +116,13 @@ object PlanDump {
   // flags, q154/q157/q158 are q36's audited block-key self-join shape
   // with a row-local fingerprint kernel in front (q158 swaps in pair
   // keys; q156's wider twin IS audited for its array-fp verify), and
-  // q145/q148 ride the audited q64/q65 runningSum kernel shapes
+  // q145/q148 ride the audited q64/q65 runningSum kernel shapes;
+  // r16's q166 is q153's audited gate shape over a projected
+  // (CASE-augmented) corpus slice, and q167–q169 are q161–q163's
+  // lifecycle class with the audio fingerprint kernel in front (the
+  // candidate/verify tail is the SAME FpIngest object code, and the
+  // audio StreamingSpec leg pins its no-store-side-exchange plan
+  // directly)
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])

@@ -96,7 +96,13 @@ object R16ScaleProbe {
 
     if (only.forall(_ == "audstore")) {
       println("== q167 audio ingest: per-batch exchange vs store size ==")
-      val newBatch = replica(98).filter(col("doc_id") % 10 === 0)
+      // replica 0 ids, NOT a fresh offset: the audio motif fingerprint
+      // is full-entropy per id/3 group (mixSq2), so a disjoint-group
+      // batch would pair with nothing and the probe would never drive
+      // the verify tail — re-arriving ids pair against their two group
+      // mates already in the store (the at-least-once re-delivery
+      // shape), so pairs_out is live while the exchange stays O(|batch|)
+      val newBatch = replica(0).filter(col("doc_id") % 10 === 0)
         .select("doc_id")
         .coalesce(parts).localCheckpoint(eager = true)
       val nNew = newBatch.count()
