@@ -144,6 +144,10 @@ object Bench {
             .asScala.toSeq
         else v.split(",").toSeq
       val set = raw.map(_.trim).filter(_.nonEmpty).toSet
+      // an empty/whitespace value (or a file of blank lines) would
+      // otherwise run a zero-query board — and could bank a quiet
+      // 0-query "record" (r16 ADVICE)
+      require(set.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = set -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in SparkEntry" +
         s".queries: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -162,12 +166,25 @@ object Bench {
     //     the index machinery on top;
     //   - q140_stream_semantic: the unbucketed semantic lifecycle —
     //     q142 (bucketed) contains it the same way.
+    // r17 rotation (video family q170-q172 in; demotions NAMED IN
+    // ADVANCE in BENCH_NOTES_r17 §3, the r16 policy):
+    //   - q103_ann_pq_ingest ⊂ q106_ann_pq_restart: q103 drives the
+    //     foreachBatch body directly (+ a manual same-id replay); q106
+    //     runs the same body under a real StreamingQuery with the
+    //     checkpoint-deletion replay, and serves the same ADC tail;
+    //   - q137_stream_dedup_bucketed ⊂ q141_stream_dedup_folded: q141
+    //     is q137's exact lifecycle plus the mid-stream fold;
+    //   - q161_stream_image_dedup ⊂ q162_stream_image_evict: q162 is
+    //     q161's exact lifecycle with evictBelow riding the same
+    //     Maintenance call.
     // SPARK_GRAFT_BENCH_ALL=1 restores the full board for A/B. The
-    // bench surface (n_queries) changes whenever the demotion set
-    // does — totals reset per the BENCH_SELF per-surface record rule.
+    // bench surface changes whenever the demotion set does — records
+    // reset per the BENCH_SELF per-surface (name-list hash) rule.
     val benchDemoted: Set[String] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Set.empty
-      else Set("q126_stream_dedup", "q140_stream_semantic")
+      else Set("q126_stream_dedup", "q140_stream_semantic",
+        "q103_ann_pq_ingest", "q137_stream_dedup_bucketed",
+        "q161_stream_image_dedup")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .filterNot(n => only.isEmpty && benchDemoted.contains(n))
@@ -196,7 +213,8 @@ object Bench {
         "q155_stream_semantic_restart", "q161_stream_image_dedup",
         "q162_stream_image_evict", "q163_stream_image_restart",
         "q167_stream_audio_dedup", "q168_stream_audio_evict",
-        "q169_stream_audio_restart")
+        "q169_stream_audio_restart", "q170_stream_video_dedup",
+        "q171_stream_video_evict", "q172_stream_video_restart")
     val lifecyclePass = math.min(2, reps)
     // timesByQuery(name) = (pass, wall-clock) per executed pass
     val timesByQuery = scala.collection.mutable.Map
@@ -303,7 +321,9 @@ object Bench {
     // roll for the round's record. "In-band" (quiet) = every query
     // passed, warm-pass noise median ≤ 10 %, every calibration pass's
     // cpu in the 0.55–0.62 band (the BENCH_NOTES gate). The record is
-    // per-surface: a run with a different query count resets it.
+    // per-surface (hash of the sorted query-name list): a run on a
+    // different board resets it; ONLY/BENCH_ALL experiment runs never
+    // bank (r16's best_quiet hole, closed r17).
     try {
       val calibCpu = calibCpuByPass.result()
       // r16: the in-band gate also polices the PARALLEL path. The r15→r16
@@ -322,10 +342,34 @@ object Bench {
       val quiet = failures.isEmpty && noiseMed <= 10.0 &&
         calibCpu.nonEmpty && calibCpu.forall(c => c >= 0.55 && c <= 0.62) &&
         spWarmMed <= 0.35
+      // SURFACE IDENTITY (r17): the record is per-surface, and after the
+      // r16/r17 board rotations two DIFFERENT boards can share a query
+      // COUNT (163 queries before and after the video-family rotation) —
+      // so the surface is identified by a hash of the sorted query-name
+      // list, not by n_queries. Legacy records without the field read as
+      // a different surface (retained until a bankable run displaces
+      // them), which is the per-surface reset rule anyway.
+      val surfaceHash = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(names.mkString(",").getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+      }
+      // BANKING ELIGIBILITY (r16 verdict/ADVICE — the best_quiet hole):
+      // a SPARK_GRAFT_ONLY subset run or a SPARK_GRAFT_BENCH_ALL run is
+      // an EXPERIMENT surface; quiet or not, it must never displace the
+      // judged board record (the r16 146-list A/B run banked exactly this
+      // way). Both flags are stamped into the JSON so a cold reader can
+      // tell an experiment from a board roll.
+      val benchAll = sys.env.contains("SPARK_GRAFT_BENCH_ALL")
+      val bankable = quiet && only.isEmpty && !benchAll &&
+        sfDir.endsWith("sf0.1")
       val stampedNow =
         s"""{"commit":"$commit","epoch_sec":${System.currentTimeMillis() / 1000},""" +
-          s""""n_queries":${names.size},"total_sec":$total,""" +
+          s""""n_queries":${names.size},"surface":"$surfaceHash",""" +
+          s""""only":${only.nonEmpty},"bench_all":$benchAll,""" +
+          s""""total_sec":$total,""" +
           s""""noise_med_pct":$noiseMed,"calib_cpu":${arr(calibCpu)},""" +
+          s""""calib_spark_warm_med":$spWarmMed,""" +
           s""""in_band":$quiet,"bench":$line}"""
       val selfPath = java.nio.file.Paths.get("BENCH_SELF.json")
       def num(js: String, key: String): Option[Double] =
@@ -344,13 +388,13 @@ object Bench {
         else None
       }
       val best = prevBest match {
-        // standing record on the same surface — (n_queries, sf) BOTH:
+        // standing record on the same surface — (surface hash, sf) BOTH:
         // a dev smoke at another scale factor is a different surface
         // and must never displace the judged sf0.1 record
-        case Some(pb) if num(pb, "n_queries").contains(names.size.toDouble) &&
+        case Some(pb) if pb.contains("\"surface\":\"" + surfaceHash + "\"") &&
             pb.contains("\"sf\":\"" + sfDir + "\"") &&
-            (!quiet || num(pb, "total_sec").exists(_ <= total)) => pb
-        case _ if quiet && sfDir.endsWith("sf0.1") => stampedNow
+            (!bankable || num(pb, "total_sec").exists(_ <= total)) => pb
+        case _ if bankable => stampedNow
         case Some(pb) => pb // surface changed but this run can't bank
         case None => "null"
       }

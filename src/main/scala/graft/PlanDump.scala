@@ -122,7 +122,12 @@ object PlanDump {
   // lifecycle class with the audio fingerprint kernel in front (the
   // candidate/verify tail is the SAME FpIngest object code, and the
   // audio StreamingSpec leg pins its no-store-side-exchange plan
-  // directly)
+  // directly); r17's q170–q172 are the same lifecycle class over the
+  // multi-fingerprint frame store — the per-batch verify IS q159's
+  // audited aligned-frame shape (alignedClipPairs, shared object code)
+  // with the store side read from the key-bucketed table, and the
+  // video StreamingSpec leg pins the no-store-side-exchange plan of
+  // frameCandidatePairs directly
 
   val header: String =
     """# PLANS — physical-plan audit of headline queries (sf0.1, local[8])

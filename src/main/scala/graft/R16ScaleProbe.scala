@@ -121,6 +121,12 @@ object R16ScaleProbe {
         graft.streaming.AudioIngest.compact(spark, s"$tmp/store", tbl,
           upToBatch = (k - 1).toLong, buckets = parts)
         val storeRows = spark.table(tbl).count()
+        // each rep re-ingests the same batch under a FRESH batch id, so
+        // its keys append to the index (reps 2-3 measure a store
+        // |rep·batch| keys larger than the labeled K) and its pairs land
+        // in a new partition — pairs_cum is CUMULATIVE across reps, not
+        // per-rep output (r16 ADVICE; the wall/shuffle columns are the
+        // probe's signal and are per-rep as labeled)
         for (rep <- 1 to 3) {
           val (_, t, sh, mx) = timedSh {
             graft.streaming.AudioIngest.ingestBatchBucketed(newBatch,
@@ -130,10 +136,15 @@ object R16ScaleProbe {
           val pairsNow = graft.streaming.AudioIngest
             .pairs(spark, s"$tmp/store").count()
           println(f"R16SCALE audstore K=$k rep=$rep store_rows=$storeRows%,d " +
-            f"batch=$nNew%,d pairs_out=$pairsNow%,d wall=$t%.2f s " +
+            f"batch=$nNew%,d pairs_cum=$pairsNow%,d wall=$t%.2f s " +
             f"shuffle=$sh%.1f MB max_task=$mx ms")
         }
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val tp = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(tp))
+          java.nio.file.Files.walk(tp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }
 

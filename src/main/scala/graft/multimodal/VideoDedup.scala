@@ -71,9 +71,32 @@ object VideoDedup {
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+    alignedClipPairs(cand, fps, counts, maxTotalHamming)
+  }
+
+  /** The exact CLIP-level verify shared by this batch path (q159) and
+    * the streaming video family ([[graft.streaming.VideoIngest]] via
+    * [[graft.streaming.FpIngest.frameCandidates]]) — one implementation
+    * of the aligned-frame semantics, never a diverging copy (the
+    * [[graft.streaming.FpIngest]] extraction pattern). `cand` carries
+    * candidate doc pairs `(a, b)`; `frames` one row per sampled frame
+    * `(doc_id, f, fp)`; `counts` the per-clip sampled-frame count
+    * `(doc_id, nf)`. A pair survives iff every sampled frame of BOTH
+    * clips matched an aligned partner (`matched = nf_a = nf_b`) and the
+    * total Hamming over aligned frames is ≤ `maxTotalHamming`.
+    *
+    * Scale shape: the frame joins move fingerprints for candidate-pair
+    * docs only (callers pre-filter `frames`/`counts` to candidate docs
+    * where the corpus is a store, not a batch); the aggregation is one
+    * hash exchange on `(a, b)`. */
+  private[graft] def alignedClipPairs(
+      cand: DataFrame,
+      frames: DataFrame,
+      counts: DataFrame,
+      maxTotalHamming: Int): DataFrame = {
     val verified = cand
-      .join(fps.as("fa"), col("a") === col("fa.doc_id"))
-      .join(fps.as("fb"),
+      .join(frames.as("fa"), col("a") === col("fa.doc_id"))
+      .join(frames.as("fb"),
         col("b") === col("fb.doc_id") && col("fa.f") === col("fb.f"))
       .groupBy(col("a"), col("b"))
       .agg(

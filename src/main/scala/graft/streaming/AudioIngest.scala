@@ -26,6 +26,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[graft.multimodal.AudioDedup]] None contract — so the stream never
   * pairs against a truncated-support fingerprint.
   *
+  * STORE VERSIONING: a persisted index built from MULTI-CHANNEL clips
+  * before the r16 frame-true windowing fix is silently incompatible
+  * with fingerprints produced after it and must be rebuilt — see the
+  * [[FpIngest]] scaladoc's store-versioning contract (the repo's own
+  * committed fixtures are mono and unaffected).
+  *
   * The corpus carries no audio table, so the batch synthesises its
   * payloads from `doc_id` ([[MediaSynth.withWavMotifPayload]] — the
   * q157 convention, putting the REAL RIFF-parse + window-energy kernels

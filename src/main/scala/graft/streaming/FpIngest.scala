@@ -24,7 +24,33 @@ import org.apache.spark.sql.functions._
   * Scale/idempotency contracts are the [[ImageIngest]] scaladoc's,
   * unchanged by this extraction: O(|batch|) exchange into the bucket
   * layout, own-batch exclusion + dynamic partition overwrite under
-  * at-least-once replay, committed-`upToBatch`-only folds. */
+  * at-least-once replay, committed-`upToBatch`-only folds.
+  *
+  * STORE VERSIONING (r16 ADVICE): a persisted index is only comparable
+  * to fingerprints produced by the SAME kernel version. The r16
+  * frame-true windowing fix ([[graft.multimodal.AudioDedup]] — windows
+  * count frames = samples × channels, min length 65·windowFrames·
+  * channels samples) changed every MULTI-CHANNEL clip's fingerprint;
+  * a store built from multi-channel clips before that fix must be
+  * REBUILT (re-ingest from source) — new ingests would compare
+  * new-format fps against old-format stored fps and silently miss
+  * pairs. The repo's own committed stores are unaffected (every audio
+  * fixture is mono, whose fingerprints the fix preserved bit-for-bit).
+  * Deployments should stamp a kernel-version column or store-level
+  * marker when operating fleets of long-lived indexes.
+  *
+  * MULTI-FINGERPRINT DOCUMENTS (r17 — the video family): clips carry
+  * one fingerprint PER SAMPLED FRAME, not one per doc, and the match
+  * semantics are clip-level ([[graft.multimodal.VideoDedup]]: same
+  * sampled frame count, total Hamming over ALIGNED frames ≤ T). The
+  * `keyedFrames`/`ingestBatchFrames`/`frameCandidates` trio carries
+  * that contract over the same store machinery: index rows are
+  * `(doc_id, f, nf, fp, key, batch_id)` — the frame index `f` rides
+  * the key (only aligned frames collide) and the clip's sampled-frame
+  * count `nf` rides every row (so the clip-level verify needs no
+  * second store) — and `compact`/`pairs` are REUSED verbatim
+  * ([[StoreCompact.latestWinsPerKey]] is per-row, so a doc's whole
+  * frame set folds/evicts together under its one batch). */
 private[graft] object FpIngest {
 
   /** Explode a `(doc_id, fp)` frame into `(doc_id, fp, key)` — one row
@@ -102,6 +128,116 @@ private[graft] object FpIngest {
       keyCol = "doc_id", bucketCols = Seq("key"),
       sortCols = Seq("key"), buckets = buckets,
       evictBelow = evictBelow)
+  }
+
+  /** Explode a `(doc_id, f, nf, fp)` frame-fingerprint frame into
+    * `(doc_id, f, nf, fp, key)` — one row per 16-bit block key, the
+    * [[graft.multimodal.VideoDedup.nearDupVideo]] key convention:
+    * `block + (f·blocks + q)·2³²` so only ALIGNED frames collide and
+    * key slots never collide across (frame, block) positions. */
+  def keyedFrames(frames: DataFrame, blocks: Int = 4): DataFrame = {
+    require(blocks > 0 && 64 % blocks == 0, s"blocks must divide 64: $blocks")
+    val w = 64 / blocks
+    frames.select(col("doc_id"), col("f"), col("nf"), col("fp"),
+      explode(array((0 until blocks).map(q =>
+        shiftrightunsigned(col("fp"), q * w)
+          .bitwiseAND(lit((1L << w) - 1)) +
+          lit(q.toLong * 4294967296L) +
+          col("f").cast("long") * lit(blocks.toLong * 4294967296L)): _*))
+        .as("key"))
+  }
+
+  /** One micro-batch over precomputed `(doc_id, f, nf, fp, key)` rows —
+    * [[ingestBatch]]'s multi-fingerprint twin: clip-level verified
+    * pairs to the pairs log (dynamic partition overwrite), frame keys
+    * appended to the bucketed index. */
+  def ingestBatchFrames(
+      newKeyed: DataFrame,
+      storeDir: String,
+      fpTable: String,
+      maxTotalHamming: Int,
+      batchId: Long,
+      buckets: Int): Unit = {
+    val spark = newKeyed.sparkSession
+    if (newKeyed.isEmpty) return
+    val pairs =
+      frameCandidates(spark, fpTable, newKeyed, maxTotalHamming, batchId)
+    pairs.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$storeDir/pairs")
+    StoreCompact.appendToBucketedIndex(spark, fpTable,
+      newKeyed.withColumn("batch_id", lit(batchId)),
+      buckets, Seq("key"))
+  }
+
+  /** The per-batch CLIP-level verified pairs `(doc_a, doc_b, hamming)`
+    * — candidates from (frame, block) key collisions of new × (store ∪
+    * new), verify = [[graft.multimodal.VideoDedup.alignedClipPairs]]
+    * (total aligned-frame Hamming ≤ T, frame counts match both sides).
+    *
+    * Scale shape: the candidate join reads the store side from the
+    * catalog table bucketed on exactly the join key (no store-side
+    * exchange — the [[candidates]] plan contract); the verify then
+    * needs FULL frame sets, but only for candidate-pair docs — `cand`
+    * is materialised small (localCheckpoint), its doc set broadcast
+    * semi-joins the frame rows, so the verify exchange is O(|candidate
+    * docs| · frames), never O(|store|). Frame rows are `distinct`-ed
+    * after the semi-join: a replayed append's duplicate index rows
+    * would otherwise double-count the Hamming sums (the single-fp
+    * path's pair `distinct` collapses them for free; the clip-level
+    * aggregation needs it explicit). */
+  def frameCandidates(
+      spark: SparkSession,
+      fpTable: String,
+      newKeyed: DataFrame,
+      maxTotalHamming: Int,
+      batchId: Long,
+      blocks: Int = 4): DataFrame = {
+    val store = StoreCompact.liveIndexTable(spark, fpTable).map(t =>
+      t.filter(col("batch_id") =!= batchId)
+        .select("doc_id", "f", "nf", "fp", "key"))
+    val cand = frameCandidatePairs(spark, fpTable, newKeyed, batchId)
+      .localCheckpoint(eager = true) // small; read thrice below
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    // one row per (doc, frame): keep key slot q = 0 — key >> 32 =
+    // f·blocks + q, so slot = (key >> 32) mod blocks
+    def framesOf(df: DataFrame): DataFrame =
+      df.filter(pmod(shiftrightunsigned(col("key"), 32), lit(blocks)) === 0)
+        .select("doc_id", "f", "nf", "fp")
+    val all = store.map(st => framesOf(st).unionByName(framesOf(newKeyed)))
+      .getOrElse(framesOf(newKeyed))
+    val frames = all.join(broadcast(candDocs), Seq("doc_id")).distinct()
+    graft.multimodal.VideoDedup.alignedClipPairs(cand,
+      frames.select("doc_id", "f", "fp"),
+      frames.select("doc_id", "nf").distinct(), maxTotalHamming)
+  }
+
+  /** The candidate CLIP pairs `(a, b)` from (frame, block) key
+    * collisions of new × (store ∪ new) — the un-materialised head of
+    * [[frameCandidates]], exposed for the StreamingSpec plan assert
+    * (the store-side scan of the candidate key join carries NO
+    * exchange; [[frameCandidates]] checkpoints this frame, so the
+    * join is not visible in ITS executed plan). */
+  private[graft] def frameCandidatePairs(
+      spark: SparkSession,
+      fpTable: String,
+      newKeyed: DataFrame,
+      batchId: Long): DataFrame = {
+    val store = StoreCompact.liveIndexTable(spark, fpTable).map(t =>
+      t.filter(col("batch_id") =!= batchId)
+        .select("doc_id", "f", "nf", "fp", "key"))
+    def candOf(ys: DataFrame): DataFrame =
+      newKeyed.as("x")
+        .join(ys.as("y"),
+          col("x.key") === col("y.key") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(
+          least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+    store.map(st => candOf(st).unionByName(candOf(newKeyed)))
+      .getOrElse(candOf(newKeyed))
+      .distinct()
   }
 
   /** The accumulated verified pairs (empty frame if nothing ingested). */

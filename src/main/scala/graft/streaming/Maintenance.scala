@@ -111,6 +111,21 @@ object Maintenance {
       buckets)
   }
 
+  /** Maintenance pass for a [[VideoIngest]] deployment — the image
+    * family's contract over the multi-fingerprint store (per-row fold:
+    * a clip's whole frame set folds/evicts together). */
+  def compactVideoStore(
+      spark: SparkSession,
+      storeDir: String,
+      fpTable: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      buckets: Int = 32): Unit = {
+    StoreCompact.resumeSwap(spark, fpTable)
+    VideoIngest.compact(spark, storeDir, fpTable, upToBatch, evictBelow,
+      buckets)
+  }
+
   /** Maintenance pass for a [[PqIngest]] deployment (one parquet codes
     * store; no bucketed index variant). */
   def compactPqStore(

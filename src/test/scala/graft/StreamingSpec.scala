@@ -1132,6 +1132,110 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("VideoIngest multi-fingerprint index: pairs parity with the " +
+      "batch aligned-frame answer, replay benign (frame-row distinct), " +
+      "fold preserves pairs and dedups the index, eviction drops whole " +
+      "clips, no store-side exchange") {
+    import graft.streaming.VideoIngest
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("vidingest").toString
+    val tbl = "graft_test_vid_fps"
+    s2.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val chunks = (0 until 3).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      val store = s"$tmp/store"
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        VideoIngest.ingestBatchBucketed(c, store, tbl, maxTotalHamming = 3,
+          batchId = i.toLong, buckets = 8)
+      }
+      def pairsNow = VideoIngest.pairs(s2, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batchPairs = graft.multimodal.VideoDedup.nearDupVideo(
+          graft.multimodal.MediaSynth.withGifMotifPayload(
+            docs.select(col("doc_id")), "doc_id")(s2),
+          "doc_id", "payload")(s2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(pairsNow == batchPairs,
+        "incremental pairs diverge from the batch aligned-frame answer")
+      assert(batchPairs.nonEmpty, "fixture should contain planted near-dups")
+
+      // append-only replay: batch 2 re-runs against the pre-batch index.
+      // The duplicate frame rows this leaves would DOUBLE-COUNT the
+      // clip-level Hamming sums without frameCandidates' frame-row
+      // distinct — this is the multi-fp contract the single-fp families
+      // get for free from their pair distinct
+      VideoIngest.ingestBatchBucketed(chunks(2), store, tbl,
+        maxTotalHamming = 3, batchId = 2L, buckets = 8)
+      assert(pairsNow == batchPairs, "replay drifted the pairs")
+
+      // the replay left duplicate index rows; the maintenance fold
+      // removes them and preserves the pair log
+      val dupesBefore = s2.table(tbl).groupBy("doc_id", "f", "key").count()
+        .filter(col("count") > 1).count()
+      assert(dupesBefore > 0, "replay should have left duplicate index rows")
+      graft.streaming.Maintenance.compactVideoStore(s2, store, tbl,
+        upToBatch = 2L, buckets = 8)
+      assert(pairsNow == batchPairs, "fold changed the pairs")
+      val dupesAfter = s2.table(tbl).groupBy("doc_id", "f", "key").count()
+        .filter(col("count") > 1).count()
+      assert(dupesAfter == 0, "fold left duplicate fingerprint rows")
+
+      // eviction is per-CLIP even though the store is per-frame rows:
+      // latestWinsPerKey is per-row, so a clip's whole frame set leaves
+      // together — no orphan frames survive below the horizon
+      graft.streaming.Maintenance.compactVideoStore(s2, store, tbl,
+        upToBatch = 2L, evictBelow = 3L, buckets = 8)
+      assert(s2.table(tbl).count() == 0,
+        "eviction below the horizon should have emptied the index")
+      assert(pairsNow == batchPairs, "eviction rewired the emitted pairs")
+
+      // the scale claim, FpIngest frame machinery: the candidate key
+      // join reads the store side from the bucketed table with NO
+      // exchange (see the image leg for why subqueries stay out of the
+      // node walk)
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val self = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a) ++ nodes(a.initialPlan)
+          case _ => Seq(p) ++ p.children.flatMap(nodes)
+        }
+        self
+      }
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      VideoIngest.ingestBatchBucketed(chunks(0), store, tbl,
+        maxTotalHamming = 3, batchId = 0L, buckets = 8)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newKeyed = VideoIngest.frameFingerprints(chunks(1))
+        .localCheckpoint(eager = true)
+      val cand = graft.streaming.FpIngest.frameCandidatePairs(s2, tbl,
+        newKeyed, batchId = 99L)
+      val joins = nodes(cand.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val scanSides = joins.flatMap(_.children).filter(c =>
+        nodes(c).exists(_.isInstanceOf[FileSourceScanExec]))
+      assert(scanSides.nonEmpty,
+        "expected the fps table scan under a shuffled candidate join")
+      val bad = scanSides.filter(c =>
+        nodes(c).exists(_.isInstanceOf[ShuffleExchangeExec]))
+      assert(bad.isEmpty,
+        "the bucketed index side pays an exchange — bucketing not engaged")
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
