@@ -223,6 +223,15 @@ object Bench {
       .empty[(String, String), Vector[Double]].withDefaultValue(Vector.empty)
     val calibCpuByPass = Vector.newBuilder[Double]
     val calibSparkByPass = Vector.newBuilder[Double]
+    // END-of-pass spark probe (r17): the start-of-pass calibration
+    // cannot see a phase swing that develops DURING a pass — r17 rolls
+    // 2-5 showed the single-rep lifecycle segment (which runs late in
+    // pass 2) absorbing degraded phases the pass-2 start probe missed.
+    // Stamped as "spark_end_sec" for the reader (and a candidate gate
+    // axis for a future round once a baseline exists under it); NOT
+    // gated on yet — gating today would orphan the r17 record banked
+    // before the instrument existed.
+    val calibSparkEndByPass = Vector.newBuilder[Double]
     for (pass <- 1 to reps) {
       // cold data structures per pass: memo hits would otherwise make
       // passes 2+ measure cache lookups, not queries
@@ -247,6 +256,7 @@ object Bench {
           }
         }
       }
+      calibSparkEndByPass += calibSpark(spark)
     }
     val medians = names.map(n => n -> median(timesByQuery(n).map(_._2)))
     // ambient-noise spread over passes 2+ only (pass 1 is structurally
@@ -299,7 +309,8 @@ object Bench {
       names.map(n => timesByQuery(n).collectFirst {
         case (`p`, t) => t }.getOrElse(0.0)).sum)
     val calib = s"""{"cpu_sec":${arr(calibCpuByPass.result())},""" +
-      s""""spark_sec":${arr(calibSparkByPass.result())}}"""
+      s""""spark_sec":${arr(calibSparkByPass.result())},""" +
+      s""""spark_end_sec":${arr(calibSparkEndByPass.result())}}"""
     val singleRep = lifecycleTier.toSeq.sorted.filter(names.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"reps":$reps,"single_rep":$singleRep,"noise_pct":{"median":$noiseMed,"max":$noiseMax},"pass1_extra_pct":$warmup,"calib":$calib,"pass_totals":${arr(passTotals)},"errors":$errs,"failed":${failures.size},"sf":"$sfDir"}"""
