@@ -177,6 +177,17 @@ object Bench {
     //   - q161_stream_image_dedup ⊂ q162_stream_image_evict: q162 is
     //     q161's exact lifecycle with evictBelow riding the same
     //     Maintenance call.
+    // r18 rotation (curation chain q173-q175 in; named in advance in
+    // BENCH_NOTES_r18 §2; tier lands exactly at the 16 cap) — all three
+    // under the q161 ⊂ q162 strict-subset precedent:
+    //   - q170_stream_video_dedup ⊂ q171_stream_video_evict (r17
+    //     verdict Next #3): q171 is q170's exact lifecycle with
+    //     evictBelow riding the same compactVideoStore call;
+    //   - q167_stream_audio_dedup ⊂ q168_stream_audio_evict: same
+    //     relation, same Maintenance call;
+    //   - q141_stream_dedup_folded ⊂ q144_stream_dedup_evict: q144 is
+    //     q141's exact lifecycle with evictBelow riding the same
+    //     compactDocStore call.
     // SPARK_GRAFT_BENCH_ALL=1 restores the full board for A/B. The
     // bench surface changes whenever the demotion set does — records
     // reset per the BENCH_SELF per-surface (name-list hash) rule.
@@ -184,7 +195,9 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Set.empty
       else Set("q126_stream_dedup", "q140_stream_semantic",
         "q103_ann_pq_ingest", "q137_stream_dedup_bucketed",
-        "q161_stream_image_dedup")
+        "q161_stream_image_dedup",
+        "q170_stream_video_dedup", "q167_stream_audio_dedup",
+        "q141_stream_dedup_folded")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .filterNot(n => only.isEmpty && benchDemoted.contains(n))
@@ -214,7 +227,9 @@ object Bench {
         "q162_stream_image_evict", "q163_stream_image_restart",
         "q167_stream_audio_dedup", "q168_stream_audio_evict",
         "q169_stream_audio_restart", "q170_stream_video_dedup",
-        "q171_stream_video_evict", "q172_stream_video_restart")
+        "q171_stream_video_evict", "q172_stream_video_restart",
+        "q173_stream_curation", "q174_stream_curation_evict",
+        "q175_stream_curation_restart")
     val lifecyclePass = math.min(2, reps)
     // timesByQuery(name) = (pass, wall-clock) per executed pass
     val timesByQuery = scala.collection.mutable.Map
@@ -227,10 +242,13 @@ object Bench {
     // cannot see a phase swing that develops DURING a pass — r17 rolls
     // 2-5 showed the single-rep lifecycle segment (which runs late in
     // pass 2) absorbing degraded phases the pass-2 start probe missed.
-    // Stamped as "spark_end_sec" for the reader (and a candidate gate
-    // axis for a future round once a baseline exists under it); NOT
-    // gated on yet — gating today would orphan the r17 record banked
-    // before the instrument existed.
+    // Stamped as "spark_end_sec". GATE AXIS since r18 (BENCH_NOTES_r18
+    // §1 — the r17 verdict's Next #1): a record banks only when the
+    // warm-pass spark_end median is ≤ 0.35, pass 1 exempt (it ends
+    // after the structurally cold pass). The r17 record was banked
+    // before the axis existed (its own pass-3 end read 0.448); it is
+    // NOT grandfathered forward — the r18 board rotation changes the
+    // surface hash, so the new record banks fresh under all four axes.
     val calibSparkEndByPass = Vector.newBuilder[Double]
     for (pass <- 1 to reps) {
       // cold data structures per pass: memo hits would otherwise make
@@ -350,9 +368,18 @@ object Bench {
       // reading compares incomparable scheduler/shuffle ambients.
       val calibSp = calibSparkByPass.result()
       val spWarmMed = median(if (calibSp.size > 1) calibSp.drop(1) else calibSp)
+      // r18 (BENCH_NOTES_r18 §1): the END-of-pass probe gates too — the
+      // start probe cannot see a phase swing that develops DURING a
+      // pass (r17 rolls 6/11/14/15 read end 0.43–0.48 with quiet
+      // starts, and the r17 record itself carried a 0.448 pass-3 end).
+      // Same 0.35 standard, warm passes only (pass 1's end probe runs
+      // after the structurally cold pass and is exempt like its start).
+      val calibSpEnd = calibSparkEndByPass.result()
+      val spEndWarmMed =
+        median(if (calibSpEnd.size > 1) calibSpEnd.drop(1) else calibSpEnd)
       val quiet = failures.isEmpty && noiseMed <= 10.0 &&
         calibCpu.nonEmpty && calibCpu.forall(c => c >= 0.55 && c <= 0.62) &&
-        spWarmMed <= 0.35
+        spWarmMed <= 0.35 && spEndWarmMed <= 0.35
       // SURFACE IDENTITY (r17): the record is per-surface, and after the
       // r16/r17 board rotations two DIFFERENT boards can share a query
       // COUNT (163 queries before and after the video-family rotation) —
@@ -381,6 +408,7 @@ object Bench {
           s""""total_sec":$total,""" +
           s""""noise_med_pct":$noiseMed,"calib_cpu":${arr(calibCpu)},""" +
           s""""calib_spark_warm_med":$spWarmMed,""" +
+          s""""calib_spark_end_warm_med":$spEndWarmMed,""" +
           s""""in_band":$quiet,"bench":$line}"""
       val selfPath = java.nio.file.Paths.get("BENCH_SELF.json")
       def num(js: String, key: String): Option[Double] =

@@ -2509,6 +2509,197 @@ r2o AS (
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
+    // STREAMING CURATION CHAIN (r17 verdict Next #2 — the capstone
+    // that composes the ingest families): the corpus lands as three
+    // staged micro-batches through ONE stream whose foreachBatch runs
+    // the text gate (gopherGate rows to a partition-overwrite store),
+    // the image dedup race and the audio dedup race against their own
+    // accumulated bucketed fingerprint indexes (the certified q161/
+    // q167 machinery, composed under one batch id + one checkpoint).
+    // Mid-stream, between committed batches 1 and 2, the composed
+    // maintenance pass folds all three stores. The result is the
+    // INCREMENTALLY-maintained keep verdict (CurationIngest.verdict:
+    // text_keep off the gate store, image CC-retention off the pairs
+    // log, audio first-seen off the pairs log — no re-decode, no
+    // re-fingerprint), which must equal the batch q164 replay — the
+    // SAME oracle statement, across batch boundaries and the fold.
+    "q173_stream_curation" -> ((s, dir) => {
+      import graft.streaming.{CurationIngest, Maintenance}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q173").toString
+      val sfx = tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val imgTbl = s"graft_q173_img_$sfx"; val audTbl = s"graft_q173_aud_$sfx"
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = stagedPart(staging)
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q173 startup")(
+          CurationIngest.startBucketed(s, inDir, store, imgTbl, audTbl, ckpt))
+        try {
+          phase("q173 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          phase("q173 mid-stream fold")(
+            Maintenance.compactCurationStore(s, store, imgTbl, audTbl,
+              upToBatch = 1L))
+          phase("q173 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q173 verdict")(CurationIngest.verdict(s, store)
+          .orderBy("doc_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $imgTbl")
+        s.sql(s"DROP TABLE IF EXISTS $audTbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q173's lifecycle with the retention horizon ON across BOTH
+    // modality indexes (the q162/q168/q171 treatment, composed). The
+    // horizon is evictBelow = 2 — DELIBERATELY one step harsher than
+    // the pair-level evict legs' evictBelow = 1, because this query's
+    // result is the transitively-closed VERDICT, not the pair log:
+    // every fixture dup group is an id-triple {3g, 3g+1, 3g+2} with
+    // exactly one member per mod-3 batch, so removing only the
+    // {batch-0 × batch-2} edge leaves the component connected through
+    // the batch-1 member (and the audio drop set keeps its members via
+    // the b1×b2 pair) — an evictBelow = 1 verdict would be IDENTICAL
+    // to q173's and certify nothing. At evictBelow = 2 both earlier
+    // batches age out of the indexes before batch 2 lands, so ALL
+    // {b0, b1} × b2 pairs disappear: image components split (two
+    // canonical keeps per group instead of one) and the batch-2
+    // member's audio flag flips — the verdict RE-SHAPES, exactly what
+    // the oracle replays by keeping only pairs whose endpoints agree
+    // on batch-2 membership. Gate rows and already-emitted pairs
+    // persist (output/coverage, not pairing state: the verdict still
+    // covers every ingested doc).
+    "q174_stream_curation_evict" -> ((s, dir) => {
+      import graft.streaming.{CurationIngest, Maintenance}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q174").toString
+      val sfx = tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val imgTbl = s"graft_q174_img_$sfx"; val audTbl = s"graft_q174_aud_$sfx"
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = stagedPart(staging)
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q = phase("q174 startup")(
+          CurationIngest.startBucketed(s, inDir, store, imgTbl, audTbl, ckpt))
+        try {
+          phase("q174 batches 0-1") {
+            stage(0L); q.processAllAvailable()
+            stage(1L); q.processAllAvailable()
+          }
+          phase("q174 fold+evict")(
+            Maintenance.compactCurationStore(s, store, imgTbl, audTbl,
+              upToBatch = 1L, evictBelow = 2L))
+          phase("q174 batch 2") { stage(2L); q.processAllAvailable() }
+        } finally q.stop()
+        phase("q174 verdict")(CurationIngest.verdict(s, store)
+          .orderBy("doc_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $imgTbl")
+        s.sql(s"DROP TABLE IF EXISTS $audTbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+    // q173's lifecycle KILLED AND RESUMED from its checkpoint (the
+    // q163/q169/q172 treatment, now certified THROUGH a composed
+    // foreachBatch body): batches 0-1 through a real StreamingQuery,
+    // stop, DELETE batch 1's commit marker, stage batch 2, start a NEW
+    // query from the same checkpoint — the replay re-runs ALL THREE
+    // legs of the batch body (the gate store's partition overwrite
+    // replaces batch 1's rows; both index replays collapse in their
+    // candidate distincts). Same verdict contract, same oracle.
+    "q175_stream_curation_restart" -> ((s, dir) => {
+      import graft.streaming.CurationIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q175").toString
+      val sfx = tmp.filter(_.isLetterOrDigit).takeRight(12)
+      val imgTbl = s"graft_q175_img_$sfx"; val audTbl = s"graft_q175_aud_$sfx"
+      val inDir = s"$tmp/in"; val store = s"$tmp/store"
+      val ckpt = s"$tmp/ckpt"
+      new java.io.File(inDir).mkdirs()
+      try {
+        def stage(b: Long): Unit = {
+          val staging = s"$tmp/stage$b"
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.parquet(staging)
+          val part = stagedPart(staging)
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/chunk$b.parquet"))
+        }
+        val q1 = phase("q175 startup")(
+          CurationIngest.startBucketed(s, inDir, store, imgTbl, audTbl, ckpt))
+        try {
+          phase("q175 batches 0-1") {
+            stage(0L); q1.processAllAvailable()
+            stage(1L); q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        // crash window: batch 1's gate/store/index output exists but
+        // its commit marker doesn't — the restart must re-run batch 1
+        // (the local ChecksumFs .crc sidecar must go too or the
+        // replayed commit's rename collides with it)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/1"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.1.crc"))
+        stage(2L)
+        val q2 = phase("q175 restart")(
+          CurationIngest.startBucketed(s, inDir, store, imgTbl, audTbl, ckpt))
+        try phase("q175 replay+batch 2")(q2.processAllAvailable())
+        finally q2.stop()
+        phase("q175 verdict")(CurationIngest.verdict(s, store)
+          .orderBy("doc_id")
+          .coalesce(1)
+          .localCheckpoint(eager = true)) // materialise before cleanup
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $imgTbl")
+        s.sql(s"DROP TABLE IF EXISTS $audTbl")
+        val p = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
     // the END-TO-END multimodal curation VERDICT (the capstone
     // composition — what a curation run actually ships as its keep
     // table): per document, the TEXT structural gate (q146's Gopher
@@ -4031,6 +4222,71 @@ r2o AS (
       |FROM ham JOIN nf na ON na.doc_id = ham.a
       |JOIN nf nb ON nb.doc_id = ham.b
       |WHERE hm <= 3 AND matched = na.n AND matched = nb.n$extraWhere""".stripMargin
+
+  /** The q164 curation-verdict replay — the three already-oracled
+    * chains composed in one statement: the image pair CTEs + HashMin +
+    * keep-best (q160's), an a-prefixed copy of the audio pipeline
+    * (q157's) reduced to the drop set, and the q146 structural gate;
+    * keep = the product of the three flags. SHARED by the batch query
+    * (q164) and the streaming curation chain: q173/q175 accumulate to
+    * the identical verdict (the q161/q170 oracle-sharing pattern), and
+    * q174 passes `evictMod3 = true` to remove every pair with exactly
+    * one endpoint in the mod-3 batch 2 — its evictBelow = 2 horizon
+    * ages BOTH earlier batches out of the indexes before batch 2
+    * lands, so the {b0, b1} × b2 cross pairs all disappear (see the
+    * q174 entry comment for why the milder evictBelow = 1 subtraction
+    * is absorbed by the verdict's transitive closure). Eviction of
+    * pairing state re-shapes the verdict (image components split,
+    * canonicals move, audio drops disappear), and the filter replays
+    * exactly the mod-3 staging convention the lifecycle queries use. */
+  private def curationOracleSql(evictMod3: Boolean = false): String = {
+    val pf = if (evictMod3) " AND ((a % 3 = 2) = (b % 3 = 2))" else ""
+    s"""WITH $imageDHashCtes,
+      |p AS MATERIALIZED (SELECT a AS doc_a, b AS doc_b FROM ham
+      |  WHERE hm <= 3$pf),
+      |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p),
+      |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
+      |  FROM documents),
+      |${hashMinRoundCtes(dedupGroupsOracleRounds)},
+      |g2 AS (SELECT CAST(id AS BIGINT) AS doc_id,
+      |    CAST(lbl AS BIGINT) AS canon_id
+      |  FROM l$dedupGroupsOracleRounds),
+      |jq AS (SELECT g2.doc_id, g2.canon_id, d.n_chars
+      |  FROM g2 JOIN documents d USING (doc_id)),
+      |best AS (SELECT canon_id, doc_id AS kept_doc FROM (
+      |  SELECT canon_id, doc_id,
+      |    row_number() OVER (PARTITION BY canon_id
+      |      ORDER BY n_chars DESC, doc_id) AS rk FROM jq) WHERE rk = 1),
+      |${audioFpCtes("a")},
+      |adrop AS (SELECT DISTINCT b AS doc_id FROM aham WHERE hm <= 3$pf),
+      |tt AS (
+      |  SELECT doc_id, lower(text) AS lt,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |ts AS (SELECT doc_id,
+      |  CAST(len(ts) AS BIGINT) AS n_tok,
+      |  CAST(CASE WHEN len(ts) = 0 THEN 0
+      |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
+      |  CAST(CASE WHEN length(lt) = 0 THEN 0
+      |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
+      |  CAST(len(list_filter(list_distinct(ts),
+      |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+      |  FROM tt),
+      |tg AS (SELECT doc_id,
+      |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 AND mtl_ppm BETWEEN 3000000 AND 10000000
+      |    AND alpha_ppm >= 600000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS text_keep
+      |  FROM ts)
+      |SELECT d.doc_id, tg.text_keep,
+      |  CAST(CASE WHEN bk.kept_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_keep,
+      |  CAST(CASE WHEN ad.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS audio_keep,
+      |  tg.text_keep
+      |    * CAST(CASE WHEN bk.kept_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    * CAST(CASE WHEN ad.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM documents d
+      |JOIN tg ON tg.doc_id = d.doc_id
+      |LEFT JOIN best bk ON bk.kept_doc = d.doc_id
+      |LEFT JOIN adrop ad ON ad.doc_id = d.doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -5564,56 +5820,16 @@ r2o AS (
         |  CAST(t.n_docs AS BIGINT) AS n_docs,
         |  CAST(t.sum_quality AS BIGINT) AS sum_quality
         |FROM best b JOIN tot t USING (canon_id)""".stripMargin,
-    // the three already-oracled chains composed in one statement: the
-    // image pair CTEs + HashMin + keep-best (q160's), an a-prefixed
-    // copy of the audio pipeline (q157's) reduced to the drop set, and
-    // the q146 structural gate; keep = the product of the three flags
-    "q164_multimodal_curation" ->
-      s"""WITH $imageDHashCtes,
-        |p AS MATERIALIZED (SELECT a AS doc_a, b AS doc_b FROM ham
-        |  WHERE hm <= 3),
-        |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
-        |  UNION ALL SELECT doc_b, doc_a FROM p),
-        |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl
-        |  FROM documents),
-        |${hashMinRoundCtes(dedupGroupsOracleRounds)},
-        |g2 AS (SELECT CAST(id AS BIGINT) AS doc_id,
-        |    CAST(lbl AS BIGINT) AS canon_id
-        |  FROM l$dedupGroupsOracleRounds),
-        |jq AS (SELECT g2.doc_id, g2.canon_id, d.n_chars
-        |  FROM g2 JOIN documents d USING (doc_id)),
-        |best AS (SELECT canon_id, doc_id AS kept_doc FROM (
-        |  SELECT canon_id, doc_id,
-        |    row_number() OVER (PARTITION BY canon_id
-        |      ORDER BY n_chars DESC, doc_id) AS rk FROM jq) WHERE rk = 1),
-        |${audioFpCtes("a")},
-        |adrop AS (SELECT DISTINCT b AS doc_id FROM aham WHERE hm <= 3),
-        |tt AS (
-        |  SELECT doc_id, lower(text) AS lt,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
-        |ts AS (SELECT doc_id,
-        |  CAST(len(ts) AS BIGINT) AS n_tok,
-        |  CAST(CASE WHEN len(ts) = 0 THEN 0
-        |    ELSE list_sum(list_transform(ts, x -> length(x))) * 1000000 // len(ts) END AS BIGINT) AS mtl_ppm,
-        |  CAST(CASE WHEN length(lt) = 0 THEN 0
-        |    ELSE length(regexp_replace(lt, '[^a-z]', '', 'g')) * 1000000 // length(lt) END AS BIGINT) AS alpha_ppm,
-        |  CAST(len(list_filter(list_distinct(ts),
-        |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
-        |  FROM tt),
-        |tg AS (SELECT doc_id,
-        |  CAST(CASE WHEN n_tok BETWEEN 50 AND 100000 AND mtl_ppm BETWEEN 3000000 AND 10000000
-        |    AND alpha_ppm >= 600000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS text_keep
-        |  FROM ts)
-        |SELECT d.doc_id, tg.text_keep,
-        |  CAST(CASE WHEN bk.kept_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_keep,
-        |  CAST(CASE WHEN ad.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS audio_keep,
-        |  tg.text_keep
-        |    * CAST(CASE WHEN bk.kept_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-        |    * CAST(CASE WHEN ad.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM documents d
-        |JOIN tg ON tg.doc_id = d.doc_id
-        |LEFT JOIN best bk ON bk.kept_doc = d.doc_id
-        |LEFT JOIN adrop ad ON ad.doc_id = d.doc_id""".stripMargin,
+    // see curationOracleSql — the composed three-chain replay
+    "q164_multimodal_curation" -> curationOracleSql(),
+    // the streaming curation chain accumulates to the batch verdict
+    // across batch boundaries + the composed fold (q173) and across
+    // the kill/replay window (q175) — same statement, the q161/q170
+    // oracle-sharing pattern; the evict leg (q174) replays the
+    // {batch-0 × batch-2} subtraction in BOTH modality pair sets
+    "q173_stream_curation" -> curationOracleSql(),
+    "q174_stream_curation_evict" -> curationOracleSql(evictMod3 = true),
+    "q175_stream_curation_restart" -> curationOracleSql(),
     // q165 = q164's keep chain (image HashMin retention + audio
     // first-seen + text gate) reduced to a curated id set (`keepd`),
     // feeding q151's shard-layout chain over the semi-joined corpus —

@@ -157,11 +157,12 @@ private[graft] object FpIngest {
       fpTable: String,
       maxTotalHamming: Int,
       batchId: Long,
-      buckets: Int): Unit = {
+      buckets: Int,
+      blocks: Int = 4): Unit = {
     val spark = newKeyed.sparkSession
     if (newKeyed.isEmpty) return
-    val pairs =
-      frameCandidates(spark, fpTable, newKeyed, maxTotalHamming, batchId)
+    val pairs = frameCandidates(spark, fpTable, newKeyed, maxTotalHamming,
+      batchId, blocks)
     pairs.withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
@@ -186,7 +187,16 @@ private[graft] object FpIngest {
     * after the semi-join: a replayed append's duplicate index rows
     * would otherwise double-count the Hamming sums (the single-fp
     * path's pair `distinct` collapses them for free; the clip-level
-    * aggregation needs it explicit). */
+    * aggregation needs it explicit). LATEST-BATCH-WINS (r17 ADVICE): a
+    * doc re-ingested with a CHANGED frame set before a fold holds index
+    * rows under two batch ids with differing `nf`; the count join in
+    * `alignedClipPairs` would fan out over both versions. Frame rows
+    * therefore resolve to each doc's highest batch id — the same
+    * winner [[StoreCompact.latestWinsPerKey]] picks at the next fold,
+    * applied after the candidate semi-join so the resolution costs one
+    * aggregation over the (small) candidate frame set, never a pass
+    * over the store. Same-content replays are unaffected (same rows,
+    * same or replayed batch id → identical survivors). */
   def frameCandidates(
       spark: SparkSession,
       fpTable: String,
@@ -194,9 +204,17 @@ private[graft] object FpIngest {
       maxTotalHamming: Int,
       batchId: Long,
       blocks: Int = 4): DataFrame = {
+    require(blocks > 0 && 64 % blocks == 0, s"blocks must divide 64: $blocks")
+    // the batch path's completeness guard (VideoDedup.nearDupVideo),
+    // r17 ADVICE: per-(frame, block) keys are pigeonhole-complete at the
+    // clip radius only while total <= blocks-1 — fail fast here too
+    // rather than silently missing pairs
+    require(maxTotalHamming <= blocks - 1,
+      s"per-frame block keys are complete only for total <= blocks-1: " +
+        s"$maxTotalHamming > ${blocks - 1}")
     val store = StoreCompact.liveIndexTable(spark, fpTable).map(t =>
       t.filter(col("batch_id") =!= batchId)
-        .select("doc_id", "f", "nf", "fp", "key"))
+        .select("doc_id", "f", "nf", "fp", "key", "batch_id"))
     val cand = frameCandidatePairs(spark, fpTable, newKeyed, batchId)
       .localCheckpoint(eager = true) // small; read thrice below
     val candDocs = cand.select(col("a").as("doc_id"))
@@ -205,10 +223,15 @@ private[graft] object FpIngest {
     // f·blocks + q, so slot = (key >> 32) mod blocks
     def framesOf(df: DataFrame): DataFrame =
       df.filter(pmod(shiftrightunsigned(col("key"), 32), lit(blocks)) === 0)
-        .select("doc_id", "f", "nf", "fp")
-    val all = store.map(st => framesOf(st).unionByName(framesOf(newKeyed)))
-      .getOrElse(framesOf(newKeyed))
-    val frames = all.join(broadcast(candDocs), Seq("doc_id")).distinct()
+        .select("doc_id", "f", "nf", "fp", "batch_id")
+    val all = store.map(st => framesOf(st).unionByName(
+        framesOf(newKeyed.withColumn("batch_id", lit(batchId)))))
+      .getOrElse(framesOf(newKeyed.withColumn("batch_id", lit(batchId))))
+    val candFrames = all.join(broadcast(candDocs), Seq("doc_id"))
+    val latest = candFrames.groupBy("doc_id")
+      .agg(max(col("batch_id")).as("batch_id"))
+    val frames = candFrames.join(broadcast(latest), Seq("doc_id", "batch_id"))
+      .select("doc_id", "f", "nf", "fp").distinct()
     graft.multimodal.VideoDedup.alignedClipPairs(cand,
       frames.select("doc_id", "f", "fp"),
       frames.select("doc_id", "nf").distinct(), maxTotalHamming)

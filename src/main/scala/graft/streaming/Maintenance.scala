@@ -126,6 +126,26 @@ object Maintenance {
       buckets)
   }
 
+  /** Maintenance pass for a [[CurationIngest]] deployment — resume any
+    * interrupted swap on BOTH fingerprint tables first, then the
+    * composed fold (gate store distinct + both families' folds;
+    * eviction touches the fingerprint indexes only — gate rows are
+    * verdict coverage, not pairing state). `upToBatch` MUST be a batch
+    * committed to the stream checkpoint — see REPLAY SAFETY above. */
+  def compactCurationStore(
+      spark: SparkSession,
+      storeDir: String,
+      imgTable: String,
+      audTable: String,
+      upToBatch: Long,
+      evictBelow: Long = Long.MinValue,
+      buckets: Int = 32): Unit = {
+    StoreCompact.resumeSwap(spark, imgTable)
+    StoreCompact.resumeSwap(spark, audTable)
+    CurationIngest.compact(spark, storeDir, imgTable, audTable, upToBatch,
+      evictBelow, buckets)
+  }
+
   /** Maintenance pass for a [[PqIngest]] deployment (one parquet codes
     * store; no bucketed index variant). */
   def compactPqStore(

@@ -63,12 +63,13 @@ object VideoIngest {
       checkpointDir: String,
       maxTotalHamming: Int = 3,
       stride: Int = 2,
-      buckets: Int = 32): StreamingQuery =
+      buckets: Int = 32,
+      blocks: Int = 4): StreamingQuery =
     spark.readStream.schema(DocIngest.docSchema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatchBucketed(batch, storeDir, fpTable, maxTotalHamming,
-          batchId, stride, buckets)
+          batchId, stride, buckets, blocks)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -79,7 +80,7 @@ object VideoIngest {
     * degraded-clip rule), clips with no hashable frames never enter
     * the index. */
   private[graft] def frameFingerprints(
-      batch: DataFrame, stride: Int = 2): DataFrame = {
+      batch: DataFrame, stride: Int = 2, blocks: Int = 4): DataFrame = {
     implicit val spark: SparkSession = batch.sparkSession
     val fps = Multimodal.dhashPartitions(
       Multimodal.sampleFramesPartitions(
@@ -91,7 +92,7 @@ object VideoIngest {
       .localCheckpoint(eager = true) // one decode pass, read twice
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     FpIngest.keyedFrames(fps.join(counts, "doc_id")
-      .select(col("doc_id"), col("f"), col("nf"), col("fp")))
+      .select(col("doc_id"), col("f"), col("nf"), col("fp")), blocks)
   }
 
   /** One micro-batch: frame fingerprints for the NEW clips, then
@@ -103,9 +104,10 @@ object VideoIngest {
       maxTotalHamming: Int,
       batchId: Long = 0L,
       stride: Int = 2,
-      buckets: Int = 32): Unit =
-    FpIngest.ingestBatchFrames(frameFingerprints(batch, stride), storeDir,
-      fpTable, maxTotalHamming, batchId, buckets)
+      buckets: Int = 32,
+      blocks: Int = 4): Unit =
+    FpIngest.ingestBatchFrames(frameFingerprints(batch, stride, blocks),
+      storeDir, fpTable, maxTotalHamming, batchId, buckets, blocks)
 
   /** [[FpIngest.compact]] bound to this family's stores — verbatim
     * reuse: the fold is per-row, so a clip's whole frame set folds and

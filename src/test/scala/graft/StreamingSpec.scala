@@ -1236,6 +1236,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("FpIngest multi-fp guards (r17 ADVICE): completeness require " +
+      "fails fast at radius > blocks-1, re-ingest with a changed frame " +
+      "set resolves latest-batch-wins before any fold") {
+    import graft.streaming.FpIngest
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fpadvice").toString
+    val tbl = "graft_test_fp_advice"
+    s2.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      def keyed(rows: Seq[(Long, Int, Long, Long)]) =
+        FpIngest.keyedFrames(rows.toDF("doc_id", "f", "nf", "fp"))
+      // batch-path parity: nearDupVideo's pigeonhole guard now fails
+      // fast on the streaming path too instead of silently missing pairs
+      intercept[IllegalArgumentException] {
+        FpIngest.frameCandidates(s2, tbl, keyed(Seq((1L, 0, 1L, 5L))),
+          maxTotalHamming = 4, batchId = 0L)
+      }
+      // doc 1 v1: two frames; v2 (changed frame set, nf 2 -> 1) lands
+      // under a later batch id with NO fold in between — the store now
+      // holds doc 1 under two batch ids with differing nf
+      FpIngest.ingestBatchFrames(
+        keyed(Seq((1L, 0, 2L, 0x0fL), (1L, 1, 2L, 0xf0L))),
+        s"$tmp/store", tbl, maxTotalHamming = 3, batchId = 0L, buckets = 4)
+      FpIngest.ingestBatchFrames(
+        keyed(Seq((1L, 0, 1L, 0xffL))),
+        s"$tmp/store", tbl, maxTotalHamming = 3, batchId = 1L, buckets = 4)
+      // doc 2 matches v2 exactly; v1's stale rows must neither fan out
+      // the count join nor pollute the aligned Hamming sum
+      FpIngest.ingestBatchFrames(
+        keyed(Seq((2L, 0, 1L, 0xffL))),
+        s"$tmp/store", tbl, maxTotalHamming = 3, batchId = 2L, buckets = 4)
+      val got = FpIngest.pairs(s2, s"$tmp/store")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 0L)),
+        s"latest-batch-wins resolution violated: $got")
+    } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
