@@ -1275,6 +1275,73 @@ class StreamingSpec extends SparkSpec {
     } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("CurationIngest composed chain: verdict matches the batch q164 " +
+      "result, replay benign across all three legs, fold consolidates " +
+      "the gate store, eviction drops pairing state but never verdict " +
+      "coverage") {
+    import graft.streaming.CurationIngest
+    val s2 = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("curingest").toString
+    val imgTbl = "graft_test_cur_img"; val audTbl = "graft_test_cur_aud"
+    s2.sql(s"DROP TABLE IF EXISTS $imgTbl")
+    s2.sql(s"DROP TABLE IF EXISTS $audTbl")
+    try {
+      val docs = Tables.load(s2, sf(), "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val chunks = (0 until 3).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      val store = s"$tmp/store"
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        CurationIngest.ingestBatchBucketed(c, store, imgTbl, audTbl,
+          maxHamming = 3, batchId = i.toLong, buckets = 8)
+      }
+      def verdictNow = CurationIngest.verdict(s2, store)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = SparkEntry.queries("q164_multimodal_curation")(s2, sf())
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val v0 = verdictNow
+      assert(v0 == batch,
+        "incremental verdict diverges from the batch q164 assembly")
+      assert(v0.nonEmpty && v0.values.exists(_._4 == 0L) &&
+        v0.values.exists(_._4 == 1L), "verdict should discriminate")
+
+      // at-least-once replay re-runs the WHOLE composed batch body:
+      // the gate store's partition overwrite replaces batch 2's rows,
+      // both index replays collapse in their candidate distincts
+      CurationIngest.ingestBatchBucketed(chunks(2), store, imgTbl, audTbl,
+        maxHamming = 3, batchId = 2L, buckets = 8)
+      assert(verdictNow == v0, "replay drifted the composed verdict")
+
+      // fold: verdict preserved, gate store consolidated to the fold
+      // horizon's single partition with no row loss
+      val gateCount = s2.read.parquet(s"$store/gate").count()
+      graft.streaming.Maintenance.compactCurationStore(s2, store,
+        imgTbl, audTbl, upToBatch = 2L, buckets = 8)
+      assert(verdictNow == v0, "fold changed the composed verdict")
+      val gateDirs = new java.io.File(s"$store/gate").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+      assert(gateDirs == Set("batch_id=2"),
+        s"gate store not consolidated: $gateDirs")
+      assert(s2.read.parquet(s"$store/gate").count() == gateCount,
+        "fold lost gate rows")
+
+      // eviction drops PAIRING state (both fingerprint indexes) but
+      // never verdict coverage: gate rows and emitted pairs are
+      // output, so the verdict is byte-identical even at a horizon
+      // that empties both indexes
+      graft.streaming.Maintenance.compactCurationStore(s2, store,
+        imgTbl, audTbl, upToBatch = 2L, evictBelow = 3L, buckets = 8)
+      assert(s2.table(imgTbl).count() == 0 && s2.table(audTbl).count() == 0,
+        "eviction below the horizon should empty both indexes")
+      assert(verdictNow == v0, "eviction rewired the verdict")
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $imgTbl")
+      s2.sql(s"DROP TABLE IF EXISTS $audTbl")
+    }
+  }
+
   test("file-source stream reads the fixture directory") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the fixture file into a stream-watched dir
