@@ -80,9 +80,10 @@ object AudioIngest {
       fpTable: String,
       maxHamming: Int,
       batchId: Long = 0L,
-      buckets: Int = 32): Unit =
+      buckets: Int = 32): Unit = BatchExec.aqeOn(batch.sparkSession) {
     FpIngest.ingestBatch(fingerprints(batch), storeDir, fpTable,
       maxHamming, batchId, buckets)
+  }
 
   /** [[FpIngest.compact]] bound to this family's stores. `upToBatch`
     * MUST be a batch committed to the stream checkpoint. */

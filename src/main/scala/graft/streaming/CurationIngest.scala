@@ -87,7 +87,21 @@ object CurationIngest {
 
   /** One micro-batch: gate rows for the NEW docs (dynamic partition
     * overwrite — replay replaces, never appends), then the image and
-    * audio ingest bodies against their accumulated stores. */
+    * audio ingest bodies against their accumulated stores.
+    *
+    * r18 optimization (guide §2.6): the three legs are INDEPENDENT —
+    * disjoint output dirs/tables (`gate`, `image/...`+imgTable,
+    * `audio/...`+audTable), each reading only the shared immutable
+    * `batch` frame and its own family's state — so they run
+    * concurrently ([[BatchExec.par]]): the composed per-batch wall is
+    * max(leg) instead of sum(legs), and each leg's small stages
+    * back-fill the others' scheduling gaps. [[BatchExec.aqeOn]] is
+    * toggled HERE, outside the parallel region, so the nested family
+    * bodies see AQE already on and never touch the conf. Replay
+    * semantics are unchanged: a failed leg fails the whole batch (par
+    * rethrows), and the replay idempotency of each leg never depended
+    * on leg order (gate = partition overwrite; both indexes = own-batch
+    * exclusion + candidate distinct). */
   def ingestBatchBucketed(
       batch: DataFrame,
       storeDir: String,
@@ -95,19 +109,20 @@ object CurationIngest {
       audTable: String,
       maxHamming: Int,
       batchId: Long = 0L,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32): Unit = BatchExec.aqeOn(batch.sparkSession) {
     if (batch.isEmpty) return
-    Filters.gopherGate(batch, "doc_id", "text")
-      .select(col("doc_id"), col("keep").as("text_keep"))
-      .join(batch.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(gateDir(storeDir))
-    ImageIngest.ingestBatchBucketed(batch, imageDir(storeDir), imgTable,
-      maxHamming, batchId, buckets)
-    AudioIngest.ingestBatchBucketed(batch, audioDir(storeDir), audTable,
-      maxHamming, batchId, buckets)
+    BatchExec.par(
+      () => Filters.gopherGate(batch, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("text_keep"))
+        .join(batch.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(gateDir(storeDir)),
+      () => ImageIngest.ingestBatchBucketed(batch, imageDir(storeDir),
+        imgTable, maxHamming, batchId, buckets),
+      () => AudioIngest.ingestBatchBucketed(batch, audioDir(storeDir),
+        audTable, maxHamming, batchId, buckets))
   }
 
   /** The accumulated per-doc keep VERDICT `(doc_id, text_keep,
@@ -151,12 +166,16 @@ object CurationIngest {
       audTable: String,
       upToBatch: Long,
       evictBelow: Long = Long.MinValue,
-      buckets: Int = 32): Unit = {
-    StoreCompact.fold(spark, gateDir(storeDir), upToBatch)(df =>
-      df.drop("batch_id").distinct())
-    ImageIngest.compact(spark, imageDir(storeDir), imgTable, upToBatch,
-      evictBelow, buckets)
-    AudioIngest.compact(spark, audioDir(storeDir), audTable, upToBatch,
-      evictBelow, buckets)
-  }
+      buckets: Int = 32): Unit =
+    // r18 optimization (guide §2.6): the three folds touch disjoint
+    // stores (gate dir; image pairs dir + imgTable; audio pairs dir +
+    // audTable) — run them concurrently, same quiesce window as before
+    // (the whole call still runs between committed batches).
+    BatchExec.par(
+      () => StoreCompact.fold(spark, gateDir(storeDir), upToBatch)(df =>
+        df.drop("batch_id").distinct()),
+      () => ImageIngest.compact(spark, imageDir(storeDir), imgTable,
+        upToBatch, evictBelow, buckets),
+      () => AudioIngest.compact(spark, audioDir(storeDir), audTable,
+        upToBatch, evictBelow, buckets))
 }

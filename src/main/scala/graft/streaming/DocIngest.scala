@@ -67,7 +67,7 @@ object DocIngest {
     * band-key join against (store ∪ new), exact-Jaccard verify, overwrite
     * this batch's partition of each store. */
   def ingestBatch(batch: DataFrame, storeDir: String, tau: Double,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L): Unit = BatchExec.aqeOn(batch.sparkSession) {
     val spark = batch.sparkSession
     val sigs = Dedup.signatures(batch, "doc_id", "text")
       .localCheckpoint(eager = true) // one tokenize+hash pass, read 4×
@@ -107,9 +107,17 @@ object DocIngest {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$storeDir/$name")
 
-    writeStore(Dedup.verifyJaccard(cand, allSh, tau), "pairs")
-    writeStore(newKeys, "sigs")
-    writeStore(newSh, "shingles")
+    // r18 optimization (guide §2.6): the three store writes are
+    // independent actions with disjoint output dirs; the pairs verify
+    // reads the PRE-batch sigs/shingles slices (own-batch exclusion:
+    // concurrent writes land only under batch_id=<this batch>, which
+    // the readers' partition filter prunes), so they overlap safely —
+    // the batch wall is the verify leg, with the two appends hidden
+    // under it instead of serialised after it.
+    BatchExec.par(
+      () => writeStore(Dedup.verifyJaccard(cand, allSh, tau), "pairs"),
+      () => writeStore(newKeys, "sigs"),
+      () => writeStore(newSh, "shingles"))
   }
 
   /** Start the ingest stream with the BUCKETED signature index. */
@@ -172,7 +180,7 @@ object DocIngest {
       sigsTable: String,
       tau: Double,
       batchId: Long = 0L,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32): Unit = BatchExec.aqeOn(batch.sparkSession) {
     val spark = batch.sparkSession
     val sigs = Dedup.signatures(batch, "doc_id", "text")
       .localCheckpoint(eager = true)
@@ -197,8 +205,6 @@ object DocIngest {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$storeDir/$name")
 
-    writeStore(Dedup.verifyJaccard(cand, allSh, tau), "pairs")
-    writeStore(newSh, "shingles")
     // `batch_id` is a plain DATA column here, not a partition: every
     // appended file carries one constant batch_id, so the own-batch
     // exclusion filter still skips whole files on parquet row-group
@@ -207,10 +213,21 @@ object DocIngest {
     // partition metadata — a partitioned table would come back empty).
     // append-or-create with the swap guard: a swap racing this batch
     // after the candidate read fails loudly instead of re-creating the
-    // live name over the rebuild (StoreCompact.appendToBucketedIndex)
-    StoreCompact.appendToBucketedIndex(spark, sigsTable,
-      newKeys.withColumn("batch_id", lit(batchId)),
-      buckets, Seq("band", "key"))
+    // live name over the rebuild (StoreCompact.appendToBucketedIndex).
+    // r18 optimization (guide §2.6): the verify write, the shingles
+    // write and the index append are independent actions — the verify
+    // reads the PRE-batch index/shingle slices (own-batch exclusion:
+    // the concurrent append only ADDS files whose every row carries
+    // this batch's id, which the `batch_id =!= batchId` filter drops;
+    // the shingles write lands under the pruned batch_id=<this batch>
+    // partition) — so they overlap: the batch wall is the verify leg,
+    // the two appends hidden under it instead of serialised after it.
+    BatchExec.par(
+      () => writeStore(Dedup.verifyJaccard(cand, allSh, tau), "pairs"),
+      () => writeStore(newSh, "shingles"),
+      () => StoreCompact.appendToBucketedIndex(spark, sigsTable,
+        newKeys.withColumn("batch_id", lit(batchId)),
+        buckets, Seq("band", "key")))
   }
 
   /** The bucketed-index candidate pairs `(doc_a, doc_b)` for one batch —
@@ -288,10 +305,14 @@ object DocIngest {
       upToBatch: Long,
       evictBelow: Long = Long.MinValue): Unit = {
     val latestWins = StoreCompact.latestWinsPerKey("doc_id", evictBelow)
-    StoreCompact.fold(spark, s"$storeDir/sigs", upToBatch)(latestWins)
-    StoreCompact.fold(spark, s"$storeDir/shingles", upToBatch)(latestWins)
-    StoreCompact.fold(spark, s"$storeDir/pairs", upToBatch)(
-      df => df.drop("batch_id").distinct())
+    // r18 optimization (guide §2.6): three disjoint store dirs — fold
+    // them concurrently inside the same quiesce window.
+    BatchExec.par(
+      () => StoreCompact.fold(spark, s"$storeDir/sigs", upToBatch)(latestWins),
+      () => StoreCompact.fold(spark, s"$storeDir/shingles", upToBatch)(
+        latestWins),
+      () => StoreCompact.fold(spark, s"$storeDir/pairs", upToBatch)(
+        df => df.drop("batch_id").distinct()))
   }
 
   /** Compact the BUCKETED signature-index table (the [[compact]] of the

@@ -77,7 +77,7 @@ object EmbIngest {
     * near-dups against (store ∪ new), overwrite this batch's partition. */
   def ingestBatch(batch: DataFrame, storeDir: String,
       cents: Seq[(Long, Seq[Long])], simThresholdFixed: Long,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L): Unit = BatchExec.aqeOn(batch.sparkSession) {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -158,7 +158,7 @@ object EmbIngest {
       cents: Seq[(Long, Seq[Long])],
       simThresholdFixed: Long,
       batchId: Long = 0L,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32): Unit = BatchExec.aqeOn(batch.sparkSession) {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -169,21 +169,23 @@ object EmbIngest {
 
     val n = bucketedPriorCounts(spark, itemsTable, assigned,
       simThresholdFixed, batchId)
-    assigned.join(n, Seq("id"), "left")
-      .select(col("id").as("vec_id"), col("cid"), col("w"),
-        coalesce(col("n_neardup_prior"), lit(0L)).as("n_neardup_prior"))
-      .withColumn("kept", (col("n_neardup_prior") === 0L).cast("long"))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$storeDir/items")
-
-    // append-or-create with the swap guard (see DocIngest): a swap
-    // racing this batch fails loudly, never re-creates over the rebuild
-    StoreCompact.appendToBucketedIndex(spark, itemsTable,
-      assigned.select(col("id").as("vec_id"), col("cid"), col("w"))
-        .withColumn("batch_id", lit(batchId)),
-      buckets, Seq("cid"))
+    // r18 optimization (guide §2.6): verdict write ∥ index append — the
+    // prior-count join reads the PRE-batch index slice (own-batch
+    // exclusion drops the concurrently appended rows), and the
+    // append-or-create swap guard (see DocIngest) is unchanged.
+    BatchExec.par(
+      () => assigned.join(n, Seq("id"), "left")
+        .select(col("id").as("vec_id"), col("cid"), col("w"),
+          coalesce(col("n_neardup_prior"), lit(0L)).as("n_neardup_prior"))
+        .withColumn("kept", (col("n_neardup_prior") === 0L).cast("long"))
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$storeDir/items"),
+      () => StoreCompact.appendToBucketedIndex(spark, itemsTable,
+        assigned.select(col("id").as("vec_id"), col("cid"), col("w"))
+          .withColumn("batch_id", lit(batchId)),
+        buckets, Seq("cid")))
   }
 
   /** The bucketed-index smaller-id near-dup counts for one batch —

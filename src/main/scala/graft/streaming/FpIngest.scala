@@ -72,13 +72,20 @@ private[graft] object FpIngest {
     val spark = newKeys.sparkSession
     if (newKeys.isEmpty) return
     val pairs = candidates(spark, fpTable, newKeys, maxHamming, batchId)
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$storeDir/pairs")
-    StoreCompact.appendToBucketedIndex(spark, fpTable,
-      newKeys.withColumn("batch_id", lit(batchId)),
-      buckets, Seq("key"))
+    // r18 optimization (guide §2.6): the pairs write and the index
+    // append are independent actions — the candidate join reads the
+    // PRE-batch index slice (own-batch exclusion: the concurrent append
+    // only ADDS files whose every row carries this batch's id, dropped
+    // by the `batch_id =!= batchId` filter) — so they overlap instead
+    // of serialising two per-batch job walls.
+    BatchExec.par(
+      () => pairs.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$storeDir/pairs"),
+      () => StoreCompact.appendToBucketedIndex(spark, fpTable,
+        newKeys.withColumn("batch_id", lit(batchId)),
+        buckets, Seq("key")))
   }
 
   /** The per-batch verified pairs `(doc_a, doc_b, hamming)` — exposed
@@ -121,14 +128,17 @@ private[graft] object FpIngest {
       fpTable: String,
       upToBatch: Long,
       evictBelow: Long,
-      buckets: Int): Unit = {
-    StoreCompact.fold(spark, s"$storeDir/pairs", upToBatch)(
-      df => df.drop("batch_id").distinct())
-    StoreCompact.foldBucketedTable(spark, fpTable, upToBatch,
-      keyCol = "doc_id", bucketCols = Seq("key"),
-      sortCols = Seq("key"), buckets = buckets,
-      evictBelow = evictBelow)
-  }
+      buckets: Int): Unit =
+    // r18 optimization (guide §2.6): the pairs dir and the index table
+    // are disjoint stores — fold them concurrently inside the same
+    // quiesce window.
+    BatchExec.par(
+      () => StoreCompact.fold(spark, s"$storeDir/pairs", upToBatch)(
+        df => df.drop("batch_id").distinct()),
+      () => StoreCompact.foldBucketedTable(spark, fpTable, upToBatch,
+        keyCol = "doc_id", bucketCols = Seq("key"),
+        sortCols = Seq("key"), buckets = buckets,
+        evictBelow = evictBelow))
 
   /** Explode a `(doc_id, f, nf, fp)` frame-fingerprint frame into
     * `(doc_id, f, nf, fp, key)` — one row per 16-bit block key, the
@@ -161,15 +171,25 @@ private[graft] object FpIngest {
       blocks: Int = 4): Unit = {
     val spark = newKeyed.sparkSession
     if (newKeyed.isEmpty) return
+    // materialise the candidate pair set BEFORE spawning the parallel
+    // legs: frameCandidates localCheckpoints `cand` eagerly (its head
+    // reads the index table), so the store-table read inside it
+    // completes strictly before the concurrent append below — the
+    // verify aggregation that follows only touches the checkpointed
+    // candidates, the frame rows and the (filtered, own-batch-excluded)
+    // store slice.
     val pairs = frameCandidates(spark, fpTable, newKeyed, maxTotalHamming,
       batchId, blocks)
-    pairs.withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$storeDir/pairs")
-    StoreCompact.appendToBucketedIndex(spark, fpTable,
-      newKeyed.withColumn("batch_id", lit(batchId)),
-      buckets, Seq("key"))
+    // r18 optimization (guide §2.6): pairs write ∥ index append — same
+    // independence argument as [[ingestBatch]].
+    BatchExec.par(
+      () => pairs.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$storeDir/pairs"),
+      () => StoreCompact.appendToBucketedIndex(spark, fpTable,
+        newKeyed.withColumn("batch_id", lit(batchId)),
+        buckets, Seq("key")))
   }
 
   /** The per-batch CLIP-level verified pairs `(doc_a, doc_b, hamming)`

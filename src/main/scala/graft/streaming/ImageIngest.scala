@@ -90,9 +90,10 @@ object ImageIngest {
       fpTable: String,
       maxHamming: Int,
       batchId: Long = 0L,
-      buckets: Int = 32): Unit =
+      buckets: Int = 32): Unit = BatchExec.aqeOn(batch.sparkSession) {
     FpIngest.ingestBatch(fingerprints(batch), storeDir, fpTable,
       maxHamming, batchId, buckets)
+  }
 
   /** The per-batch verified pairs `(doc_a, doc_b, hamming)` — exposed
     * for the StreamingSpec plan assert (store-side scan carries NO

@@ -56,9 +56,14 @@ object Maintenance {
       sigsTable: Option[String] = None,
       buckets: Int = 32): Unit = {
     sigsTable.foreach(StoreCompact.resumeSwap(spark, _))
-    DocIngest.compact(spark, storeDir, upToBatch, evictBelow)
-    sigsTable.foreach(t =>
-      DocIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets))
+    // r18 optimization (guide §2.6): the parquet stores and the bucketed
+    // index table are disjoint — fold them concurrently (resumeSwap above
+    // stays FIRST: the index rebuild must never start behind a crashed
+    // swap).
+    BatchExec.par(
+      () => DocIngest.compact(spark, storeDir, upToBatch, evictBelow),
+      () => sigsTable.foreach(t =>
+        DocIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets)))
   }
 
   /** Maintenance pass for an [[EmbIngest]] deployment: fold the parquet
@@ -72,9 +77,12 @@ object Maintenance {
       itemsTable: Option[String] = None,
       buckets: Int = 32): Unit = {
     itemsTable.foreach(StoreCompact.resumeSwap(spark, _))
-    EmbIngest.compact(spark, storeDir, upToBatch)
-    itemsTable.foreach(t =>
-      EmbIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets))
+    // r18 optimization (guide §2.6): disjoint stores — fold concurrently
+    // (resume-first, as above).
+    BatchExec.par(
+      () => EmbIngest.compact(spark, storeDir, upToBatch),
+      () => itemsTable.foreach(t =>
+        EmbIngest.compactBucketed(spark, t, upToBatch, evictBelow, buckets)))
   }
 
   /** Maintenance pass for an [[ImageIngest]] deployment: fold the

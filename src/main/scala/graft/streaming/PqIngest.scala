@@ -58,7 +58,8 @@ object PqIngest {
   /** One micro-batch: code the new vectors, overwrite this batch's
     * partition. */
   def ingestBatch(batch: DataFrame, storeDir: String,
-      books: Seq[(Long, Long, Seq[Long])], batchId: Long = 0L): Unit = {
+      books: Seq[(Long, Long, Seq[Long])], batchId: Long = 0L): Unit =
+      BatchExec.aqeOn(batch.sparkSession) {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return

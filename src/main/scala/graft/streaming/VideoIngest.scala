@@ -105,9 +105,10 @@ object VideoIngest {
       batchId: Long = 0L,
       stride: Int = 2,
       buckets: Int = 32,
-      blocks: Int = 4): Unit =
+      blocks: Int = 4): Unit = BatchExec.aqeOn(batch.sparkSession) {
     FpIngest.ingestBatchFrames(frameFingerprints(batch, stride, blocks),
       storeDir, fpTable, maxTotalHamming, batchId, buckets, blocks)
+  }
 
   /** [[FpIngest.compact]] bound to this family's stores — verbatim
     * reuse: the fold is per-row, so a clip's whole frame set folds and
